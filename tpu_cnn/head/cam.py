@@ -1,0 +1,93 @@
+"""Host-side CAM bounding boxes — both reference variants.
+
+The reference ships two CAM implementations:
+  * hi-res: bilinear upscale of the 16x16 CAM to 128x128, percentile-70
+    threshold with 0.2 floor, 3-px padding
+    (``software/pynq_inference.py:349-408``)
+  * fast:   grid-space threshold with 0.25 floor, x8 coordinate scaling
+    (``software/realtime_detect.py:85-116``)
+
+Both are provided; the fast variant also exists fused on-device
+(``ops.detect_head.cam_bbox``) and is parity-tested against this one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SATURATION_MEAN = 250.0
+
+
+def _build_cam(features: np.ndarray, class_weights: np.ndarray, grid: int = 4):
+    """(C, S*S) features + (C*grid*grid,) weights -> (S, S) CAM, normalised."""
+    c, ss = features.shape
+    s = int(round(ss**0.5))
+    npx = s // grid
+    fm = features.astype(np.float32).reshape(c, s, s)
+    w = class_weights.reshape(c, grid, grid)
+    w_exp = np.repeat(np.repeat(w, npx, axis=1), npx, axis=2)  # (C, s, s)
+    valid = fm.mean(axis=(1, 2)) <= SATURATION_MEAN
+    w_exp = w_exp * valid[:, None, None]
+    cam = (w_exp * fm).sum(axis=0)
+    cam = np.maximum(cam, 0.0)
+    if cam.max() > 0:
+        cam = cam / cam.max()
+    return cam
+
+
+def cam_bbox_fast(
+    features: np.ndarray,  # (C, S*S) uint8
+    class_idx: int,
+    fc_weight: np.ndarray,  # (num_classes, C*16)
+    img_size: int = 128,
+) -> tuple[int, int, int, int]:
+    """Grid-space CAM bbox (``realtime_detect.bbox_vec`` semantics)."""
+    cam = _build_cam(features, fc_weight[class_idx])
+    s = cam.shape[0]
+    scale = img_size // s
+    thr = max(float(np.percentile(cam, 70)), 0.25)
+    mask = cam > thr
+    if not mask.any():
+        return (0, 0, img_size - 1, img_size - 1)
+    rows, cols = mask.any(axis=1), mask.any(axis=0)
+    r1, r2 = np.where(rows)[0][[0, -1]]
+    c1, c2 = np.where(cols)[0][[0, -1]]
+    return (
+        int(c1 * scale),
+        int(r1 * scale),
+        int(min(img_size - 1, (c2 + 1) * scale)),
+        int(min(img_size - 1, (r2 + 1) * scale)),
+    )
+
+
+def cam_bbox_hires(
+    features: np.ndarray,  # (C, S*S) uint8
+    class_idx: int,
+    fc_weight: np.ndarray,  # (num_classes, C*16)
+    img_size: int = 128,
+    pad: int = 3,
+):
+    """Hi-res CAM bbox (``pynq_inference.Classifier.get_cam_bbox`` semantics).
+
+    Returns (cam_full (img_size, img_size) float32 in [0,1], bbox).
+    """
+    from PIL import Image
+
+    cam = _build_cam(features, fc_weight[class_idx])
+    cam_img = Image.fromarray((cam * 255).astype(np.uint8))
+    cam_img = cam_img.resize((img_size, img_size), Image.BILINEAR)
+    cam_full = np.asarray(cam_img).astype(np.float32) / 255.0
+
+    thr = max(float(np.percentile(cam_full, 70)), 0.2)
+    mask = cam_full > thr
+    if mask.any():
+        rows, cols = np.any(mask, axis=1), np.any(mask, axis=0)
+        y1, y2 = np.where(rows)[0][[0, -1]]
+        x1, x2 = np.where(cols)[0][[0, -1]]
+        x1 = max(0, int(x1) - pad)
+        y1 = max(0, int(y1) - pad)
+        x2 = min(img_size - 1, int(x2) + pad)
+        y2 = min(img_size - 1, int(y2) + pad)
+    else:
+        x1, y1, x2, y2 = 0, 0, img_size - 1, img_size - 1
+    return cam_full, (x1, y1, x2, y2)

@@ -1,0 +1,137 @@
+"""On-device detection head: spatial-bin classifier + CAM bounding box.
+
+In the reference the head runs on the ARM CPU after an 18 ms MMIO feature
+readback (``software/pynq_inference.py:292-408``, vectorised variants
+``software/realtime_detect.py:68-116``). Here the whole head is fused into
+the same XLA graph as the CNN, so only (pred, conf, probs, bbox) — a few
+dozen bytes — ever crosses the device->host boundary. This is the TPU-native
+answer to the reference's dominant bottleneck (readback ~18 ms vs conv 6.8 ms,
+``README.md:202``).
+
+All functions are batched and jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SATURATION_MEAN = 250.0  # channels with mean > 250 carry no spatial info
+CAM_THRESHOLD_FLOOR = 0.25  # software/realtime_detect.py:109
+CAM_PERCENTILE = 70.0
+
+
+def bin_pool(features: jax.Array, grid: int = 4) -> jax.Array:
+    """(B, C, S*S) uint8 -> (B, C*grid*grid) float32 spatial-bin means / 255.
+
+    Mirrors ``software/realtime_detect.py:68-82`` / ``retrain_classifier.py:188-207``:
+    4x4 grid of bin means over the 16x16 map, flattened (ch-major), /255.
+    """
+    b, c, ss = features.shape
+    s = int(round(ss**0.5))
+    npx = s // grid
+    fm = features.astype(jnp.float32).reshape(b, c, grid, npx, grid, npx)
+    pooled = fm.mean(axis=(3, 5))  # (B, C, grid, grid)
+    return pooled.reshape(b, c * grid * grid) / 255.0
+
+
+def gap_pool(features: jax.Array) -> jax.Array:
+    """(B, C, S*S) uint8 -> (B, C) global average pool, [0, 255] scale.
+
+    Matches the shipped (C, 64) head's training-time features
+    (``training/train_cnn.py:164``: adaptive_avg_pool of [0,255] maps, no /255).
+    """
+    return features.astype(jnp.float32).mean(axis=2)
+
+
+def classify(
+    features: jax.Array,  # (B, C, S*S) uint8
+    fc_weight: jax.Array,  # (num_classes, D) float32
+    fc_bias: jax.Array,  # (num_classes,) float32
+    head_mode: str = "bins",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (pred (B,) int32, conf (B,) f32, probs (B, num_classes) f32)."""
+    pooled = bin_pool(features) if head_mode == "bins" else gap_pool(features)
+    logits = pooled @ fc_weight.T + fc_bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
+    return pred, conf, probs
+
+
+def cam_bbox(
+    features: jax.Array,  # (B, C, S*S) uint8
+    class_idx: jax.Array,  # (B,) int32
+    fc_weight: jax.Array,  # (num_classes, C*16) float32 — bins head only
+    img_size: int = 128,
+) -> jax.Array:
+    """Batched CAM bounding boxes, (B, 4) int32 as (x1, y1, x2, y2) in image px.
+
+    Matches the vectorised reference head ``software/realtime_detect.py:85-116``:
+    per-bin class weights broadcast over each 4x4 bin, saturated channels
+    (mean > 250) masked out, ReLU + max-normalise, threshold at
+    max(percentile70, 0.25), extremal rows/cols scaled by S->img_size.
+    """
+    b, c, ss = features.shape
+    s = int(round(ss**0.5))
+    grid = 4
+    npx = s // grid
+    scale = img_size // s
+
+    fm = features.astype(jnp.float32).reshape(b, c, s, s)
+    w = fc_weight[class_idx].reshape(b, c, grid, grid)  # (B, C, 4, 4)
+    # Broadcast each bin weight over its npx x npx pixels.
+    w_exp = jnp.repeat(jnp.repeat(w, npx, axis=2), npx, axis=3)  # (B, C, s, s)
+
+    ch_means = fm.mean(axis=(2, 3))  # (B, C)
+    valid = (ch_means <= SATURATION_MEAN).astype(jnp.float32)
+    cam = (w_exp * fm * valid[:, :, None, None]).sum(axis=1)  # (B, s, s)
+    cam = jnp.maximum(cam, 0.0)
+    cam_max = cam.max(axis=(1, 2), keepdims=True)
+    cam = jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
+
+    thr = jnp.percentile(cam.reshape(b, ss), CAM_PERCENTILE, axis=1)
+    thr = jnp.maximum(thr, CAM_THRESHOLD_FLOOR)  # (B,)
+    mask = cam > thr[:, None, None]  # (B, s, s)
+
+    rows = mask.any(axis=2)  # (B, s)
+    cols = mask.any(axis=1)  # (B, s)
+    any_mask = rows.any(axis=1)
+
+    def first_true(m):  # (B, s) -> (B,)
+        return jnp.argmax(m, axis=1).astype(jnp.int32)
+
+    def last_true(m):
+        return (m.shape[1] - 1 - jnp.argmax(m[:, ::-1], axis=1)).astype(jnp.int32)
+
+    r1, r2 = first_true(rows), last_true(rows)
+    c1, c2 = first_true(cols), last_true(cols)
+
+    x1 = c1 * scale
+    y1 = r1 * scale
+    x2 = jnp.minimum(img_size - 1, (c2 + 1) * scale)
+    y2 = jnp.minimum(img_size - 1, (r2 + 1) * scale)
+    bbox = jnp.stack([x1, y1, x2, y2], axis=1)
+    full = jnp.array([0, 0, img_size - 1, img_size - 1], dtype=jnp.int32)
+    return jnp.where(any_mask[:, None], bbox, full[None, :]).astype(jnp.int32)
+
+
+def detect(
+    features: jax.Array,
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    head_mode: str = "bins",
+    img_size: int = 128,
+):
+    """Fused classify + bbox. Returns (pred, conf, probs, bbox)."""
+    pred, conf, probs = classify(features, fc_weight, fc_bias, head_mode)
+    if head_mode == "bins":
+        bbox = cam_bbox(features, pred, fc_weight, img_size)
+    else:
+        # The 64-d GAP head has no spatial weights; CAM falls back to the
+        # unweighted activation map (valid-channel mean).
+        b = features.shape[0]
+        c = features.shape[1]
+        uniform_w = jnp.ones((fc_weight.shape[0], c * 16), dtype=jnp.float32)
+        bbox = cam_bbox(features, pred, uniform_w, img_size)
+    return pred, conf, probs, bbox

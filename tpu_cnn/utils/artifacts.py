@@ -1,0 +1,130 @@
+"""Artifact bundle I/O — the durable "checkpoint format" of the system.
+
+The reference's export bundle (``training/train_cnn.py:336-354``):
+  weights.bin   23,184 B int8 conv weights
+  fc_weight.npy (num_classes, 64|1024) float32
+  fc_bias.npy   (num_classes,) float32
+  classes.json  class-name list
+plus feature dumps (.npz with features/labels/names/shifts,
+``software/dump_fpga_features.py:116-120``) consumed by the classifier
+retrainer. Same formats here, byte-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from tpu_cnn.utils import weights as weights_codec
+
+
+@dataclasses.dataclass
+class ArtifactBundle:
+    kernels: list[np.ndarray]  # per-layer (oc, ic, 3, 3) int8
+    fc_weight: np.ndarray  # (num_classes, D) float32
+    fc_bias: np.ndarray  # (num_classes,) float32
+    class_names: list[str]
+
+
+WEIGHTS_BIN = "weights.bin"
+FC_WEIGHT = "fc_weight.npy"
+FC_BIAS = "fc_bias.npy"
+CLASSES = "classes.json"
+
+
+def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "") -> ArtifactBundle:
+    """Load a full artifact bundle from a directory.
+
+    ``prefix`` selects an engine-specific head, e.g. ``arm_`` ->
+    arm_fc_weight.npy (reference ``software/retrain_classifier.py:139-140``,
+    ``software/realtime_detect.py:520-539``).
+    """
+    d = os.fspath(artifact_dir)
+    kernels = weights_codec.load_weights_bin(os.path.join(d, WEIGHTS_BIN))
+    fc_w = np.load(os.path.join(d, prefix + FC_WEIGHT)).astype(np.float32)
+    fc_b = np.load(os.path.join(d, prefix + FC_BIAS)).astype(np.float32)
+    classes_path = os.path.join(d, CLASSES)
+    if os.path.exists(classes_path):
+        with open(classes_path) as f:
+            class_names = json.load(f)
+    else:
+        class_names = [str(i) for i in range(fc_w.shape[0])]
+    return ArtifactBundle(kernels, fc_w, fc_b, class_names)
+
+
+def save_bundle(
+    artifact_dir: str | os.PathLike,
+    bundle: ArtifactBundle,
+    prefix: str = "",
+) -> None:
+    d = os.fspath(artifact_dir)
+    os.makedirs(d, exist_ok=True)
+    weights_codec.save_weights_bin(os.path.join(d, WEIGHTS_BIN), bundle.kernels)
+    np.save(os.path.join(d, prefix + FC_WEIGHT), bundle.fc_weight.astype(np.float32))
+    np.save(os.path.join(d, prefix + FC_BIAS), bundle.fc_bias.astype(np.float32))
+    with open(os.path.join(d, CLASSES), "w") as f:
+        json.dump(list(bundle.class_names), f)
+
+
+def save_feature_dump(
+    path: str | os.PathLike,
+    features: np.ndarray,  # (N, 64, 256) uint8
+    labels: np.ndarray,  # (N,) int
+    names: Sequence[str],
+    shifts: Sequence[int],
+) -> None:
+    """Write a feature dump .npz identical in schema to the reference
+    (``software/dump_fpga_features.py:116-120``)."""
+    np.savez(
+        os.fspath(path),
+        features=np.asarray(features, dtype=np.uint8),
+        labels=np.asarray(labels),
+        names=list(names),
+        shifts=np.asarray(list(shifts)),
+    )
+
+
+def load_feature_dump(path: str | os.PathLike):
+    data = np.load(os.fspath(path), allow_pickle=False)
+    return (
+        data["features"],
+        data["labels"],
+        [str(n) for n in data["names"]],
+        data["shifts"] if "shifts" in data else None,
+    )
+
+
+def load_image_any(image_path: str | os.PathLike, img_size: int = 128) -> np.ndarray:
+    """Load a .bin raw image or any PIL-supported format as flat uint8.
+
+    Mirrors ``software/pynq_inference.py:414-425``.
+    """
+    path = os.fspath(image_path)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".bin":
+        img = np.fromfile(path, dtype=np.uint8)
+        if img.size != img_size * img_size:
+            raise ValueError(f"expected {img_size * img_size} bytes, got {img.size}")
+        return img
+    from PIL import Image
+
+    img = Image.open(path).convert("L").resize((img_size, img_size))
+    return np.asarray(img, dtype=np.uint8).reshape(-1)
+
+
+def label_from_filename(path: str) -> int:
+    """Extract the true class from ``test_image_N_classC.bin`` names, else -1.
+
+    Mirrors ``software/dump_fpga_features.py:66-69``.
+    """
+    base = os.path.basename(path)
+    if "_class" in base:
+        try:
+            return int(base.split("_class")[1].split(".")[0])
+        except ValueError:
+            return -1
+    return -1
