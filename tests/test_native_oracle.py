@@ -1,0 +1,57 @@
+"""C++ native oracle parity: the compiled path must agree bit-for-bit with
+the numpy oracle and the XLA paths (the reference's RTL-vs-C-vs-numpy
+cross-implementation idiom, SURVEY.md §4.4)."""
+
+import numpy as np
+import pytest
+
+from tpu_cnn.engine.cpu_ref import CPURefEngine, numpy_cnn_forward
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+from tests.conftest import random_kernels
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from tpu_cnn.native.oracle import NativeOracle
+
+    return NativeOracle()
+
+
+def test_native_vs_numpy_random(oracle, rng):
+    kernels = random_kernels(rng)
+    imgs = rng.randint(0, 256, size=(4, 128, 128)).astype(np.uint8)
+    got = oracle.infer_batch(imgs, kernels, DEFAULT_SHIFTS)
+    for b in range(4):
+        np.testing.assert_array_equal(got[b], numpy_cnn_forward(imgs[b], kernels))
+
+
+def test_native_vs_numpy_stock(oracle, stock_kernels, ramp_image):
+    got = oracle.infer(ramp_image, stock_kernels, DEFAULT_SHIFTS)
+    np.testing.assert_array_equal(got, numpy_cnn_forward(ramp_image, stock_kernels))
+
+
+def test_native_edge_images(oracle, stock_kernels):
+    """All-zero and all-255 stimuli exercise padding + saturation corners."""
+    for img in [
+        np.zeros((128, 128), np.uint8),
+        np.full((128, 128), 255, np.uint8),
+    ]:
+        got = oracle.infer(img, stock_kernels, DEFAULT_SHIFTS)
+        np.testing.assert_array_equal(got, numpy_cnn_forward(img, stock_kernels))
+
+
+def test_cpu_engine_uses_native(stock_kernels, ramp_image):
+    eng = CPURefEngine(stock_kernels)
+    assert eng.backend == "native-c++"
+    feat, conv_ms, read_ms = eng.run(ramp_image)
+    assert feat.shape == (64, 256)
+    np.testing.assert_array_equal(feat, numpy_cnn_forward(ramp_image, stock_kernels))
+
+
+def test_native_shift_variation(oracle, stock_kernels, ramp_image):
+    a = oracle.infer(ramp_image, stock_kernels, (2, 4, 6))
+    b = oracle.infer(ramp_image, stock_kernels, (1, 3, 5))
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(
+        b, numpy_cnn_forward(ramp_image, stock_kernels, shifts=(1, 3, 5))
+    )
