@@ -1,0 +1,139 @@
+"""TPUEngine + detection head tests: device head vs host head parity,
+engine protocol compatibility, shift-register semantics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_cnn.engine.cpu_ref import CPURefEngine, numpy_cnn_forward
+from tpu_cnn.engine.tpu import TPUEngine
+from tpu_cnn.head import cam as host_cam
+from tpu_cnn.head import classify as host_classify
+from tpu_cnn.models.cnn import CLASS_NAMES, DEFAULT_SHIFTS, FpgaCNN
+from tpu_cnn.ops import detect_head
+
+
+@pytest.fixture(scope="module")
+def bins_model(stock_kernels):
+    rs = np.random.RandomState(7)
+    fc_w = rs.randn(6, 1024).astype(np.float32) * 0.1
+    fc_b = rs.randn(6).astype(np.float32) * 0.01
+    return FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES)
+
+
+@pytest.fixture(scope="module")
+def gap_model(stock_kernels):
+    fc_w = np.load("/root/reference/weights/fc_weight.npy")
+    fc_b = np.load("/root/reference/weights/fc_bias.npy")
+    return FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES)
+
+
+@pytest.fixture(scope="module")
+def images(rng):
+    return rng.randint(0, 256, size=(5, 128, 128)).astype(np.uint8)
+
+
+def test_engine_features_match_oracle(bins_model, images):
+    eng = TPUEngine(bins_model, backend="xla")
+    feats = eng.run_batch(images)
+    assert feats.shape == (5, 64, 256) and feats.dtype == np.uint8
+    for b in range(5):
+        np.testing.assert_array_equal(
+            feats[b], numpy_cnn_forward(images[b], bins_model.kernels)
+        )
+
+
+def test_engine_run_protocol(bins_model, ramp_image):
+    eng = TPUEngine(bins_model, backend="xla")
+    feat, conv_ms, read_ms = eng.run(ramp_image)
+    assert feat.shape == (64, 256)
+    assert conv_ms > 0 and read_ms >= 0
+    np.testing.assert_array_equal(feat, numpy_cnn_forward(ramp_image, bins_model.kernels))
+
+
+def test_engine_swap_parity(bins_model, ramp_image):
+    """TPU and CPU engines are drop-in swappable and bit-identical — the
+    reference's FPGA/ARM --mode swap (realtime_detect.py:556)."""
+    tpu = TPUEngine(bins_model, backend="xla")
+    cpu = CPURefEngine(bins_model.kernels)
+    f1, *_ = tpu.run(ramp_image)
+    f2, *_ = cpu.run(ramp_image)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_head_modes(bins_model, gap_model):
+    assert bins_model.head_mode == "bins"
+    assert gap_model.head_mode == "gap"
+
+
+def test_device_classify_matches_host(bins_model, images):
+    eng = TPUEngine(bins_model, backend="xla")
+    feats = eng.run_batch(images)
+    res = eng.detect_batch(images)
+    idx, conf, probs = host_classify.classify_np(
+        feats, bins_model.fc_weight, bins_model.fc_bias
+    )
+    np.testing.assert_array_equal(res.pred, idx)
+    # float head: XLA vs BLAS accumulation order differs at ~1e-4 in probs
+    np.testing.assert_allclose(res.probs, probs, rtol=2e-3, atol=1e-3)
+
+
+def test_device_bbox_matches_host(bins_model, images):
+    eng = TPUEngine(bins_model, backend="xla")
+    feats = eng.run_batch(images)
+    res = eng.detect_batch(images)
+    for b in range(len(images)):
+        want = host_cam.cam_bbox_fast(feats[b], int(res.pred[b]), bins_model.fc_weight)
+        assert tuple(res.bbox[b]) == want
+
+
+def test_gap_head_classify(gap_model, images):
+    """Shipped (6, 64) GAP head must classify without error on-device and
+    agree with the host implementation."""
+    eng = TPUEngine(gap_model, backend="xla")
+    res = eng.detect_batch(images)
+    feats = eng.run_batch(images)
+    idx, conf, probs = host_classify.classify_np(
+        feats, gap_model.fc_weight, gap_model.fc_bias
+    )
+    np.testing.assert_array_equal(res.pred, idx)
+
+
+def test_shift_register_update(bins_model, ramp_image):
+    eng = TPUEngine(bins_model, backend="xla")
+    f1, *_ = eng.run(ramp_image)
+    eng.set_shifts(1, 3, 5)
+    f2, *_ = eng.run(ramp_image)
+    eng.set_shifts(*DEFAULT_SHIFTS)
+    assert not np.array_equal(f1, f2)
+    np.testing.assert_array_equal(
+        f2, numpy_cnn_forward(ramp_image, bins_model.kernels, shifts=(1, 3, 5))
+    )
+
+
+def test_batch_padding_buckets(bins_model, rng):
+    """Non-power-of-2 batches are padded; results unaffected by padding."""
+    eng = TPUEngine(bins_model, backend="xla")
+    imgs = rng.randint(0, 256, size=(3, 128, 128)).astype(np.uint8)
+    feats = eng.run_batch(imgs)
+    assert feats.shape[0] == 3
+    np.testing.assert_array_equal(feats[2], numpy_cnn_forward(imgs[2], bins_model.kernels))
+
+
+def test_saturated_channel_masking():
+    """CAM must ignore channels with mean > 250 (pynq_inference.py:367-369)."""
+    feats = np.zeros((1, 64, 256), np.uint8)
+    feats[0, 0] = 255  # saturated channel
+    feats[0, 1].reshape(16, 16)[4:8, 4:8] = 200  # localised activation
+    fc_w = np.zeros((6, 1024), np.float32)
+    fc_w[2, 0:16] = 10.0  # big weight on the saturated channel
+    fc_w[2, 16:32] = 1.0  # modest weight on the informative channel
+    bbox = np.asarray(
+        detect_head.cam_bbox(jnp.asarray(feats), jnp.asarray([2]), jnp.asarray(fc_w))
+    )[0]
+    # box must localise around rows/cols 4..8 (scaled x8), not span the image
+    x1, y1, x2, y2 = bbox
+    assert (x2 - x1) < 127 and (y2 - y1) < 127
+    host = host_cam.cam_bbox_fast(feats[0], 2, fc_w)
+    assert tuple(bbox) == host

@@ -1,0 +1,186 @@
+"""TPUEngine — the production device runtime.
+
+Replaces the reference's device runtime stack (``CNNAccelerator``
+bitstream/DMA/MMIO driver, ``software/pynq_inference.py:95-286``, plus the C
+fast-readout layer, ``software/fast_readout.c``) with the TPU-native
+equivalents:
+
+  - bitstream load            -> XLA compile (cached after first call)
+  - weight DMA (23,184 B)     -> one device_put of the kernel stack at init
+  - image DMA                 -> batched host->HBM transfer per call
+  - start/poll + MMIO readback-> a single fused jit: CNN + head on device,
+                                 only (pred, conf, probs, bbox) returns
+  - ReLU-shift register       -> a (3,) int32 runtime argument (no recompile)
+
+Engine protocol (``run(gray128) -> (features, conv_ms, read_ms)``) is kept
+drop-in compatible with the reference's FPGAEngine/ARMEngine swap
+(``software/realtime_detect.py:246-451``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS, FpgaCNN
+from tpu_cnn.ops import detect_head, quant
+
+
+@dataclasses.dataclass
+class DetectResult:
+    pred: np.ndarray  # (B,) int32
+    conf: np.ndarray  # (B,) float32
+    probs: np.ndarray  # (B, num_classes) float32
+    bbox: np.ndarray  # (B, 4) int32 (x1, y1, x2, y2)
+
+
+def _round_up_pow2(n: int, floor: int = 1) -> int:
+    m = floor
+    while m < n:
+        m *= 2
+    return m
+
+
+class TPUEngine:
+    """Batched inference engine for the FpgaCNN contract on TPU.
+
+    ``backend``: 'xla' (lax conv, f32-exact), 'pallas' (fused Pallas kernels),
+    or 'auto' (pallas on TPU if available, else xla). All backends are
+    bit-parity-tested against the host oracles.
+    """
+
+    def __init__(
+        self,
+        model: FpgaCNN,
+        backend: str = "auto",
+        compute_dtype: str = "float32",
+        max_batch: int = 4096,
+    ):
+        self.model = model
+        self.compute_dtype = compute_dtype
+        self.max_batch = max_batch
+        self._kernels_dev = [jnp.asarray(k) for k in model.kernels]
+        self._fc_w_dev = jnp.asarray(model.fc_weight)
+        self._fc_b_dev = jnp.asarray(model.fc_bias)
+        self._shifts_dev = jnp.asarray(model.shifts, jnp.int32)
+        self.backend = self._resolve_backend(backend)
+        self._forward = self._make_forward()
+        self._detect = self._make_detect()
+
+    # ── backend selection ────────────────────────────────────────────
+
+    def _resolve_backend(self, backend: str) -> str:
+        if backend != "auto":
+            return backend
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        if platform == "cpu":
+            return "xla"
+        try:
+            from tpu_cnn.ops import pallas_int8  # noqa: F401
+
+            return "pallas"
+        except Exception:
+            return "xla"
+
+    def _features_fn(self):
+        if self.backend == "pallas":
+            from tpu_cnn.ops import pallas_int8
+
+            return pallas_int8.cnn_forward_pallas
+        return partial(quant.cnn_forward, compute_dtype=self.compute_dtype)
+
+    def _make_forward(self):
+        features_fn = self._features_fn()
+
+        @jax.jit
+        def forward(images, shifts):
+            return features_fn(images, self._kernels_dev, shifts)
+
+        return forward
+
+    def _make_detect(self):
+        features_fn = self._features_fn()
+        head_mode = self.model.head_mode
+        img_size = self.model.config.img_size
+
+        @jax.jit
+        def detect(images, shifts):
+            feats = features_fn(images, self._kernels_dev, shifts)
+            pred, conf, probs, bbox = detect_head.detect(
+                feats, self._fc_w_dev, self._fc_b_dev, head_mode, img_size
+            )
+            return feats, pred, conf, probs, bbox
+
+        return detect
+
+    # ── padding to stable batch buckets (avoid per-size recompiles) ───
+
+    def _pad_batch(self, images: np.ndarray) -> tuple[jax.Array, int]:
+        b = images.shape[0]
+        pb = min(_round_up_pow2(b), self.max_batch)
+        if pb < b:
+            raise ValueError(f"batch {b} exceeds max_batch {self.max_batch}")
+        if pb != b:
+            pad = np.zeros((pb - b, *images.shape[1:]), dtype=np.uint8)
+            images = np.concatenate([images, pad], axis=0)
+        return jnp.asarray(images), b
+
+    # ── public API ────────────────────────────────────────────────────
+
+    def warmup(self, batch: int = 1) -> None:
+        img = np.zeros((batch, self.model.config.img_size, self.model.config.img_size), np.uint8)
+        jax.block_until_ready(self._detect(jnp.asarray(img), self._shifts_dev))
+
+    def set_shifts(self, *shifts: int) -> None:
+        """Runtime shift update — register semantics, no recompilation
+        (reference ``software/pynq_inference.py:226-229``)."""
+        self.model.shifts = np.asarray(shifts, np.int32)
+        self._shifts_dev = jnp.asarray(self.model.shifts)
+
+    def run_batch(self, images: np.ndarray) -> np.ndarray:
+        """(B, 128, 128) uint8 -> (B, 64, 256) uint8 features (dump layout)."""
+        images = np.asarray(images, np.uint8)
+        dev, b = self._pad_batch(images)
+        feats = self._forward(dev, self._shifts_dev)
+        return np.asarray(jax.device_get(feats))[:b]
+
+    def detect_batch(self, images: np.ndarray) -> DetectResult:
+        """Fully fused pipeline: only predictions/boxes return to host."""
+        images = np.asarray(images, np.uint8)
+        dev, b = self._pad_batch(images)
+        _, pred, conf, probs, bbox = self._detect(dev, self._shifts_dev)
+        pred, conf, probs, bbox = jax.device_get((pred, conf, probs, bbox))
+        return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
+
+    def run(self, gray128: np.ndarray):
+        """Reference engine protocol: single image -> ((64, 256) u8, ms, ms).
+
+        conv_ms covers device compute; read_ms the device->host feature
+        fetch (the analogue of the reference's MMIO readback split,
+        ``software/realtime_detect.py:313-363``).
+        """
+        img = np.asarray(gray128, np.uint8).reshape(
+            1, self.model.config.img_size, self.model.config.img_size
+        )
+        t0 = time.perf_counter()
+        feats = self._forward(jnp.asarray(img), self._shifts_dev)
+        feats.block_until_ready()
+        conv_ms = (time.perf_counter() - t0) * 1e3
+        t1 = time.perf_counter()
+        host = np.asarray(jax.device_get(feats))[0]
+        read_ms = (time.perf_counter() - t1) * 1e3
+        return host, conv_ms, read_ms
+
+    # device-resident variant for pipelines that keep data in HBM
+    def features_device(self, images_dev: jax.Array) -> jax.Array:
+        return self._forward(images_dev, self._shifts_dev)
