@@ -7,12 +7,18 @@ the first jax import anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get("TPU_CNN_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize force-selects jax_platforms="axon,cpu" at interpreter
+# start; override back to CPU for the virtual-mesh test environment.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np
 import pytest

@@ -1,0 +1,69 @@
+"""Pallas fused-kernel bit-parity vs the numpy oracle (interpret mode on CPU;
+the same kernels compile for real TPU — compiled parity is asserted by
+bench.py / __graft_entry__ on hardware)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_cnn.engine.cpu_ref import numpy_cnn_forward, numpy_conv_layer
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+from tpu_cnn.ops import pallas_int8
+from tests.conftest import random_kernels
+
+
+def test_fused_layer_parity(rng):
+    for ic, oc, size in [(1, 16, 32), (16, 32, 16), (32, 64, 8)]:
+        x = rng.randint(0, 256, size=(2, ic, size, size)).astype(np.uint8)
+        k = rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        kmat = pallas_int8.pack_kernel_matrix(k)
+        got = np.asarray(
+            pallas_int8.fused_conv_layer(
+                jnp.asarray(x), kmat, jnp.int32(3), interpret=True
+            )
+        )
+        for b in range(2):
+            want = numpy_conv_layer(x[b], k, shift=3)
+            np.testing.assert_array_equal(got[b], want)
+
+
+def test_full_forward_parity_random(rng):
+    kernels = random_kernels(rng)
+    imgs = rng.randint(0, 256, size=(2, 128, 128)).astype(np.uint8)
+    got = np.asarray(
+        pallas_int8.cnn_forward_pallas(
+            jnp.asarray(imgs),
+            [jnp.asarray(k) for k in kernels],
+            jnp.asarray(DEFAULT_SHIFTS, jnp.int32),
+            interpret=True,
+        )
+    )
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], numpy_cnn_forward(imgs[b], kernels))
+
+
+def test_full_forward_parity_stock(stock_kernels, ramp_image):
+    got = np.asarray(
+        pallas_int8.cnn_forward_pallas(
+            jnp.asarray(ramp_image[None]),
+            [jnp.asarray(k) for k in stock_kernels],
+            jnp.asarray(DEFAULT_SHIFTS, jnp.int32),
+            interpret=True,
+        )
+    )[0]
+    np.testing.assert_array_equal(got, numpy_cnn_forward(ramp_image, stock_kernels))
+
+
+def test_odd_batch_sizes(rng, stock_kernels):
+    """Tile-size fallback: batch sizes not divisible by the preferred tile."""
+    imgs = rng.randint(0, 256, size=(1, 128, 128)).astype(np.uint8)
+    got = np.asarray(
+        pallas_int8.cnn_forward_pallas(
+            jnp.asarray(imgs),
+            [jnp.asarray(k) for k in stock_kernels],
+            jnp.asarray(DEFAULT_SHIFTS, jnp.int32),
+            interpret=True,
+        )
+    )[0]
+    np.testing.assert_array_equal(got, numpy_cnn_forward(imgs[0], stock_kernels))

@@ -1,0 +1,68 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh: sharded results must
+equal single-device results bit-for-bit, and the graft entry points must run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+from tpu_cnn.parallel.mesh import make_mesh, shard_batch, sharded_detect, sharded_forward
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, model_axis=2)
+
+
+def test_sharded_forward_parity(mesh, stock_kernels, rng):
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    f = sharded_forward(mesh, kj)
+    imgs = rng.randint(0, 256, size=(8, 128, 128)).astype(np.uint8)
+    feats = np.asarray(f(shard_batch(mesh, jnp.asarray(imgs)),
+                         jnp.asarray(DEFAULT_SHIFTS, jnp.int32)))
+    for b in range(8):
+        np.testing.assert_array_equal(feats[b], numpy_cnn_forward(imgs[b], stock_kernels))
+
+
+def test_sharded_detect_runs(mesh, stock_kernels, rng):
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    fc_w = jnp.asarray(rng.randn(6, 1024).astype(np.float32) * 0.05)
+    fc_b = jnp.asarray(np.zeros(6, np.float32))
+    detect = sharded_detect(mesh, kj, fc_w, fc_b)
+    imgs = shard_batch(
+        mesh, jnp.asarray(rng.randint(0, 256, size=(16, 128, 128)).astype(np.uint8))
+    )
+    pred, conf, probs, bbox = detect(imgs, jnp.asarray(DEFAULT_SHIFTS, jnp.int32))
+    assert pred.shape == (16,) and bbox.shape == (16, 4)
+    assert np.all(np.asarray(conf) > 0) and np.all(np.asarray(conf) <= 1)
+
+
+def test_data_only_mesh(stock_kernels, rng):
+    mesh = make_mesh(8, model_axis=1)
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    f = sharded_forward(mesh, kj)
+    imgs = rng.randint(0, 256, size=(8, 128, 128)).astype(np.uint8)
+    feats = np.asarray(f(shard_batch(mesh, jnp.asarray(imgs)),
+                         jnp.asarray(DEFAULT_SHIFTS, jnp.int32)))
+    np.testing.assert_array_equal(feats[0], numpy_cnn_forward(imgs[0], stock_kernels))
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    pred, conf, probs, bbox = jax.jit(fn)(*args)
+    assert pred.shape == (8,) and bbox.shape == (8, 4)
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

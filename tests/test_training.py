@@ -1,0 +1,138 @@
+"""Training pipeline tests: shrunk-geometry end-to-end QAT run, export
+round-trip, and the mesh-sharded train step."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+from tpu_cnn.models.cnn import FpgaCNN
+from tpu_cnn.parallel.mesh import make_mesh
+from tpu_cnn.train import data as D
+from tpu_cnn.train.train_cnn import (
+    TrainConfig,
+    extract_qat_features,
+    float_forward,
+    init_params,
+    make_train_step,
+    param_shardings,
+    train,
+)
+
+SMALL_CFG = TrainConfig(
+    layer_configs=((1, 16, 32), (16, 32, 16), (32, 64, 8)),
+    epochs=2,
+    batch_size=32,
+    head_epochs=50,
+)
+
+
+def test_synthetic_dataset_shapes():
+    ds = D.SyntheticShapes(n_per_class=4, img_size=32)
+    imgs, labels = ds.arrays()
+    assert imgs.shape == (24, 32, 32) and imgs.dtype == np.float32
+    assert imgs.min() >= 0 and imgs.max() <= 1
+    assert set(labels.tolist()) == set(range(6))
+
+
+def test_float_forward_shapes():
+    params = init_params(SMALL_CFG, jax.random.PRNGKey(0))
+    x = jnp.zeros((4, 32, 32), jnp.float32)
+    logits = float_forward(params, x, 3)
+    assert logits.shape == (4, 6)
+
+
+def test_train_step_descends():
+    cfg = SMALL_CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    step = make_train_step(cfg, opt)
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    bi, bl = jnp.asarray(imgs[:32]), jnp.asarray(labels[:32].astype(np.int32))
+    losses = []
+    for _ in range(15):
+        params, state, loss, acc = step(params, state, bi, bl)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_sharded_matches_unsharded():
+    cfg = SMALL_CFG
+    mesh = make_mesh(8, model_axis=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    bi, bl = jnp.asarray(imgs[:32]), jnp.asarray(labels[:32].astype(np.int32))
+
+    s1 = make_train_step(cfg, opt)
+    p1, _, l1, _ = s1(params, opt.init(params), bi, bl)
+
+    sh = param_shardings(cfg, mesh)
+    params_sh = jax.tree.map(lambda p, s: jax.device_put(p, s), params, sh)
+    s2 = make_train_step(cfg, opt, mesh)
+    p2, _, l2, _ = s2(params_sh, opt.init(params_sh), bi, bl)
+
+    assert abs(float(l1) - float(l2)) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(p1["fc_w"]), np.asarray(p2["fc_w"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_qat_features_match_oracle():
+    """Phase-2 features must come from the same bit-exact contract as the
+    inference engines."""
+    cfg = SMALL_CFG
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    from tpu_cnn.train.train_cnn import quantized_kernels
+
+    q_kernels, scale = quantized_kernels(params, cfg)
+    assert scale > 0
+    imgs = np.random.RandomState(0).rand(3, 32, 32).astype(np.float32)
+    feats = extract_qat_features(params, imgs, cfg)
+    assert feats.shape == (3, 64)
+    for b in range(3):
+        u8 = np.round(imgs[b] * 255).astype(np.uint8)
+        want = numpy_cnn_forward(
+            u8, q_kernels, shifts=cfg.shifts, accum_wrap=True,
+            layer_configs=cfg.layer_configs,
+        ).astype(np.float32).mean(axis=1)
+        np.testing.assert_allclose(feats[b], want, rtol=1e-6)
+
+
+def test_end_to_end_training_and_reload(tmp_path):
+    """Full two-phase run on synthetic data; exported bundle must load into
+    FpgaCNN and beat chance accuracy on its own training set."""
+    cfg = TrainConfig(epochs=2, batch_size=32, head_epochs=200, lr=3e-3)
+    ds = D.SyntheticShapes(n_per_class=24)
+    imgs, labels = ds.arrays()
+    out = str(tmp_path / "bundle")
+    bundle = train(cfg, (imgs[24:], labels[24:]), (imgs[:24], labels[:24]),
+                   out, class_names=ds.class_names, verbose=False)
+
+    assert os.path.exists(os.path.join(out, "weights.bin"))
+    assert os.path.getsize(os.path.join(out, "weights.bin")) == 23184
+    model = FpgaCNN.from_artifacts(out)
+    assert model.head_mode == "gap"
+
+    # exported test images exist and carry labels
+    bins = [f for f in os.listdir(out) if f.startswith("test_image_")]
+    assert len(bins) > 0
+
+    # classify the training set via the CPU engine + GAP head
+    from tpu_cnn.engine.cpu_ref import CPURefEngine
+    from tpu_cnn.head.classify import classify_np
+
+    eng = CPURefEngine(model.kernels, use_native=False)
+    sub = np.round(imgs[:36] * 255).astype(np.uint8)
+    feats = eng.run_batch(sub)
+    idx, conf, probs = classify_np(feats, model.fc_weight, model.fc_bias)
+    acc = (idx == labels[:36]).mean()
+    assert acc > 1.0 / 6 + 0.1, f"accuracy {acc} barely above chance"

@@ -1,0 +1,159 @@
+"""Single/batch image inference CLI — the ``pynq_inference.py`` surface.
+
+Same flag set and behaviours as the reference CLI
+(``software/pynq_inference.py:496-575``): single ``--image`` (.bin/.jpg/.png)
+or a directory sweep of ``test_image_*_classC.bin`` with accuracy scoring
+from filename labels, annotated JPEG output, ``--shifts l0,l1,l2``,
+``--dump-features``. The FPGA bitstream/DMA plumbing is replaced by the
+TPUEngine; ``--mode cpu`` swaps in the native/numpy oracle engine.
+
+Usage:
+  python -m tpu_cnn.apps.infer --artifacts <dir>                 # all test images
+  python -m tpu_cnn.apps.infer --artifacts <dir> --image img.png # single image
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+from tpu_cnn.head import cam as cam_host
+from tpu_cnn.head import classify as classify_host
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS, FpgaCNN
+from tpu_cnn.utils import artifacts as art
+
+
+def make_engine(model: FpgaCNN, mode: str):
+    if mode == "cpu":
+        from tpu_cnn.engine.cpu_ref import CPURefEngine
+
+        return CPURefEngine(model.kernels, model.shifts)
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    return TPUEngine(model, backend=mode if mode in ("xla", "pallas") else "auto")
+
+
+def annotate_and_save(image_flat, bbox, label, out_path):
+    """Green bbox + label band, reference-identical output format
+    (``pynq_inference.py:467-491``)."""
+    from PIL import Image, ImageDraw
+
+    gray = image_flat.reshape(128, 128)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    img = Image.fromarray(rgb, "RGB")
+    draw = ImageDraw.Draw(img)
+    x1, y1, x2, y2 = bbox
+    draw.rectangle([x1, y1, x2, y2], outline=(0, 255, 0), width=2)
+    ty = max(0, y1 - 14)
+    draw.rectangle([x1, ty, x1 + len(label) * 7, ty + 13], fill=(0, 255, 0))
+    draw.text((x1 + 2, ty + 1), label, fill=(0, 0, 0))
+    img.save(out_path, quality=95)
+
+
+def run_inference(engine, model, image_path, verbose=True, save_output=True):
+    image = art.load_image_any(image_path)
+    feat, conv_ms, read_ms = engine.run(image)
+
+    idx, name, conf, probs = classify_host.classify_np(
+        feat, model.fc_weight, model.fc_bias, model.class_names
+    )
+    if model.head_mode == "bins":
+        _, bbox = cam_host.cam_bbox_hires(feat, idx, model.fc_weight)
+    else:
+        bbox = (0, 0, 127, 127)
+
+    if verbose:
+        base = os.path.basename(image_path)
+        true = art.label_from_filename(image_path)
+        suffix = f" (true: class {true})" if true >= 0 else ""
+        print(f"\n  Image:      {base}{suffix}")
+        print(f"  Prediction: {name} (class {idx})")
+        print(f"  Confidence: {conf:.1%}")
+        print(f"  BBox:       ({bbox[0]}, {bbox[1]}) -> ({bbox[2]}, {bbox[3]})")
+        print(f"  Engine:     {conv_ms:.2f} ms compute + {read_ms:.2f} ms readout")
+        top3 = np.argsort(probs)[::-1][:3]
+        print("  Top-3:")
+        for rank, i in enumerate(top3):
+            print(f"    {rank + 1}. {model.class_names[i]}: {probs[i]:.1%}")
+
+    if save_output:
+        stem = os.path.splitext(os.path.basename(image_path))[0]
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(image_path)), f"{stem}_result.jpg"
+        )
+        annotate_and_save(image, bbox, f"{name} {conf:.0%}", out_path)
+        if verbose:
+            print(f"  Output:     {out_path}")
+
+    return idx, name, conf
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU CNN inference")
+    p.add_argument("--artifacts", default="/root/reference/weights",
+                   help="dir with weights.bin + fc_*.npy + classes.json")
+    p.add_argument("--head-prefix", default="", help="e.g. 'arm_' for engine-specific head")
+    p.add_argument("--image", default=None, help="single image (.bin/.jpg/.png)")
+    p.add_argument("--image-dir", default=None, help="directory of test_image_*.bin")
+    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "cpu"])
+    p.add_argument("--no-save", action="store_true")
+    p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
+    p.add_argument("--dump-features", action="store_true")
+    args = p.parse_args(argv)
+
+    shifts = [int(s) for s in args.shifts.split(",")]
+    assert len(shifts) == 3
+
+    print("=" * 60)
+    print("  TPU CNN — INFERENCE")
+    print("=" * 60)
+    bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names, shifts=shifts)
+    engine = make_engine(model, args.mode)
+    print(f"Engine: {type(engine).__name__} ({getattr(engine, 'backend', '?')})")
+    print(f"Classifier: {len(model.class_names)} classes — {model.class_names} "
+          f"[{model.head_mode} head]")
+
+    if args.image:
+        run_inference(engine, model, args.image, save_output=not args.no_save)
+        if args.dump_features:
+            feat, *_ = engine.run(art.load_image_any(args.image))
+            out = os.path.splitext(args.image)[0] + "_features.npy"
+            np.save(out, feat)
+            print(f"  Features saved: {out}")
+        return
+
+    image_dir = args.image_dir or args.artifacts
+    images = sorted(glob.glob(os.path.join(image_dir, "test_image_*.bin")))
+    if not images:
+        print(f"\nNo test images found in {image_dir}")
+        print("Generate some first: python -m tpu_cnn.train.train_cnn --synthetic")
+        return
+
+    print(f"\nClassifying {len(images)} images...")
+    correct = total = 0
+    t0 = time.time()
+    for path in images:
+        idx, name, conf = run_inference(engine, model, path,
+                                        save_output=not args.no_save)
+        true = art.label_from_filename(path)
+        if true >= 0:
+            total += 1
+            correct += int(idx == true)
+    dt = time.time() - t0
+    print("\n" + "=" * 60)
+    print("  RESULTS")
+    print("=" * 60)
+    print(f"  Images: {len(images)}  ({dt / max(len(images), 1) * 1e3:.1f} ms/image)")
+    if total:
+        print(f"  Accuracy: {correct}/{total} = {100 * correct / total:.1f}%")
+    print("=" * 60)
+
+
+if __name__ == "__main__":
+    main()

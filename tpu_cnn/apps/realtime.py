@@ -1,0 +1,342 @@
+"""Real-time detection service — the ``realtime_detect.py`` surface.
+
+Frame source (webcam via OpenCV when present, synthetic generator otherwise)
+-> center-crop/gray/resize preprocess -> engine (TPU or CPU oracle, same
+``--mode`` swap as the reference's FPGA/ARM switch,
+``software/realtime_detect.py:556``) -> fused classify + CAM bbox -> overlay
+-> MJPEG HTTP stream on ``--port``.
+
+Carries over the reference's reliability machinery: a background capture
+thread holding only the latest frame, a stall watchdog that reopens the
+source (``realtime_detect.py:205-231``), EMA FPS, per-stage ms overlay, and
+the periodic console status line.
+
+Usage:
+  python -m tpu_cnn.apps.realtime --mode auto --port 5000
+  python -m tpu_cnn.apps.realtime --source synthetic --frames 200 --no-serve
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+from tpu_cnn.head import cam as cam_host
+from tpu_cnn.head import classify as classify_host
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS, IMG_SIZE, FpgaCNN
+from tpu_cnn.utils import artifacts as art
+from tpu_cnn.utils.profiling import EmaFps
+
+COLORS = [
+    (255, 80, 80), (80, 220, 80), (255, 255, 80),
+    (80, 120, 255), (220, 80, 255), (80, 230, 230),
+]
+
+
+# ── Frame sources ────────────────────────────────────────────────────
+
+
+class SyntheticSource:
+    """Deterministic moving-blob frames for hardware-free operation — the
+    analogue of the reference's pynq-less SIMULATION MODE
+    (``pynq_inference.py:157-162``)."""
+
+    def __init__(self, width=640, height=480):
+        self.w, self.h = width, height
+        self._t = 0
+
+    def read(self):
+        t = self._t
+        self._t += 1
+        yy, xx = np.mgrid[0 : self.h, 0 : self.w].astype(np.float32)
+        cx = self.w / 2 + (self.w / 3) * np.sin(t / 20.0)
+        cy = self.h / 2 + (self.h / 3) * np.cos(t / 31.0)
+        blob = 220.0 * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 60.0**2)))
+        noise = ((xx * 13 + yy * 7 + t) % 23).astype(np.float32)
+        frame = np.clip(blob + noise + 20, 0, 255).astype(np.uint8)
+        return np.stack([frame] * 3, axis=2)  # HWC "BGR"
+
+    def release(self):
+        pass
+
+
+class CameraThread:
+    """Background capture holding the latest frame, with a stall watchdog
+    that reopens the device (reference ``realtime_detect.py:148-240``)."""
+
+    def __init__(self, cam_idx=0, width=640, height=480, stall_timeout=2.0):
+        import cv2
+
+        self._cv2 = cv2
+        self._idx, self._w, self._h = cam_idx, width, height
+        self._stall = stall_timeout
+        self.frame = None
+        self.lock = threading.Lock()
+        self.running = True
+        self._last_ok = time.time()
+        self.cap = self._open()
+        if self.cap is None:
+            raise RuntimeError(f"camera {cam_idx} failed to open")
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
+
+    def _open(self):
+        cv2 = self._cv2
+        cap = cv2.VideoCapture(self._idx)
+        if not cap.isOpened():
+            cap.release()
+            return None
+        cap.set(cv2.CAP_PROP_FRAME_WIDTH, self._w)
+        cap.set(cv2.CAP_PROP_FRAME_HEIGHT, self._h)
+        return cap
+
+    def _reader(self):
+        while self.running:
+            try:
+                ret, f = self.cap.read()
+                if ret and f is not None:
+                    with self.lock:
+                        self.frame = f
+                    self._last_ok = time.time()
+                    continue
+                if time.time() - self._last_ok > self._stall:
+                    print("camera stalled — reopening", flush=True)
+                    try:
+                        self.cap.release()
+                    except Exception:
+                        pass
+                    cap = self._open()
+                    if cap is not None:
+                        self.cap = cap
+                    self._last_ok = time.time()
+                else:
+                    time.sleep(0.01)
+            except Exception as e:
+                print(f"camera error: {e}", flush=True)
+                time.sleep(0.5)
+
+    def read(self):
+        with self.lock:
+            return None if self.frame is None else self.frame.copy()
+
+    def release(self):
+        self.running = False
+        try:
+            self.cap.release()
+        except Exception:
+            pass
+
+
+# ── Preprocess + overlay (numpy, no cv2 dependency) ─────────────────
+
+
+def preprocess(frame: np.ndarray) -> np.ndarray:
+    """Center-crop to square, grayscale, area-resize to 128x128
+    (``realtime_detect.py:584-591``)."""
+    h, w = frame.shape[:2]
+    if w > h:
+        x0 = (w - h) // 2
+        crop = frame[:, x0 : x0 + h]
+    elif h > w:
+        y0 = (h - w) // 2
+        crop = frame[y0 : y0 + w]
+    else:
+        crop = frame
+    gray = crop.mean(axis=2) if crop.ndim == 3 else crop
+    s = gray.shape[0]
+    f = s // IMG_SIZE
+    if f >= 1 and s % IMG_SIZE == 0:
+        small = gray.reshape(IMG_SIZE, f, IMG_SIZE, f).mean(axis=(1, 3))
+    else:
+        idx = (np.arange(IMG_SIZE) * s // IMG_SIZE).clip(0, s - 1)
+        small = gray[np.ix_(idx, idx)]
+    return small.astype(np.uint8)
+
+
+def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
+                 mode, names):
+    """In-place overlay: bbox rectangle + header + probability bars."""
+    h, w = frame.shape[:2]
+    xo = (w - h) // 2 if w > h else 0
+    s = min(w, h) / float(IMG_SIZE)
+    x1, y1 = int(xo + bbox[0] * s), int(bbox[1] * s)
+    x2, y2 = int(xo + bbox[2] * s), int(bbox[3] * s)
+    c = COLORS[idx % len(COLORS)]
+    th = 2
+    frame[max(y1, 0) : y1 + th, max(x1, 0) : x2] = c
+    frame[y2 - th : y2, max(x1, 0) : x2] = c
+    frame[max(y1, 0) : y2, max(x1, 0) : x1 + th] = c
+    frame[max(y1, 0) : y2, x2 - th : x2] = c
+    # probability bars, top-right
+    bw, bh = 110, 10
+    for i, p in enumerate(np.asarray(probs)):
+        y = 10 + i * (bh + 4)
+        frame[y : y + bh, w - bw - 10 : w - 10] = (40, 40, 40)
+        fill = int(p * bw)
+        if fill > 0:
+            frame[y : y + bh, w - bw - 10 : w - bw - 10 + fill] = COLORS[i % len(COLORS)]
+    return frame
+
+
+# ── MJPEG server ─────────────────────────────────────────────────────
+
+
+class Stream(BaseHTTPRequestHandler):
+    frame = None
+    lock = threading.Lock()
+
+    def do_GET(self):
+        if self.path == "/":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(
+                b"<!DOCTYPE html><html><head><title>TPU CNN Live</title>"
+                b"<style>body{background:#0a0a1a;color:#fff;font-family:system-ui;"
+                b"text-align:center;padding:20px}h1{color:#0af}img{border:2px solid #0af;"
+                b"border-radius:12px;max-width:95vw}</style></head><body>"
+                b"<h1>TPU CNN &mdash; Live Detection</h1><img src='/stream'/>"
+                b"<p style='color:#666'>tpu_cnn realtime</p></body></html>"
+            )
+        elif self.path == "/stream":
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "multipart/x-mixed-replace;boundary=f"
+            )
+            self.end_headers()
+            while True:
+                try:
+                    with Stream.lock:
+                        f = Stream.frame
+                    if f is not None:
+                        jpg = encode_jpeg(f)
+                        self.wfile.write(b"--f\r\nContent-Type:image/jpeg\r\n\r\n")
+                        self.wfile.write(jpg)
+                        self.wfile.write(b"\r\n")
+                    time.sleep(0.02)
+                except Exception:
+                    break
+        else:
+            self.send_error(404)
+
+    def log_message(self, *_):
+        pass
+
+
+def encode_jpeg(frame: np.ndarray) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(frame[..., ::-1] if frame.ndim == 3 else frame).save(
+        buf, format="JPEG", quality=70
+    )
+    return buf.getvalue()
+
+
+# ── Main loop ────────────────────────────────────────────────────────
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["auto", "xla", "pallas", "cpu"], default="auto")
+    ap.add_argument("--artifacts", default="/root/reference/weights")
+    ap.add_argument("--head-prefix", default="")
+    ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--source", choices=["camera", "synthetic"], default="camera")
+    ap.add_argument("--camera", type=int, default=0)
+    ap.add_argument("--res", type=str, default="640x480")
+    ap.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
+    ap.add_argument("--no-serve", action="store_true", help="skip the MJPEG server")
+    args = ap.parse_args(argv)
+    cam_w, cam_h = (int(v) for v in args.res.split("x"))
+
+    print("=" * 60)
+    print("  REAL-TIME OBJECT DETECTION — TPU CNN")
+    print("=" * 60)
+    bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+    names = model.class_names
+    print(f"Classes: {names}")
+
+    from tpu_cnn.apps.infer import make_engine
+
+    engine = make_engine(model, args.mode)
+    mode_lbl = f"{type(engine).__name__}:{getattr(engine, 'backend', '?')}"
+    print(f"Engine: {mode_lbl}")
+    if hasattr(engine, "warmup"):
+        engine.warmup()
+
+    if args.source == "synthetic":
+        cam = SyntheticSource(cam_w, cam_h)
+    else:
+        try:
+            cam = CameraThread(args.camera, cam_w, cam_h)
+        except Exception as e:
+            print(f"camera unavailable ({e}); falling back to synthetic source")
+            cam = SyntheticSource(cam_w, cam_h)
+
+    srv = None
+    if not args.no_serve:
+        import socket
+
+        srv = HTTPServer(("0.0.0.0", args.port), Stream)
+        srv.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        print(f"Stream: http://0.0.0.0:{args.port}")
+    print("Ctrl+C to stop.\n")
+
+    ema = EmaFps()
+    n = 0
+    try:
+        while True:
+            frame = cam.read()
+            if frame is None:
+                time.sleep(0.005)
+                continue
+            small = preprocess(frame)
+
+            feat, conv_ms, read_ms = engine.run(small)
+            idx, name, conf, probs = classify_host.classify_np(
+                feat, model.fc_weight, model.fc_bias, names
+            )
+            if model.head_mode == "bins":
+                bbox = cam_host.cam_bbox_fast(feat, idx, model.fc_weight)
+            else:
+                bbox = (0, 0, IMG_SIZE - 1, IMG_SIZE - 1)
+
+            fps = ema.tick()
+            out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)
+            draw_overlay(out, idx, name, conf, probs, bbox, fps, conv_ms,
+                         read_ms, mode_lbl, names)
+            with Stream.lock:
+                Stream.frame = out
+
+            n += 1
+            if n % 20 == 0:
+                top = np.argsort(probs)[::-1][:3]
+                stat = " | ".join(f"{names[i]}:{probs[i] * 100:.0f}%" for i in top)
+                print(f"\r  Frame {n} | {fps:.1f} FPS | conv:{conv_ms:.2f}ms "
+                      f"read:{read_ms:.2f}ms | {stat}   ", end="", flush=True)
+            if args.frames and n >= args.frames:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        print(f"\n\nDone. {n} frames.")
+        cam.release()
+        if srv:
+            srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

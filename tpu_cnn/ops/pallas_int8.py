@@ -1,0 +1,231 @@
+"""Fused Pallas TPU kernels for the fixed-point conv layer.
+
+This is the TPU-native re-expression of the reference's RTL datapath
+(``rtl/core/``): line_buffer + sliding_window -> shifted tap views in VMEM;
+16x conv_core MACs -> MXU matmul (VPU tap-FMA for the single-input-channel
+first layer); accumulator BRAM -> the matmul accumulator; ReLU + shift ->
+fused epilogue. The 2x2 max_pooling_engine runs as an XLA fusion between
+kernels (bandwidth-trivial, and Mosaic lacks lane-pair reductions).
+
+Math: f32 throughout, which is *bit-exact* for this contract because every
+partial sum is an integer below 2^24 (see ``ops.quant`` module docstring).
+
+Two kernel shapes, driven by Mosaic's 2D-native layout rules (last two dims
+of every block must be (8k, 128k)-divisible; no >2D reshapes/gathers):
+
+  * layer 0 (ic=1): images as (S, S) tiles; 9 taps = static 2D slices of a
+    zero-padded (S+2, S+2) plane; conv = 9 scalar-weighted VPU FMAs per
+    output channel (weights prefetched in SMEM).
+  * deeper layers: activations as (B, C, H*W) with flat spatial in lanes;
+    taps = static lane-offset slices of the zero-extended flat row (x-edge
+    wrap masked); conv = one (oc, 9ic) x (9ic, HW) MXU matmul per image.
+
+The reference's hardware parallelism axes map as (SURVEY.md §2.1):
+  16-way output-channel cores  -> MXU output rows / VPU channel loop
+  output-channel batching      -> a single matmul M dim
+  input-channel accumulate     -> matmul K dim (9*ic)
+  layer-0 spatial tiling       -> batch-tile grid
+  layer-sequential execution   -> one pallas_call per layer
+  3-stage MAC pipeline         -> MXU systolic pipeline
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    env = os.environ.get("TPU_CNN_PALLAS_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return True
+
+
+def _maxpool_nchw(x: jax.Array) -> jax.Array:
+    b, c, h, w = x.shape
+    return x.reshape(b, c, h // 2, 2, w // 2, 2).max(axis=(3, 5))
+
+
+# ── layer 0: single input channel, VPU tap accumulation ─────────────
+
+
+def _kernel_body_l0(k_ref, shift_ref, x_ref, out_ref, *, tb, oc, size):
+    s = size
+    shift = shift_ref[0]
+    scale = jnp.exp2(-shift.astype(jnp.float32))
+    for b in range(tb):  # static unroll over the batch tile
+        x2 = x_ref[b].astype(jnp.int32).astype(jnp.float32)  # (S, S)
+        xp = jnp.pad(x2, ((1, 1), (1, 1)))  # (S+2, S+2) zero border
+        taps = [
+            jax.lax.slice(xp, (dy, dx), (dy + s, dx + s))
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        for o in range(oc):
+            acc = taps[0] * k_ref[o, 0]
+            for t in range(1, 9):
+                acc = acc + taps[t] * k_ref[o, t]
+            act = jnp.clip(jnp.floor(acc * scale), 0.0, 255.0)
+            out_ref[b, o] = act.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _conv_l0(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
+    """(B, S, S) u8, (oc, 9) f32 -> (B, oc, S, S) u8 pre-pool activations."""
+    b, s, _ = x.shape
+    oc = kmat.shape[0]
+    tb = 4
+    while b % tb:
+        tb //= 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # kmat + shift live in SMEM
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, s, s), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, oc, s, s), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        partial(_kernel_body_l0, tb=tb, oc=oc, size=s),
+        out_shape=jax.ShapeDtypeStruct((b, oc, s, s), jnp.uint8),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * oc * 9 * s * s * b,
+            bytes_accessed=b * s * s * (1 + oc),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(kmat, jnp.reshape(shift.astype(jnp.int32), (1,)), x)
+
+
+# ── deeper layers: flat-spatial lanes, MXU matmul per image ─────────
+
+
+def _kernel_body_mxu(shift_ref, x_ref, k_ref, out_ref, xs_ref, *, tb, ic, oc, size):
+    w = size
+    hw = w * w
+    shift = shift_ref[0]
+    scale = jnp.exp2(-shift.astype(jnp.float32))
+
+    # x-edge wrap masks (lane constants): tap dx=0 reads x-1 (invalid at
+    # x=0); dx=2 reads x+1 (invalid at x=W-1).
+    col = jax.lax.broadcasted_iota(jnp.int32, (ic, hw), 1) % w
+    masks = {
+        0: (col >= 1).astype(jnp.float32),
+        1: None,
+        2: (col <= w - 2).astype(jnp.float32),
+    }
+
+    for b in range(tb):  # static unroll over the batch tile
+        x2 = x_ref[b].astype(jnp.int32).astype(jnp.float32)  # (ic, hw)
+        zpad = jnp.zeros((ic, w + 1), jnp.float32)
+        xflat = jnp.concatenate([zpad, x2, zpad], axis=1)  # zero y-borders
+        # Stage the 9 shifted taps into a VMEM scratch (tap-major/ic-minor).
+        # Staging through the ref canonicalises each slice's lane-offset
+        # layout — Mosaic cannot concatenate misaligned-layout values.
+        for i, (dy, dx) in enumerate((a, c) for a in range(3) for c in range(3)):
+            off = (w + 1) + (dy - 1) * w + (dx - 1)
+            t = jax.lax.slice(xflat, (0, off), (ic, off + hw))
+            if masks[dx] is not None:
+                t = t * masks[dx]
+            xs_ref[i * ic : (i + 1) * ic, :] = t
+        acc = jnp.dot(k_ref[:], xs_ref[:], preferred_element_type=jnp.float32)
+        act = jnp.clip(jnp.floor(acc * scale), 0.0, 255.0)
+        out_ref[b] = act.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
+    """(B, ic, HW) u8, (oc, 9ic) f32 -> (B, oc, HW) u8 pre-pool activations."""
+    b, ic, hw = x.shape
+    oc = kmat.shape[0]
+    size = int(round(hw**0.5))
+    # per-image VMEM (f32): taps 9ic*hw + xs 9ic*hw + acc oc*hw
+    per_img = 4 * hw * (18 * ic + oc)
+    tb = max(1, min(8, (6 * 1024 * 1024) // per_img))
+    while b % tb:
+        tb //= 2
+    return pl.pallas_call(
+        partial(_kernel_body_mxu, tb=tb, ic=ic, oc=oc, size=size),
+        out_shape=jax.ShapeDtypeStruct((b, oc, hw), jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # shift in SMEM
+            grid=(b // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, ic, hw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tb, oc, hw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((9 * ic, hw), jnp.float32)],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * oc * 9 * ic * hw * b,
+            bytes_accessed=b * hw * (ic + oc) + 4 * kmat.size,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(shift.astype(jnp.int32), (1,)), x, kmat)
+
+
+# ── public API ───────────────────────────────────────────────────────
+
+
+def pack_kernel_matrix(kernel: np.ndarray | jax.Array) -> jax.Array:
+    """(oc, ic, 3, 3) int8 -> (oc, 9*ic) f32, tap-major / ic-minor."""
+    k = jnp.asarray(kernel, jnp.float32)
+    oc, ic = k.shape[:2]
+    return jnp.transpose(k, (0, 2, 3, 1)).reshape(oc, 9 * ic)
+
+
+def fused_conv_layer(
+    x: jax.Array,  # (B, ic, H, W) uint8
+    kmat: jax.Array,  # (oc, 9*ic) float32
+    shift: jax.Array,  # scalar int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One contract layer (conv3x3 -> >>shift -> clip in Pallas, 2x2 pool in
+    XLA). Returns (B, oc, H/2, W/2) uint8."""
+    b, ic, h, w = x.shape
+    assert h == w, "square geometry"
+    if interpret is None:
+        interpret = _interpret_default()
+    if ic == 1:
+        act = _conv_l0(x[:, 0], kmat, shift, interpret)
+    else:
+        act3 = _conv_mxu(x.reshape(b, ic, h * w), kmat, shift, interpret)
+        act = act3.reshape(b, kmat.shape[0], h, w)
+    return _maxpool_nchw(act)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def cnn_forward_pallas(
+    images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
+    kernels: Sequence[jax.Array],  # per-layer (oc, ic, 3, 3) int8
+    shifts: jax.Array,  # (n_layers,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Full forward on the Pallas path. Returns (B, oc, S'*S') uint8 — same
+    layout contract as ``ops.quant.cnn_forward``."""
+    if images.ndim == 4:
+        images = images[..., 0]
+    x = images[:, None, :, :]  # (B, 1, S, S) NCHW
+    for i, k in enumerate(kernels):
+        kmat = pack_kernel_matrix(k)
+        x = fused_conv_layer(x, kmat, shifts[i], interpret=interpret)
+    b, c, h, w = x.shape
+    return x.reshape(b, c, h * w)

@@ -125,6 +125,36 @@ def cnn_forward(
     return jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c, h * w)
 
 
+@partial(jax.jit, static_argnames=("accum_wrap", "compute_dtype", "chunk"))
+def cnn_forward_chunked(
+    images: jax.Array,  # (B, S, S) uint8, B % chunk == 0
+    kernels: Sequence[jax.Array],
+    shifts: jax.Array,
+    *,
+    chunk: int = 512,
+    accum_wrap: bool = False,
+    compute_dtype: str = "float32",
+) -> jax.Array:
+    """Large-batch forward with bounded peak memory: lax.map over sub-batches
+    so the f32 conv intermediates (the dominant HBM cost at ~1 MB/image for
+    layer 0) never exceed one chunk. Output identical to ``cnn_forward``."""
+    b = images.shape[0]
+    if b <= chunk:
+        return cnn_forward(
+            images, kernels, shifts, accum_wrap=accum_wrap, compute_dtype=compute_dtype
+        )
+    assert b % chunk == 0, (b, chunk)
+    x = images.reshape(b // chunk, chunk, *images.shape[1:])
+
+    def f(xc):
+        return cnn_forward(
+            xc, kernels, shifts, accum_wrap=accum_wrap, compute_dtype=compute_dtype
+        )
+
+    out = jax.lax.map(f, x)
+    return out.reshape(b, *out.shape[2:])
+
+
 def theoretical_accum_bound(
     kernels: Sequence[jax.Array] | Sequence["np.ndarray"],
 ) -> int:

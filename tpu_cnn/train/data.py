@@ -1,0 +1,182 @@
+"""Training data sources.
+
+The reference trains on a 6-class COCO subset (``training/train_cnn.py:46-97``).
+Three sources here, in degradation order:
+
+  * ``CocoClassification``   — same COCO single-label protocol (needs
+    pycocotools + the dataset on disk; gated).
+  * ``ImageFolderDataset``   — <root>/<class_name>/*.jpg|png layout.
+  * ``SyntheticShapes``      — procedurally generated class-distinct shapes,
+    for hardware/dataset-free training, demos and tests.
+
+All sources yield (image (128, 128) float32 in [0, 1], label int) and batch
+via ``batches()`` — plain numpy on the host; batches are device_put by the
+train loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from tpu_cnn.models.cnn import CLASS_NAMES, IMG_SIZE
+
+
+class SyntheticShapes:
+    """Six procedurally distinct grayscale classes.
+
+    Class geometry is chosen so that spatial-bin pooling genuinely
+    discriminates (ring vs bar vs cross ...), exercising the same
+    "global-pool loses the donut" property the reference calls out
+    (``software/retrain_classifier.py:189-190``).
+    """
+
+    def __init__(self, n_per_class: int = 200, seed: int = 0,
+                 img_size: int = IMG_SIZE):
+        self.img_size = img_size
+        self.rng = np.random.RandomState(seed)
+        self.samples = [
+            (cls, self.rng.randint(0, 2**31 - 1))
+            for cls in range(len(CLASS_NAMES))
+            for _ in range(n_per_class)
+        ]
+        self.rng.shuffle(self.samples)
+        self.class_names = list(CLASS_NAMES)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def render(self, cls: int, seed: int) -> np.ndarray:
+        s = self.img_size
+        r = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        cx, cy = r.uniform(0.3, 0.7, 2) * s
+        scale = r.uniform(0.15, 0.3) * s
+        img = r.normal(30, 8, (s, s)).astype(np.float32)
+        d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        if cls == 0:  # "airplane": cross / X
+            a = r.uniform(0, np.pi)
+            u = (xx - cx) * np.cos(a) + (yy - cy) * np.sin(a)
+            v = -(xx - cx) * np.sin(a) + (yy - cy) * np.cos(a)
+            img += 180 * ((np.abs(u) < scale * 0.15) & (np.abs(v) < scale)).astype(np.float32)
+            img += 180 * ((np.abs(v) < scale * 0.15) & (np.abs(u) < scale)).astype(np.float32)
+        elif cls == 1:  # "cat": two triangles over a blob
+            img += 150 * np.exp(-(d / scale) ** 2)
+            for sx in (-1, 1):
+                tx, ty = cx + sx * scale * 0.6, cy - scale
+                img += 120 * ((np.abs(xx - tx) < (yy - ty) * 0.5)
+                              & (yy > ty) & (yy < ty + scale * 0.8)).astype(np.float32)
+        elif cls == 2:  # "zebra": stripes
+            a = r.uniform(0, np.pi)
+            u = (xx - cx) * np.cos(a) + (yy - cy) * np.sin(a)
+            img += 120 * (np.sin(u / (scale * 0.15)) > 0).astype(np.float32) * (d < scale * 1.5)
+        elif cls == 3:  # "bus": filled rectangle
+            img += 170 * ((np.abs(xx - cx) < scale * 1.3)
+                          & (np.abs(yy - cy) < scale * 0.7)).astype(np.float32)
+        elif cls == 4:  # "bicycle": two circles
+            for sx in (-1, 1):
+                dd = np.sqrt((xx - (cx + sx * scale)) ** 2 + (yy - cy) ** 2)
+                img += 160 * (np.abs(dd - scale * 0.6) < scale * 0.1).astype(np.float32)
+        else:  # "donut": ring
+            img += 180 * (np.abs(d - scale) < scale * 0.3).astype(np.float32)
+        return np.clip(img, 0, 255) / 255.0
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        imgs = np.stack([self.render(c, sd) for c, sd in self.samples]).astype(np.float32)
+        labels = np.asarray([c for c, _ in self.samples], dtype=np.int32)
+        return imgs, labels
+
+
+class ImageFolderDataset:
+    """<root>/<class_name>/*.{jpg,png,bmp} single-label layout."""
+
+    def __init__(self, root: str, class_names: list[str] | None = None,
+                 img_size: int = IMG_SIZE, max_per_class: int = 0):
+        from PIL import Image  # noqa: F401 — fail early if PIL missing
+
+        self.img_size = img_size
+        self.class_names = class_names or sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.samples = []
+        for ci, name in enumerate(self.class_names):
+            files = sorted(
+                f for f in os.listdir(os.path.join(root, name))
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+            )
+            if max_per_class:
+                files = files[:max_per_class]
+            self.samples += [(os.path.join(root, name, f), ci) for f in files]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        imgs, labels = [], []
+        for path, ci in self.samples:
+            img = Image.open(path).convert("L").resize((self.img_size, self.img_size))
+            imgs.append(np.asarray(img, np.float32) / 255.0)
+            labels.append(ci)
+        return np.stack(imgs), np.asarray(labels, np.int32)
+
+
+class CocoClassification:
+    """COCO detection annotations -> single-label classification, the
+    reference's protocol (``training/train_cnn.py:58-97``). Requires
+    pycocotools and the dataset on disk."""
+
+    COCO_CATS = {  # training/train_cnn.py:47-53
+        "airplane": 5, "cat": 17, "zebra": 24,
+        "bus": 6, "bicycle": 2, "donut": 60,
+    }
+
+    def __init__(self, img_dir: str, ann_file: str, max_per_class: int = 0,
+                 img_size: int = IMG_SIZE, seed: int = 0):
+        from pycocotools.coco import COCO  # gated import
+
+        self.coco = COCO(ann_file)
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.class_names = list(self.COCO_CATS.keys())
+        rng = np.random.RandomState(seed)
+        self.samples = []
+        for ci, (_, cat_id) in enumerate(self.COCO_CATS.items()):
+            ids = self.coco.getImgIds(catIds=[cat_id])
+            rng.shuffle(ids)
+            if max_per_class:
+                ids = ids[:max_per_class]
+            self.samples += [(i, ci) for i in ids]
+        rng.shuffle(self.samples)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        imgs, labels = [], []
+        for img_id, ci in self.samples:
+            info = self.coco.loadImgs(img_id)[0]
+            img = Image.open(os.path.join(self.img_dir, info["file_name"]))
+            img = img.convert("L").resize((self.img_size, self.img_size))
+            imgs.append(np.asarray(img, np.float32) / 255.0)
+            labels.append(ci)
+        return np.stack(imgs), np.asarray(labels, np.int32)
+
+
+def batches(
+    images: np.ndarray,
+    labels: np.ndarray,
+    batch_size: int,
+    rng: np.random.RandomState,
+    drop_remainder: bool = True,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    idx = rng.permutation(len(images))
+    end = (len(images) // batch_size) * batch_size if drop_remainder else len(images)
+    for s in range(0, end, batch_size):
+        sel = idx[s : s + batch_size]
+        yield images[sel], labels[sel]

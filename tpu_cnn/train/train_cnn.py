@@ -1,0 +1,348 @@
+"""Two-phase QAT training — the ``training/train_cnn.py`` role, in JAX/optax.
+
+Phase 1 (float): train the 3-conv backbone + GAP linear head with Adam +
+cosine LR, keeping the best-validation state (reference
+``train_cnn.py:259-301``). The train step is a single pjit-able function:
+batch sharded over the mesh's ``data`` axis, conv output channels and the fc
+feature dim sharded over ``model`` (the RTL's 16-core axis lifted to chips).
+
+Phase 2 (QAT head): freeze the backbone, quantise weights with the global
+symmetric scale, extract bit-accurate fixed-point features through the SAME
+contract implementation the inference engine uses (``ops.quant`` with the
+24-bit wrap, reference ``train_cnn.py:101-116,303-334``), then fit the linear
+head on those features.
+
+Export: weights.bin + fc_weight/bias.npy + classes.json + test_image_*.bin —
+byte-compatible with the reference bundle (``train_cnn.py:336-354``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_cnn.models.cnn import (
+    CLASS_NAMES,
+    DEFAULT_SHIFTS,
+    LAYER_CONFIGS,
+    NUM_CLASSES,
+    QUANT_MAX,
+)
+from tpu_cnn.ops import quant
+from tpu_cnn.utils import artifacts as art
+from tpu_cnn.utils import weights as weights_codec
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    layer_configs: tuple = LAYER_CONFIGS
+    num_classes: int = NUM_CLASSES
+    shifts: tuple = DEFAULT_SHIFTS
+    epochs: int = 30
+    batch_size: int = 64
+    lr: float = 1e-3
+    head_epochs: int = 600
+    head_lr: float = 0.01
+    seed: int = 0
+
+
+def init_params(cfg: TrainConfig, key: jax.Array) -> Params:
+    params: Params = {}
+    keys = jax.random.split(key, len(cfg.layer_configs) + 1)
+    for i, (ic, oc, _) in enumerate(cfg.layer_configs):
+        fan_in = ic * 9
+        params[f"conv{i}"] = (
+            jax.random.normal(keys[i], (oc, ic, 3, 3), jnp.float32)
+            * jnp.sqrt(2.0 / fan_in)
+        )
+    c_last = cfg.layer_configs[-1][1]
+    params["fc_w"] = (
+        jax.random.normal(keys[-1], (cfg.num_classes, c_last), jnp.float32)
+        * jnp.sqrt(1.0 / c_last)
+    )
+    params["fc_b"] = jnp.zeros((cfg.num_classes,), jnp.float32)
+    return params
+
+
+def param_shardings(cfg: TrainConfig, mesh: Mesh) -> Params:
+    """Model-axis shardings: conv oc and fc feature dim over 'model' — the
+    tensor-parallel layout for the train step."""
+    sh: Params = {}
+    for i in range(len(cfg.layer_configs)):
+        sh[f"conv{i}"] = NamedSharding(mesh, P("model", None, None, None))
+    sh["fc_w"] = NamedSharding(mesh, P(None, "model"))
+    sh["fc_b"] = NamedSharding(mesh, P())
+    return sh
+
+
+def float_forward(params: Params, images: jax.Array, n_layers: int) -> jax.Array:
+    """Float phase-1 network: conv3x3(SAME) -> relu -> maxpool, x N -> GAP ->
+    linear. images: (B, S, S) float32 in [0, 1]."""
+    x = images[..., None]
+    for i in range(n_layers):
+        k = jnp.transpose(params[f"conv{i}"], (2, 3, 1, 0))  # HWIO
+        x = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        x = jax.nn.relu(x)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+    feats = x.mean(axis=(1, 2))  # GAP (B, C)
+    return feats @ params["fc_w"].T + params["fc_b"]
+
+
+def loss_fn(params: Params, images, labels, n_layers: int):
+    logits = float_forward(params, images, n_layers)
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    acc = (logits.argmax(-1) == labels).mean()
+    return loss, acc
+
+
+def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None):
+    """Returns a jitted ``step(params, opt_state, images, labels) ->
+    (params, opt_state, loss, acc)``. With a mesh, inputs/params carry
+    data/model shardings and XLA inserts the gradient psums over ICI."""
+    n_layers = len(cfg.layer_configs)
+
+    def step(params, opt_state, images, labels):
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P("data"))
+            )
+            labels = jax.lax.with_sharding_constraint(
+                labels, NamedSharding(mesh, P("data"))
+            )
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, labels, n_layers
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    if mesh is None:
+        return jax.jit(step)
+    shardings = param_shardings(cfg, mesh)
+    return jax.jit(
+        step,
+        in_shardings=(shardings, None, None, None),
+        out_shardings=(shardings, None, None, None),
+    )
+
+
+def quantized_kernels(params: Params, cfg: TrainConfig):
+    """Global symmetric scale over all conv layers -> int8 kernels + scale."""
+    floats = [np.asarray(params[f"conv{i}"]) for i in range(len(cfg.layer_configs))]
+    return weights_codec.quantize_global(floats, QUANT_MAX)
+
+
+def extract_qat_features(params: Params, images: np.ndarray, cfg: TrainConfig,
+                         batch_size: int = 256) -> np.ndarray:
+    """Bit-accurate fixed-point GAP features (B, C_last) float32 in [0, 255]
+    — the reference's phase-2 feature extractor (``train_cnn.py:154-170``),
+    running through the production contract with the 24-bit wrap."""
+    q_kernels, _ = quantized_kernels(params, cfg)
+    kj = [jnp.asarray(k) for k in q_kernels]
+    shifts = jnp.asarray(cfg.shifts, jnp.int32)
+
+    @jax.jit
+    def f(x_u8):
+        feats = quant.cnn_forward(x_u8, kj, shifts, accum_wrap=True)
+        return feats.astype(jnp.float32).mean(axis=2)  # GAP over spatial
+
+    out = []
+    for s in range(0, len(images), batch_size):
+        chunk = images[s : s + batch_size]
+        x_u8 = jnp.asarray(np.round(chunk * 255.0).astype(np.uint8))
+        out.append(np.asarray(f(x_u8)))
+    return np.concatenate(out) if out else np.zeros((0, cfg.layer_configs[-1][1]))
+
+
+def fit_head(features: np.ndarray, labels: np.ndarray, cfg: TrainConfig,
+             val_frac: float = 0.15, verbose: bool = True):
+    """Adam-fit the linear head on frozen features (``train_cnn.py:320-334``)."""
+    n = len(features)
+    rng = np.random.RandomState(cfg.seed)
+    idx = rng.permutation(n)
+    n_val = max(1, int(n * val_frac))
+    vi, ti = idx[:n_val], idx[n_val:]
+    X, y = jnp.asarray(features[ti]), jnp.asarray(labels[ti].astype(np.int32))
+    Xv, yv = jnp.asarray(features[vi]), jnp.asarray(labels[vi].astype(np.int32))
+
+    d = features.shape[1]
+    w = jnp.zeros((cfg.num_classes, d), jnp.float32)
+    b = jnp.zeros((cfg.num_classes,), jnp.float32)
+    opt = optax.adam(cfg.head_lr)
+    state = opt.init((w, b))
+
+    @jax.jit
+    def train_scan(w, b, state):
+        def step(carry, _):
+            w, b, state = carry
+
+            def loss(p):
+                logits = X @ p[0].T + p[1]
+                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+            g = jax.grad(loss)((w, b))
+            updates, state = opt.update(g, state, (w, b))
+            (w, b) = optax.apply_updates((w, b), updates)
+            return (w, b, state), None
+
+        (w, b, state), _ = jax.lax.scan(step, (w, b, state), None,
+                                        length=cfg.head_epochs)
+        return w, b
+
+    w, b = train_scan(w, b, state)
+    if verbose:
+        va = float(((Xv @ w.T + b).argmax(-1) == yv).mean())
+        ta = float(((X @ w.T + b).argmax(-1) == y).mean())
+        print(f"  head: train {ta * 100:.1f}%  val {va * 100:.1f}%")
+    return np.asarray(w), np.asarray(b)
+
+
+def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
+                       num_per_class: int = 10, num_classes: int = NUM_CLASSES):
+    """Raw 128x128 .bin exports named test_image_N_classC.bin
+    (``train_cnn.py:199-216``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts: dict[int, int] = {}
+    exported = 0
+    for img, label in zip(images, labels):
+        c = int(label)
+        if counts.get(c, 0) >= num_per_class:
+            continue
+        counts[c] = counts.get(c, 0) + 1
+        raw = np.round(img * 255.0).astype(np.uint8)
+        raw.tofile(os.path.join(out_dir, f"test_image_{exported}_class{c}.bin"))
+        exported += 1
+        if all(counts.get(j, 0) >= num_per_class for j in range(num_classes)):
+            break
+    return exported
+
+
+def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
+          class_names=None, mesh: Mesh | None = None, verbose: bool = True):
+    """Full two-phase pipeline. ``train_data``/``val_data`` are
+    (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
+    ArtifactBundle."""
+    from tpu_cnn.train.data import batches
+
+    class_names = list(class_names or CLASS_NAMES[: cfg.num_classes])
+    imgs_t, labels_t = train_data
+    imgs_v, labels_v = val_data
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = init_params(cfg, key)
+    optimizer = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(
+            optax.cosine_decay_schedule(1.0, max(cfg.epochs, 1))
+        ),
+        optax.scale(-cfg.lr),
+    )
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer, mesh)
+    n_layers = len(cfg.layer_configs)
+
+    @jax.jit
+    def eval_acc(params, images, labels):
+        logits = float_forward(params, images, n_layers)
+        return (logits.argmax(-1) == labels).mean()
+
+    rng = np.random.RandomState(cfg.seed)
+    best_acc, best_params = -1.0, params
+    if verbose:
+        print(f"Phase 1: float training ({cfg.epochs} epochs, "
+              f"{len(imgs_t)} train / {len(imgs_v)} val)")
+    for epoch in range(1, cfg.epochs + 1):
+        losses, accs = [], []
+        for bi, bl in batches(imgs_t, labels_t, cfg.batch_size, rng):
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(bi), jnp.asarray(bl.astype(np.int32))
+            )
+            losses.append(float(loss))
+            accs.append(float(acc))
+        vacc = float(eval_acc(params, jnp.asarray(imgs_v),
+                              jnp.asarray(labels_v.astype(np.int32))))
+        if vacc > best_acc:
+            best_acc, best_params = vacc, jax.tree.map(lambda x: x, params)
+        if verbose:
+            print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
+                  f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
+    params = best_params
+    if verbose:
+        print(f"  best val acc: {best_acc * 100:.1f}%")
+        print("Phase 2: head on bit-accurate quantized features")
+
+    feats_t = extract_qat_features(params, imgs_t, cfg)
+    fc_w, fc_b = fit_head(
+        np.concatenate([feats_t]), np.concatenate([labels_t]), cfg, verbose=verbose
+    )
+
+    q_kernels, scale = quantized_kernels(params, cfg)
+    bundle = art.ArtifactBundle(q_kernels, fc_w, fc_b, class_names)
+    art.save_bundle(out_dir, bundle)
+    n_exp = export_test_images(imgs_v, labels_v, out_dir,
+                               num_per_class=10, num_classes=cfg.num_classes)
+    if verbose:
+        nbytes = sum(k.size for k in q_kernels)
+        print(f"Exported: weights.bin ({nbytes} B, scale={scale:.2f}), "
+              f"fc {fc_w.shape}, {n_exp} test images -> {out_dir}/")
+    return bundle
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train the FPGA-contract CNN (JAX)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the procedural shapes dataset")
+    p.add_argument("--image-folder", default=None,
+                   help="<root>/<class>/* image-folder dataset")
+    p.add_argument("--train-images", default=None, help="COCO train image dir")
+    p.add_argument("--train-ann", default=None, help="COCO train annotations")
+    p.add_argument("--val-images", default=None)
+    p.add_argument("--val-ann", default=None)
+    p.add_argument("--max-per-class", type=int, default=5000)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--output-dir", default="artifacts/generated")
+    args = p.parse_args(argv)
+
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size, lr=args.lr)
+    from tpu_cnn.train import data as D
+
+    if args.image_folder:
+        ds = D.ImageFolderDataset(args.image_folder, max_per_class=args.max_per_class)
+        imgs, labels = ds.arrays()
+        names = ds.class_names
+    elif args.train_images and args.train_ann:
+        ds = D.CocoClassification(args.train_images, args.train_ann,
+                                  max_per_class=args.max_per_class)
+        imgs, labels = ds.arrays()
+        names = ds.class_names
+    else:
+        if not args.synthetic:
+            print("No dataset given — using --synthetic shapes.")
+        ds = D.SyntheticShapes(n_per_class=max(50, args.max_per_class // 25))
+        imgs, labels = ds.arrays()
+        names = ds.class_names
+
+    n_val = max(len(imgs) // 6, cfg.num_classes)
+    train(cfg, (imgs[n_val:], labels[n_val:]), (imgs[:n_val], labels[:n_val]),
+          args.output_dir, class_names=names)
+
+
+if __name__ == "__main__":
+    main()
