@@ -1,0 +1,148 @@
+"""App-surface tests: the CLI pipelines end-to-end on synthetic data —
+infer (single + batch accuracy scoring), dump->retrain loop, realtime
+synthetic smoke run, benchmark smoke."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpu_cnn.models.cnn import CLASS_NAMES, DEFAULT_SHIFTS
+from tpu_cnn.train import data as D
+from tpu_cnn.utils import artifacts as art
+from tpu_cnn.utils import weights as wc
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory, stock_kernels):
+    d = tmp_path_factory.mktemp("bundle")
+    rs = np.random.RandomState(3)
+    bundle = art.ArtifactBundle(
+        kernels=stock_kernels,
+        fc_weight=rs.randn(6, 1024).astype(np.float32) * 0.05,
+        fc_bias=np.zeros(6, np.float32),
+        class_names=list(CLASS_NAMES),
+    )
+    art.save_bundle(d, bundle)
+    # a few labelled test images from the synthetic set
+    ds = D.SyntheticShapes(n_per_class=3)
+    imgs, labels = ds.arrays()
+    for i, (img, lab) in enumerate(zip(imgs, labels)):
+        raw = np.round(img * 255).astype(np.uint8)
+        raw.tofile(os.path.join(d, f"test_image_{i}_class{int(lab)}.bin"))
+    return str(d)
+
+
+def test_infer_cli_single(artifact_dir, capsys):
+    from tpu_cnn.apps import infer
+
+    img = sorted(f for f in os.listdir(artifact_dir) if f.endswith(".bin"))[0]
+    infer.main([
+        "--artifacts", artifact_dir,
+        "--image", os.path.join(artifact_dir, img),
+        "--mode", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "Prediction:" in out and "BBox:" in out
+    # annotated JPEG written next to the input (reference behaviour)
+    stem = os.path.splitext(img)[0]
+    assert os.path.exists(os.path.join(artifact_dir, f"{stem}_result.jpg"))
+
+
+def test_infer_cli_batch_scoring(artifact_dir, capsys):
+    from tpu_cnn.apps import infer
+
+    infer.main(["--artifacts", artifact_dir, "--mode", "cpu", "--no-save",
+                "--image-dir", artifact_dir])
+    out = capsys.readouterr().out
+    assert "Accuracy:" in out
+
+
+def test_dump_then_retrain_loop(artifact_dir, tmp_path, capsys):
+    """The dump->retrain loop must produce a (6, 1024) head that beats the
+    random head on the dumped features (reference loop SURVEY.md §3.5)."""
+    from tpu_cnn.apps import dump_features, retrain_classifier
+
+    npz = str(tmp_path / "feats.npz")
+    dump_features.main([
+        "--artifacts", artifact_dir, "--image-dir", artifact_dir,
+        "--output", npz, "--mode", "cpu",
+    ])
+    features, labels, names, shifts = art.load_feature_dump(npz)
+    assert features.shape[1:] == (64, 256) and features.dtype == np.uint8
+    assert list(shifts) == list(DEFAULT_SHIFTS)
+    assert len(names) == len(labels) == len(features)
+
+    out_dir = str(tmp_path / "retrained")
+    retrain_classifier.main([
+        "--features", npz, "--output-dir", out_dir,
+        "--epochs", "300",
+        "--classes", os.path.join(artifact_dir, "classes.json"),
+    ])
+    w = np.load(os.path.join(out_dir, "fc_weight.npy"))
+    b = np.load(os.path.join(out_dir, "fc_bias.npy"))
+    assert w.shape == (6, 1024) and b.shape == (6,)
+
+    from tpu_cnn.head.classify import classify_np
+
+    idx, conf, probs = classify_np(features, w, b)
+    acc = (idx == labels).mean()
+    assert acc > 0.5, f"retrained head accuracy {acc}"
+
+
+def test_retrain_prefix(artifact_dir, tmp_path):
+    """--prefix arm_ names the outputs arm_fc_*.npy (engine-specific heads)."""
+    from tpu_cnn.apps import dump_features, retrain_classifier
+
+    npz = str(tmp_path / "feats.npz")
+    dump_features.main(["--artifacts", artifact_dir, "--image-dir", artifact_dir,
+                        "--output", npz, "--mode", "cpu"])
+    out_dir = str(tmp_path / "r2")
+    retrain_classifier.main(["--features", npz, "--output-dir", out_dir,
+                             "--epochs", "50", "--prefix", "arm_",
+                             "--classes", os.path.join(artifact_dir, "classes.json")])
+    assert os.path.exists(os.path.join(out_dir, "arm_fc_weight.npy"))
+    bundle = art.load_bundle(artifact_dir)  # sanity: default still loads
+
+
+def test_realtime_synthetic_smoke(artifact_dir, capsys):
+    from tpu_cnn.apps import realtime
+
+    realtime.main([
+        "--artifacts", artifact_dir, "--mode", "cpu",
+        "--source", "synthetic", "--frames", "25", "--no-serve",
+    ])
+    out = capsys.readouterr().out
+    assert "Done. 25 frames." in out
+    assert "FPS" in out  # periodic status line printed at frame 20
+
+
+def test_realtime_preprocess():
+    from tpu_cnn.apps.realtime import preprocess
+
+    frame = np.random.RandomState(0).randint(0, 256, (480, 640, 3)).astype(np.uint8)
+    small = preprocess(frame)
+    assert small.shape == (128, 128) and small.dtype == np.uint8
+
+
+def test_benchmark_smoke(artifact_dir, capsys):
+    from tpu_cnn.apps import benchmark
+
+    results = benchmark.main([
+        "--artifacts", artifact_dir, "--batch", "4", "--runs", "1",
+        "--modes", "cpu",
+    ])
+    assert "cpu" in results and results["cpu"] > 0
+    out = capsys.readouterr().out
+    assert "M MACs" in out
+
+
+def test_bench_script_importable():
+    """bench.py must exist, be importable, and target the required schema."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert hasattr(mod, "main") and mod.BASELINE_FPS == 22.0
