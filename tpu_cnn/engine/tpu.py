@@ -62,10 +62,12 @@ class TPUEngine:
         backend: str = "auto",
         compute_dtype: str = "float32",
         max_batch: int = 4096,
+        timeout_s: float | None = 60.0,
     ):
         self.model = model
         self.compute_dtype = compute_dtype
         self.max_batch = max_batch
+        self.timeout_s = timeout_s
         self._kernels_dev = [jnp.asarray(k) for k in model.kernels]
         self._fc_w_dev = jnp.asarray(model.fc_weight)
         self._fc_b_dev = jnp.asarray(model.fc_bias)
@@ -130,11 +132,23 @@ class TPUEngine:
             images = np.concatenate([images, pad], axis=0)
         return jnp.asarray(images), b
 
+    def _wait(self, values):
+        """Bounded wait — the reference's wait_done timeout semantics
+        (``software/pynq_inference.py:236-251``)."""
+        if self.timeout_s is None:
+            return jax.block_until_ready(values)
+        from tpu_cnn.utils.failguard import block_with_timeout
+
+        return block_with_timeout(
+            values, self.timeout_s,
+            diagnostics=lambda: f"backend={self.backend}",
+        )
+
     # ── public API ────────────────────────────────────────────────────
 
     def warmup(self, batch: int = 1) -> None:
         img = np.zeros((batch, self.model.config.img_size, self.model.config.img_size), np.uint8)
-        jax.block_until_ready(self._detect(jnp.asarray(img), self._shifts_dev))
+        self._wait(self._detect(jnp.asarray(img), self._shifts_dev))
 
     def set_shifts(self, *shifts: int) -> None:
         """Runtime shift update — register semantics, no recompilation
@@ -146,7 +160,7 @@ class TPUEngine:
         """(B, 128, 128) uint8 -> (B, 64, 256) uint8 features (dump layout)."""
         images = np.asarray(images, np.uint8)
         dev, b = self._pad_batch(images)
-        feats = self._forward(dev, self._shifts_dev)
+        feats = self._wait(self._forward(dev, self._shifts_dev))
         return np.asarray(jax.device_get(feats))[:b]
 
     def detect_batch(self, images: np.ndarray) -> DetectResult:
@@ -154,6 +168,7 @@ class TPUEngine:
         images = np.asarray(images, np.uint8)
         dev, b = self._pad_batch(images)
         _, pred, conf, probs, bbox = self._detect(dev, self._shifts_dev)
+        self._wait((pred, conf, probs, bbox))
         pred, conf, probs, bbox = jax.device_get((pred, conf, probs, bbox))
         return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
 
@@ -169,7 +184,7 @@ class TPUEngine:
         )
         t0 = time.perf_counter()
         feats = self._forward(jnp.asarray(img), self._shifts_dev)
-        feats.block_until_ready()
+        self._wait(feats)
         conv_ms = (time.perf_counter() - t0) * 1e3
         t1 = time.perf_counter()
         host = np.asarray(jax.device_get(feats))[0]

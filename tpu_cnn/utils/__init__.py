@@ -1,3 +1,3 @@
-from tpu_cnn.utils import weights, artifacts, profiling
+from tpu_cnn.utils import weights, artifacts, profiling, metrics, failguard
 
-__all__ = ["weights", "artifacts", "profiling"]
+__all__ = ["weights", "artifacts", "profiling", "metrics", "failguard"]

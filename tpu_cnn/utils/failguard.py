@@ -1,0 +1,90 @@
+"""Failure detection — the reference's timeout/watchdog machinery, TPU-side.
+
+The reference polls a done bit with a timeout and prints stuck-layer
+diagnostics (``software/pynq_inference.py:236-251``), busy-waits with a
+timeout in C (``software/fast_readout.c:77-92``), and resets a stalled camera
+(``software/realtime_detect.py:205-231``; that one lives in
+``apps.realtime.CameraThread``). On TPU the analogue is a bounded wait on an
+async computation: if the device (or the tunnel to it) wedges, raise with
+diagnostics instead of hanging the service forever.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable
+
+
+class DeviceTimeout(TimeoutError):
+    """A device computation failed to become ready within the deadline."""
+
+
+def block_with_timeout(
+    values: Any,
+    timeout_s: float,
+    diagnostics: Callable[[], str] | None = None,
+) -> Any:
+    """``jax.block_until_ready`` with a deadline.
+
+    Waits on a daemon thread; on expiry raises :class:`DeviceTimeout` carrying
+    platform/device diagnostics (the stuck-layer-report analogue). The
+    orphaned wait thread stays parked on the device stream — by then the
+    service is tearing down or retrying anyway, matching the reference's
+    wait_done contract.
+    """
+    import jax
+
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def wait():
+        try:
+            jax.block_until_ready(values)
+        except BaseException as e:  # propagate device errors
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=wait, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        try:
+            dev = jax.devices()[0]
+            info = f"platform={dev.platform} device={dev}"
+        except Exception:
+            info = "device info unavailable"
+        extra = f" | {diagnostics()}" if diagnostics else ""
+        raise DeviceTimeout(
+            f"device computation not ready after {timeout_s}s ({info}{extra})"
+        )
+    if err:
+        raise err[0]
+    return values
+
+
+class Watchdog:
+    """Progress watchdog: call :meth:`kick` on progress; a monitor callback
+    fires if no progress lands within ``stall_s`` (camera-reset analogue)."""
+
+    def __init__(self, stall_s: float, on_stall: Callable[[], None]):
+        self.stall_s = stall_s
+        self.on_stall = on_stall
+        self._timer: threading.Timer | None = None
+        self._lock = threading.Lock()
+        self._stopped = False
+
+    def kick(self) -> None:
+        with self._lock:
+            if self._stopped:
+                return
+            if self._timer is not None:
+                self._timer.cancel()
+            self._timer = threading.Timer(self.stall_s, self.on_stall)
+            self._timer.daemon = True
+            self._timer.start()
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stopped = True
+            if self._timer is not None:
+                self._timer.cancel()
