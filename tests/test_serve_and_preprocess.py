@@ -1,0 +1,150 @@
+"""Serving layer + device preprocessing + checkpoint/resume tests."""
+
+import json
+import os
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from tpu_cnn.models.cnn import CLASS_NAMES
+from tpu_cnn.utils import artifacts as art
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory, stock_kernels):
+    d = tmp_path_factory.mktemp("srv_bundle")
+    rs = np.random.RandomState(3)
+    art.save_bundle(d, art.ArtifactBundle(
+        kernels=stock_kernels,
+        fc_weight=rs.randn(6, 1024).astype(np.float32) * 0.05,
+        fc_bias=np.zeros(6, np.float32),
+        class_names=list(CLASS_NAMES),
+    ))
+    return str(d)
+
+
+def test_device_preprocess_matches_host():
+    from tpu_cnn.apps.realtime import preprocess as host_pre
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    rs = np.random.RandomState(0)
+    frames = rs.randint(0, 256, size=(3, 512, 640, 3)).astype(np.uint8)
+    dev = np.asarray(preprocess_frames(frames))
+    assert dev.shape == (3, 128, 128) and dev.dtype == np.uint8
+    # host path uses float means; integer area mean must agree within 1 LSB
+    for b in range(3):
+        host = host_pre(frames[b])
+        assert np.abs(dev[b].astype(int) - host.astype(int)).max() <= 1
+
+
+def test_device_preprocess_grayscale_passthrough():
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    x = np.random.RandomState(1).randint(0, 256, (2, 128, 128)).astype(np.uint8)
+    out = np.asarray(preprocess_frames(x))
+    np.testing.assert_array_equal(out, x)
+
+
+def test_dynamic_batcher_coalesces(artifact_dir):
+    from tpu_cnn.apps.serve import build_service
+
+    batcher, backend = build_service(artifact_dir, mode="cpu",
+                                     max_batch=8, max_wait_ms=30.0)
+    rs = np.random.RandomState(0)
+    imgs = [rs.randint(0, 256, (128, 128)).astype(np.uint8) for _ in range(12)]
+    results = [None] * 12
+
+    def call(i):
+        results[i] = batcher.submit(imgs[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None and "pred" in r for r in results)
+    assert batcher.stats["requests"] == 12
+    assert batcher.stats["batches"] < 12, "requests must coalesce into batches"
+    batcher.stop()
+
+
+def test_http_service_end_to_end(artifact_dir):
+    from tpu_cnn.apps.serve import build_service, make_handler
+
+    batcher, backend = build_service(artifact_dir, mode="cpu",
+                                     max_batch=4, max_wait_ms=5.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, backend))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = np.random.RandomState(0).randint(0, 256, 128 * 128).astype(np.uint8).tobytes()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/detect",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["name"] in CLASS_NAMES and len(out["bbox"]) == 4
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            assert json.loads(r.read())["requests"] >= 1
+    finally:
+        srv.shutdown()
+        batcher.stop()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import optax
+
+    from tpu_cnn.train import checkpoint as ckpt
+    from tpu_cnn.train.train_cnn import TrainConfig, init_params
+
+    cfg = TrainConfig(layer_configs=((1, 16, 16),))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(path, params, state, epoch=7, best_acc=0.5,
+                         best_params=params)
+    p2, s2, epoch, best, bp = ckpt.load_checkpoint(path, params, state)
+    assert epoch == 7 and best == 0.5
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume(tmp_path):
+    """Interrupted training must resume from the checkpoint epoch."""
+    from tpu_cnn.train import data as D
+    from tpu_cnn.train.train_cnn import TrainConfig, train
+
+    ds = D.SyntheticShapes(n_per_class=8, img_size=32)
+    imgs, labels = ds.arrays()
+    cfg = TrainConfig(layer_configs=((1, 16, 16), (16, 32, 8)),
+                      epochs=2, batch_size=16, head_epochs=10)
+    ck = str(tmp_path / "ck.npz")
+    out = str(tmp_path / "out")
+    train(cfg, (imgs[12:], labels[12:]), (imgs[:12], labels[:12]), out,
+          verbose=False, checkpoint_path=ck)
+    assert os.path.exists(ck)
+    # resume with more epochs: starts at 3, not 1
+    cfg2 = TrainConfig(layer_configs=cfg.layer_configs, epochs=3,
+                       batch_size=16, head_epochs=10)
+    train(cfg2, (imgs[12:], labels[12:]), (imgs[:12], labels[:12]), out,
+          verbose=False, checkpoint_path=ck, resume=True)
+    from tpu_cnn.train.checkpoint import load_checkpoint
+    import jax
+    import optax
+
+    from tpu_cnn.train.train_cnn import init_params
+
+    params = init_params(cfg2, jax.random.PRNGKey(0))
+    state = optax.adam(1e-3).init(params)
+    # meta epoch advanced to 3
+    import numpy as _np
+
+    data = _np.load(ck)
+    meta = json.loads(bytes(data["__meta"]).decode())
+    assert meta["epoch"] == 3

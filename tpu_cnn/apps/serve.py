@@ -1,0 +1,246 @@
+"""Batch inference service — dynamic-batching HTTP server.
+
+The reference's only service surface is the MJPEG stream
+(``software/realtime_detect.py:457-484``). A production TPU deployment serves
+detection as an RPC: this server accepts single-image requests, coalesces
+them into device batches (dynamic batching with a max-wait deadline), runs
+the fused detect pipeline, and fans results back out. Throughput rides the
+same async device pipeline as bench.py; latency is bounded by
+``--max-wait-ms``.
+
+Endpoints:
+  POST /detect        body: 16384 raw bytes (128x128 uint8) or any
+                      PIL-decodable image; returns JSON
+                      {pred, name, conf, probs, bbox}
+  GET  /healthz       liveness + engine backend
+  GET  /stats         request/batch counters and latency EMA
+
+Usage:
+  python -m tpu_cnn.apps.serve --port 8000 --mode auto
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS, IMG_SIZE, FpgaCNN
+from tpu_cnn.utils import artifacts as art
+
+
+class _Pending:
+    __slots__ = ("image", "event", "result")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result: dict | None = None
+
+
+class DynamicBatcher:
+    """Coalesces single requests into device batches.
+
+    A worker thread drains the queue; a batch launches when ``max_batch``
+    requests are waiting or the oldest has waited ``max_wait_ms``.
+    """
+
+    def __init__(self, engine, class_names, max_batch: int = 256,
+                 max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.class_names = class_names
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.q: queue.Queue[_Pending] = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batch_ms_ema": 0.0,
+                      "mean_batch_size": 0.0}
+        self._lock = threading.Lock()
+        self.running = True
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, timeout_s: float = 30.0) -> dict:
+        p = _Pending(image)
+        self.q.put(p)
+        if not p.event.wait(timeout_s):
+            raise TimeoutError("inference timed out")
+        assert p.result is not None
+        return p.result
+
+    def _collect(self) -> list[_Pending]:
+        try:
+            first = self.q.get(timeout=0.25)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _worker(self):
+        while self.running:
+            batch = self._collect()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            images = np.stack([p.image for p in batch])
+            try:
+                res = self.engine.detect_batch(images)
+                for i, p in enumerate(batch):
+                    idx = int(res.pred[i])
+                    p.result = {
+                        "pred": idx,
+                        "name": self.class_names[idx],
+                        "conf": float(res.conf[i]),
+                        "probs": [float(v) for v in res.probs[i]],
+                        "bbox": [int(v) for v in res.bbox[i]],
+                    }
+            except Exception as e:  # fan the failure out, keep serving
+                for p in batch:
+                    p.result = {"error": f"{type(e).__name__}: {e}"}
+            for p in batch:
+                p.event.set()
+            dt = (time.perf_counter() - t0) * 1e3
+            with self._lock:
+                s = self.stats
+                s["requests"] += len(batch)
+                s["batches"] += 1
+                s["batch_ms_ema"] = 0.8 * s["batch_ms_ema"] + 0.2 * dt
+                s["mean_batch_size"] = s["requests"] / s["batches"]
+
+    def stop(self):
+        self.running = False
+
+
+def decode_image(body: bytes) -> np.ndarray:
+    if len(body) == IMG_SIZE * IMG_SIZE:
+        return np.frombuffer(body, np.uint8).reshape(IMG_SIZE, IMG_SIZE).copy()
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("L").resize((IMG_SIZE, IMG_SIZE))
+    return np.asarray(img, np.uint8)
+
+
+def make_handler(batcher: DynamicBatcher, backend: str):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "backend": backend})
+            elif self.path == "/stats":
+                self._json(200, dict(batcher.stats))
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._json(404, {"error": "not found"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                image = decode_image(body)
+                result = batcher.submit(image)
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            code = 500 if "error" in result else 200
+            self._json(code, result)
+
+        def log_message(self, *_):
+            pass
+
+    return Handler
+
+
+def build_service(artifacts_dir: str, mode: str = "auto",
+                  max_batch: int = 256, max_wait_ms: float = 5.0):
+    bundle = art.load_bundle(artifacts_dir)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+    from tpu_cnn.apps.infer import make_engine
+
+    engine = make_engine(model, mode)
+    if hasattr(engine, "warmup"):
+        engine.warmup(batch=1)
+    if not hasattr(engine, "detect_batch"):
+        # CPU oracle engine: adapt via host head
+        engine = _HostDetectAdapter(engine, model)
+    batcher = DynamicBatcher(engine, model.class_names,
+                             max_batch=max_batch, max_wait_ms=max_wait_ms)
+    return batcher, getattr(engine, "backend", mode)
+
+
+class _HostDetectAdapter:
+    """Gives the CPU oracle engine the detect_batch interface."""
+
+    def __init__(self, engine, model):
+        self.engine = engine
+        self.model = model
+        self.backend = f"host:{engine.backend}"
+
+    def detect_batch(self, images):
+        from tpu_cnn.engine.tpu import DetectResult
+        from tpu_cnn.head import cam as cam_host
+        from tpu_cnn.head.classify import classify_np
+
+        feats = self.engine.run_batch(images)
+        idx, conf, probs = classify_np(feats, self.model.fc_weight, self.model.fc_bias)
+        boxes = []
+        for i in range(len(images)):
+            if self.model.head_mode == "bins":
+                boxes.append(cam_host.cam_bbox_fast(feats[i], int(idx[i]),
+                                                    self.model.fc_weight))
+            else:
+                boxes.append((0, 0, 127, 127))
+        return DetectResult(idx.astype(np.int32), conf.astype(np.float32),
+                            probs.astype(np.float32),
+                            np.asarray(boxes, np.int32))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU CNN inference service")
+    p.add_argument("--artifacts", default="/root/reference/weights")
+    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "cpu"])
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    batcher, backend = build_service(args.artifacts, args.mode,
+                                     args.max_batch, args.max_wait_ms)
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port),
+                              make_handler(batcher, backend))
+    print(f"serving on :{args.port} (backend {backend}, "
+          f"max_batch {args.max_batch}, max_wait {args.max_wait_ms}ms)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.stop()
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -233,7 +233,8 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
 
 
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
-          class_names=None, mesh: Mesh | None = None, verbose: bool = True):
+          class_names=None, mesh: Mesh | None = None, verbose: bool = True,
+          checkpoint_path: str | None = None, resume: bool = False):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -263,10 +264,21 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
 
     rng = np.random.RandomState(cfg.seed)
     best_acc, best_params = -1.0, params
+    start_epoch = 1
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from tpu_cnn.train import checkpoint as ckpt
+
+        params, opt_state, done_epoch, best_acc, best_params = ckpt.load_checkpoint(
+            checkpoint_path, params, opt_state
+        )
+        start_epoch = done_epoch + 1
+        if verbose:
+            print(f"Resumed from {checkpoint_path} at epoch {done_epoch} "
+                  f"(best val {best_acc * 100:.1f}%)")
     if verbose:
         print(f"Phase 1: float training ({cfg.epochs} epochs, "
               f"{len(imgs_t)} train / {len(imgs_v)} val)")
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         losses, accs = [], []
         for bi, bl in batches(imgs_t, labels_t, cfg.batch_size, rng):
             params, opt_state, loss, acc = step(
@@ -278,6 +290,11 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
                               jnp.asarray(labels_v.astype(np.int32))))
         if vacc > best_acc:
             best_acc, best_params = vacc, jax.tree.map(lambda x: x, params)
+        if checkpoint_path:
+            from tpu_cnn.train import checkpoint as ckpt
+
+            ckpt.save_checkpoint(checkpoint_path, params, opt_state, epoch,
+                                 best_acc, best_params)
         if verbose:
             print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
                   f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
@@ -318,6 +335,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--output-dir", default="artifacts/generated")
+    p.add_argument("--checkpoint", default=None,
+                   help="path for per-epoch .npz checkpoints")
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size, lr=args.lr)
@@ -341,7 +361,8 @@ def main(argv=None):
 
     n_val = max(len(imgs) // 6, cfg.num_classes)
     train(cfg, (imgs[n_val:], labels[n_val:]), (imgs[:n_val], labels[:n_val]),
-          args.output_dir, class_names=names)
+          args.output_dir, class_names=names,
+          checkpoint_path=args.checkpoint, resume=args.resume)
 
 
 if __name__ == "__main__":
