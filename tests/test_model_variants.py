@@ -1,0 +1,107 @@
+"""Model-variant generality: every engine/codec/path must work for registry
+variants, not just the stock 3-layer network."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+from tpu_cnn.models.registry import REGISTRY, default_shifts, get_config
+from tpu_cnn.ops import quant
+from tpu_cnn.utils import weights as wc
+
+
+def make_kernels(cfg, rng):
+    return [
+        rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+
+
+@pytest.mark.parametrize("name", ["lyr3-tiny", "lyr2-small"])
+def test_variant_xla_vs_oracle(name, rng):
+    cfg = get_config(name)
+    kernels = make_kernels(cfg, rng)
+    shifts = default_shifts(cfg)
+    s = cfg.img_size
+    imgs = rng.randint(0, 256, size=(2, s, s)).astype(np.uint8)
+    got = np.asarray(
+        quant.cnn_forward(
+            jnp.asarray(imgs), [jnp.asarray(k) for k in kernels],
+            jnp.asarray(shifts, jnp.int32),
+        )
+    )
+    for b in range(2):
+        want = numpy_cnn_forward(imgs[b], kernels, shifts=shifts,
+                                 layer_configs=cfg.layer_configs)
+        np.testing.assert_array_equal(got[b], want)
+
+
+@pytest.mark.parametrize("name", ["lyr3-tiny", "lyr2-small"])
+def test_variant_native_oracle(name, rng):
+    from tpu_cnn.native.oracle import NativeOracle
+
+    cfg = get_config(name)
+    kernels = make_kernels(cfg, rng)
+    shifts = default_shifts(cfg)
+    s = cfg.img_size
+    img = rng.randint(0, 256, size=(s, s)).astype(np.uint8)
+    got = NativeOracle().infer(img, kernels, shifts)
+    want = numpy_cnn_forward(img, kernels, shifts=shifts,
+                             layer_configs=cfg.layer_configs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_variant_weights_codec_roundtrip(rng):
+    cfg = get_config("lyr2-small")
+    kernels = make_kernels(cfg, rng)
+    blob = wc.encode_weights(kernels)
+    assert len(blob) == cfg.weight_bytes()
+    back = wc.decode_weights(np.frombuffer(blob, np.int8), cfg.layer_configs)
+    for a, b in zip(kernels, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_variant_engine_and_head(rng):
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    cfg = get_config("lyr3-tiny")
+    kernels = make_kernels(cfg, rng)
+    fc_w = rng.randn(6, cfg.feature_dim_bins).astype(np.float32) * 0.05
+    model = FpgaCNN(kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES,
+                    shifts=default_shifts(cfg), config=cfg)
+    assert model.head_mode == "bins"
+    eng = TPUEngine(model, backend="xla")
+    imgs = rng.randint(0, 256, size=(3, 32, 32)).astype(np.uint8)
+    res = eng.detect_batch(imgs)
+    assert res.pred.shape == (3,) and res.bbox.shape == (3, 4)
+    # bbox coordinates live in the variant's input pixel space
+    assert res.bbox.max() <= 31
+
+
+def test_variant_pallas(rng):
+    from tpu_cnn.ops import pallas_int8
+
+    cfg = get_config("lyr3-tiny")
+    kernels = make_kernels(cfg, rng)
+    shifts = default_shifts(cfg)
+    s = cfg.img_size
+    imgs = rng.randint(0, 256, size=(2, s, s)).astype(np.uint8)
+    got = np.asarray(
+        pallas_int8.cnn_forward_pallas(
+            jnp.asarray(imgs), [jnp.asarray(k) for k in kernels],
+            jnp.asarray(shifts, jnp.int32), interpret=True,
+        )
+    )
+    for b in range(2):
+        want = numpy_cnn_forward(imgs[b], kernels, shifts=shifts,
+                                 layer_configs=cfg.layer_configs)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_registry_names():
+    assert "lyr3-std" in REGISTRY
+    with pytest.raises(KeyError):
+        get_config("nope")

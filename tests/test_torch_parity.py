@@ -1,0 +1,43 @@
+"""Cross-ecosystem parity: a PyTorch QAT simulation (the reference trains in
+torch, ``training/train_cnn.py:101-116``) must agree bit-for-bit with this
+framework's contract implementations. This is a test-only torch twin — the
+framework itself is pure JAX/C++."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+from tests.conftest import random_kernels
+
+
+def torch_fixed_point_forward(image_u8, kernels_i8, shifts, accum_bits=24):
+    """Bit-accurate torch sim of the contract: int8 x uint8 conv -> 24-bit
+    wrap -> floor shift -> clamp [0, 255] -> maxpool2x2."""
+    x = torch.from_numpy(image_u8.astype(np.float32))[None, None]  # (1,1,S,S)
+    m = 2 ** (accum_bits - 1)
+    for k, sh in zip(kernels_i8, shifts):
+        w = torch.from_numpy(k.astype(np.float32))
+        out = torch.nn.functional.conv2d(x, w, padding=1)
+        out = ((out + m) % (2 * m)) - m  # 24-bit two's-complement wrap
+        out = torch.div(out, float(2**sh), rounding_mode="floor")
+        out = out.clamp(0, 255)
+        x = torch.nn.functional.max_pool2d(out, 2)
+    r = x[0].numpy().astype(np.uint8)
+    return r.reshape(r.shape[0], -1)
+
+
+def test_torch_sim_matches_oracle_random(rng):
+    kernels = random_kernels(rng)
+    img = rng.randint(0, 256, size=(128, 128)).astype(np.uint8)
+    got = torch_fixed_point_forward(img, kernels, DEFAULT_SHIFTS)
+    want = numpy_cnn_forward(img, kernels, accum_wrap=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_torch_sim_matches_oracle_stock(stock_kernels, ramp_image):
+    got = torch_fixed_point_forward(ramp_image, stock_kernels, DEFAULT_SHIFTS)
+    want = numpy_cnn_forward(ramp_image, stock_kernels)
+    np.testing.assert_array_equal(got, want)
