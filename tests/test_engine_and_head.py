@@ -137,3 +137,15 @@ def test_saturated_channel_masking():
     assert (x2 - x1) < 127 and (y2 - y1) < 127
     host = host_cam.cam_bbox_fast(feats[0], 2, fc_w)
     assert tuple(bbox) == host
+
+
+def test_run_batch_pooled_matches_host(bins_model, images):
+    """Device-pooled fetch (read_features_sub analogue) == host bin pooling."""
+    from tpu_cnn.head.classify import bin_pool_np
+
+    eng = TPUEngine(bins_model, backend="xla")
+    pooled = eng.run_batch_pooled(images)
+    feats = eng.run_batch(images)
+    want = bin_pool_np(feats)
+    assert pooled.shape == (5, 1024)
+    np.testing.assert_allclose(pooled, want, rtol=1e-6, atol=1e-6)

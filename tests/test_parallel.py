@@ -66,3 +66,22 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_mesh_engine_protocol(stock_kernels, rng):
+    """MeshEngine must be a drop-in engine across the whole mesh, bit-exact
+    vs the host oracle, with non-multiple batch padding."""
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.parallel.mesh import MeshEngine
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.05
+    model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
+    eng = MeshEngine(model, make_mesh(8, model_axis=2))
+    imgs = rng.randint(0, 256, size=(5, 128, 128)).astype(np.uint8)  # not /8
+    feats = eng.run_batch(imgs)
+    assert feats.shape == (5, 64, 256)
+    np.testing.assert_array_equal(feats[3], numpy_cnn_forward(imgs[3], stock_kernels))
+    res = eng.detect_batch(imgs)
+    assert res.pred.shape == (5,) and res.bbox.shape == (5, 4)
+    feat1, ms, _ = eng.run(imgs[0])
+    np.testing.assert_array_equal(feat1, feats[0])

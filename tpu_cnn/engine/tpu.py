@@ -191,6 +191,32 @@ class TPUEngine:
         read_ms = (time.perf_counter() - t1) * 1e3
         return host, conv_ms, read_ms
 
+    def run_batch_pooled(self, images: np.ndarray) -> np.ndarray:
+        """(B, S, S) u8 -> (B, C*16) f32 spatial-bin-pooled features.
+
+        The analogue of the reference's sub-sampled bin-center readout
+        (``software/fast_readout.c:55-68``): when only pooled features are
+        needed (classifier retraining, light-weight heads), pool on device
+        and transfer 16x less."""
+        images = np.asarray(images, np.uint8)
+        dev, b = self._pad_batch(images)
+        pooled = self._pooled(dev, self._shifts_dev)
+        self._wait(pooled)
+        return np.asarray(jax.device_get(pooled))[:b]
+
+    @property
+    def _pooled(self):
+        if not hasattr(self, "_pooled_fn"):
+            features_fn = self._features_fn()
+
+            @jax.jit
+            def pooled(images, shifts):
+                feats = features_fn(images, self._kernels_dev, shifts)
+                return detect_head.bin_pool(feats)
+
+            self._pooled_fn = pooled
+        return self._pooled_fn
+
     # device-resident variant for pipelines that keep data in HBM
     def features_device(self, images_dev: jax.Array) -> jax.Array:
         return self._forward(images_dev, self._shifts_dev)

@@ -10,15 +10,12 @@ kernels (bandwidth-trivial, and Mosaic lacks lane-pair reductions).
 Math: f32 throughout, which is *bit-exact* for this contract because every
 partial sum is an integer below 2^24 (see ``ops.quant`` module docstring).
 
-Two kernel shapes, driven by Mosaic's 2D-native layout rules (last two dims
-of every block must be (8k, 128k)-divisible; no >2D reshapes/gathers):
-
-  * layer 0 (ic=1): images as (S, S) tiles; 9 taps = static 2D slices of a
-    zero-padded (S+2, S+2) plane; conv = 9 scalar-weighted VPU FMAs per
-    output channel (weights prefetched in SMEM).
-  * deeper layers: activations as (B, C, H*W) with flat spatial in lanes;
-    taps = static lane-offset slices of the zero-extended flat row (x-edge
-    wrap masked); conv = one (oc, 9ic) x (9ic, HW) MXU matmul per image.
+One kernel shape for every layer, driven by Mosaic's 2D-native layout rules
+(last two dims of every block must be (8k, 128k)-divisible or span the
+array; no >2D reshapes/gathers): activations live as (B, C, H*W) with flat
+spatial in lanes; taps are static lane-offset slices of the zero-extended
+flat row (x-edge wrap masked), staged through a VMEM scratch; conv is one
+(oc, 9ic) x (9ic, HW) MXU matmul per image.
 
 The reference's hardware parallelism axes map as (SURVEY.md §2.1):
   16-way output-channel cores  -> MXU output rows / VPU channel loop
@@ -57,60 +54,9 @@ def _maxpool_nchw(x: jax.Array) -> jax.Array:
     return x.reshape(b, c, h // 2, 2, w // 2, 2).max(axis=(3, 5))
 
 
-# ── layer 0: single input channel, VPU tap accumulation ─────────────
-
-
-def _kernel_body_l0(k_ref, shift_ref, x_ref, out_ref, *, tb, oc, size):
-    s = size
-    shift = shift_ref[0]
-    scale = jnp.exp2(-shift.astype(jnp.float32))
-    for b in range(tb):  # static unroll over the batch tile
-        x2 = x_ref[b].astype(jnp.int32).astype(jnp.float32)  # (S, S)
-        xp = jnp.pad(x2, ((1, 1), (1, 1)))  # (S+2, S+2) zero border
-        taps = [
-            jax.lax.slice(xp, (dy, dx), (dy + s, dx + s))
-            for dy in range(3)
-            for dx in range(3)
-        ]
-        for o in range(oc):
-            acc = taps[0] * k_ref[o, 0]
-            for t in range(1, 9):
-                acc = acc + taps[t] * k_ref[o, t]
-            act = jnp.clip(jnp.floor(acc * scale), 0.0, 255.0)
-            out_ref[b, o] = act.astype(jnp.int32).astype(jnp.uint8)
-
-
-def _conv_l0(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
-    """(B, S, S) u8, (oc, 9) f32 -> (B, oc, S, S) u8 pre-pool activations."""
-    b, s, _ = x.shape
-    oc = kmat.shape[0]
-    tb = 4
-    while b % tb:
-        tb //= 2
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # kmat + shift live in SMEM
-        grid=(b // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, s, s), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tb, oc, s, s), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        partial(_kernel_body_l0, tb=tb, oc=oc, size=s),
-        out_shape=jax.ShapeDtypeStruct((b, oc, s, s), jnp.uint8),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * oc * 9 * s * s * b,
-            bytes_accessed=b * s * s * (1 + oc),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(kmat, jnp.reshape(shift.astype(jnp.int32), (1,)), x)
-
-
-# ── deeper layers: flat-spatial lanes, MXU matmul per image ─────────
+# ── all layers: flat-spatial lanes, MXU matmul per image ────────────
+# (ic=1 uses the same kernel — a (tb, 1, hw) block is legal because the
+# middle block dim equals the array dim.)
 
 
 def _kernel_body_mxu(shift_ref, x_ref, k_ref, out_ref, xs_ref, *, tb, ic, oc, size):
@@ -203,11 +149,8 @@ def fused_conv_layer(
     assert h == w, "square geometry"
     if interpret is None:
         interpret = _interpret_default()
-    if ic == 1:
-        act = _conv_l0(x[:, 0], kmat, shift, interpret)
-    else:
-        act3 = _conv_mxu(x.reshape(b, ic, h * w), kmat, shift, interpret)
-        act = act3.reshape(b, kmat.shape[0], h, w)
+    act3 = _conv_mxu(x.reshape(b, ic, h * w), kmat, shift, interpret)
+    act = act3.reshape(b, kmat.shape[0], h, w)
     return _maxpool_nchw(act)
 
 

@@ -91,6 +91,69 @@ def sharded_forward(
     return forward
 
 
+class MeshEngine:
+    """Engine-protocol wrapper over a device mesh: ``run_batch`` /
+    ``detect_batch`` like TPUEngine, but data-parallel across every chip in
+    the mesh (with oc/feature-dim model sharding). Drop-in for the apps'
+    ``--mode`` swap at multi-chip scale."""
+
+    def __init__(self, model, mesh: Mesh | None = None, model_axis: int = 1):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.mesh = mesh or make_mesh(model_axis=model_axis)
+        self.backend = f"mesh[{self.mesh.devices.shape}]"
+        kernels = [jnp.asarray(k) for k in model.kernels]
+        self._shifts = jnp.asarray(model.shifts, jnp.int32)
+        self._forward = sharded_forward(self.mesh, kernels)
+        self._detect = sharded_detect(
+            self.mesh,
+            kernels,
+            jnp.asarray(model.fc_weight),
+            jnp.asarray(model.fc_bias),
+            model.head_mode,
+            model.config.img_size,
+        )
+        self._batch_mult = int(np.prod(self.mesh.devices.shape))
+
+    def _pad(self, images):
+        b = images.shape[0]
+        m = self._batch_mult
+        pb = ((b + m - 1) // m) * m
+        if pb != b:
+            images = np.concatenate(
+                [images, np.zeros((pb - b, *images.shape[1:]), np.uint8)]
+            )
+        return images, b
+
+    def run_batch(self, images: np.ndarray) -> np.ndarray:
+        import jax
+
+        images, b = self._pad(np.asarray(images, np.uint8))
+        feats = self._forward(shard_batch(self.mesh, images), self._shifts)
+        return np.asarray(jax.device_get(feats))[:b]
+
+    def detect_batch(self, images: np.ndarray):
+        import jax
+
+        from tpu_cnn.engine.tpu import DetectResult
+
+        images, b = self._pad(np.asarray(images, np.uint8))
+        pred, conf, probs, bbox = self._detect(
+            shard_batch(self.mesh, images), self._shifts
+        )
+        pred, conf, probs, bbox = jax.device_get((pred, conf, probs, bbox))
+        return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
+
+    def run(self, gray128: np.ndarray):
+        import time
+
+        t0 = time.perf_counter()
+        feats = self.run_batch(gray128[None])[0]
+        dt = (time.perf_counter() - t0) * 1e3
+        return feats, dt, 0.0
+
+
 def sharded_detect(
     mesh: Mesh,
     kernels: Sequence[jax.Array],
