@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, FpgaCNN
+from tpu_cnn.models.cnn import FpgaCNN
 from tpu_cnn.ops import detect_head, quant
 
 
