@@ -146,3 +146,38 @@ def test_bench_script_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert hasattr(mod, "main") and mod.BASELINE_FPS == 22.0
+
+
+def test_verify_cli(capsys):
+    from tpu_cnn.apps import verify
+
+    rc = verify.main(["--backends", "numpy,native,xla-f32,torch", "--images", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "DESIGN IS BIT-ACCURATE" in out
+
+
+def test_verify_cli_detects_mismatch(capsys, monkeypatch):
+    """Corrupt one backend and confirm the verifier reports per-channel
+    mismatches instead of a pass."""
+    from tpu_cnn.apps import verify
+
+    real = verify.build_backends
+
+    def corrupted(kernels, shifts, names):
+        b = real(kernels, shifts, names)
+        orig = b["native"]
+
+        def bad(imgs):
+            out = orig(imgs).copy()
+            out[0, 3, 7] ^= 0xFF
+            return out
+
+        b["native"] = bad
+        return b
+
+    monkeypatch.setattr(verify, "build_backends", corrupted)
+    rc = verify.main(["--backends", "numpy,native", "--images", "1"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCH" in out and "channels [3]" in out

@@ -1,0 +1,168 @@
+"""Cross-implementation parity verifier — the golden-model system test.
+
+The reference's most important test compares every value of every channel of
+all 3 layers against a golden model and prints a per-channel mismatch report
+ending in a "DESIGN IS BIT-ACCURATE" verdict (``sim/top/tb.v:635-712``).
+This CLI does the same across ALL implementations in this framework:
+
+    numpy oracle  vs  native C++ oracle  vs  XLA f32  vs  XLA int32
+    [vs Pallas kernels]  [vs torch QAT sim when torch is installed]
+
+over controlled stimuli (the testbench ramp image, all-zero, all-255),
+random images, and any test_image_*.bin found. Per-channel mismatch counts
+are reported for every failing pair.
+
+Usage:
+  python -m tpu_cnn.apps.verify [--weights path] [--backends ...] [--images N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+from tpu_cnn.utils import weights as wc
+
+
+def make_stimuli(n_random: int, image_dir: str | None, seed: int = 0):
+    """Controlled + random + on-disk stimuli (tb.v:478-530 idiom)."""
+    stims = {}
+    i = np.arange(128 * 128, dtype=np.int64)
+    stims["ramp"] = ((13 * i + 5) % 256).astype(np.uint8).reshape(128, 128)
+    stims["zeros"] = np.zeros((128, 128), np.uint8)
+    stims["full255"] = np.full((128, 128), 255, np.uint8)
+    rs = np.random.RandomState(seed)
+    for k in range(n_random):
+        stims[f"random{k}"] = rs.randint(0, 256, (128, 128)).astype(np.uint8)
+    if image_dir:
+        for p in sorted(glob.glob(os.path.join(image_dir, "test_image_*.bin")))[:8]:
+            stims[os.path.basename(p)] = np.fromfile(p, np.uint8).reshape(128, 128)
+    return stims
+
+
+def build_backends(kernels, shifts, names):
+    """Map backend name -> fn(images (B,128,128) u8) -> (B, 64, 256) u8."""
+    backends = {}
+
+    if "numpy" in names:
+        from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+
+        backends["numpy"] = lambda imgs: np.stack(
+            [numpy_cnn_forward(im, kernels, shifts) for im in imgs]
+        )
+    if "native" in names:
+        try:
+            from tpu_cnn.native.oracle import NativeOracle
+
+            oracle = NativeOracle()
+            backends["native"] = lambda imgs: oracle.infer_batch(imgs, kernels, shifts)
+        except Exception as e:
+            print(f"  native backend unavailable: {e}")
+    if "xla-f32" in names or "xla-int32" in names or "pallas" in names:
+        import jax.numpy as jnp
+
+        kj = [jnp.asarray(k) for k in kernels]
+        sj = jnp.asarray(list(shifts), jnp.int32)
+        if "xla-f32" in names:
+            from tpu_cnn.ops import quant
+
+            backends["xla-f32"] = lambda imgs: np.asarray(
+                quant.cnn_forward(jnp.asarray(imgs), kj, sj)
+            )
+        if "xla-int32" in names:
+            from tpu_cnn.ops import quant
+
+            backends["xla-int32"] = lambda imgs: np.asarray(
+                quant.cnn_forward(jnp.asarray(imgs), kj, sj, compute_dtype="int32")
+            )
+        if "pallas" in names:
+            from tpu_cnn.ops import pallas_int8
+
+            backends["pallas"] = lambda imgs: np.asarray(
+                pallas_int8.cnn_forward_pallas(jnp.asarray(imgs), kj, sj)
+            )
+    if "torch" in names:
+        try:
+            from tests.test_torch_parity import torch_fixed_point_forward
+
+            backends["torch"] = lambda imgs: np.stack(
+                [torch_fixed_point_forward(im, kernels, shifts) for im in imgs]
+            )
+        except Exception as e:
+            print(f"  torch backend unavailable: {e}")
+    return backends
+
+
+def compare(reference_name, outputs, stim_names):
+    """Per-channel mismatch report; returns True if all pairs bit-identical."""
+    ok = True
+    ref = outputs[reference_name]
+    for name, out in outputs.items():
+        if name == reference_name:
+            continue
+        if np.array_equal(out, ref):
+            print(f"  {reference_name} vs {name:10s}: BIT-EXACT "
+                  f"({out.size} values over {len(stim_names)} stimuli)")
+            continue
+        ok = False
+        print(f"  {reference_name} vs {name:10s}: MISMATCH")
+        for si, sname in enumerate(stim_names):
+            diff = out[si] != ref[si]
+            if diff.any():
+                per_ch = diff.sum(axis=1)
+                bad = np.nonzero(per_ch)[0]
+                print(f"    stimulus {sname}: {diff.sum()} mismatched values "
+                      f"in channels {bad[:8].tolist()}"
+                      f"{'...' if len(bad) > 8 else ''} "
+                      f"(per-ch max {per_ch.max()})")
+    return ok
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Cross-implementation parity verifier")
+    p.add_argument("--weights", default="/root/reference/weights/weights.bin")
+    p.add_argument("--image-dir", default=None)
+    p.add_argument("--images", type=int, default=4, help="random stimuli count")
+    p.add_argument("--backends",
+                   default="numpy,native,xla-f32,xla-int32",
+                   help="comma list: numpy,native,xla-f32,xla-int32,pallas,torch")
+    p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
+    args = p.parse_args(argv)
+
+    shifts = [int(s) for s in args.shifts.split(",")]
+    kernels = wc.load_weights_bin(args.weights)
+    names = [b.strip() for b in args.backends.split(",")]
+
+    print("=" * 64)
+    print("  CROSS-IMPLEMENTATION PARITY VERIFICATION")
+    print("=" * 64)
+    stims = make_stimuli(args.images, args.image_dir)
+    batch = np.stack(list(stims.values()))
+    print(f"  {len(stims)} stimuli x {len(names)} backends "
+          f"(shifts {shifts})")
+
+    backends = build_backends(kernels, shifts, names)
+    outputs = {}
+    for name, fn in backends.items():
+        outputs[name] = fn(batch)
+        print(f"  {name:10s}: computed {outputs[name].shape}")
+
+    print("-" * 64)
+    ref = "numpy" if "numpy" in outputs else next(iter(outputs))
+    ok = compare(ref, outputs, list(stims.keys()))
+    print("=" * 64)
+    if ok:
+        print("  VERDICT: DESIGN IS BIT-ACCURATE across all backends")
+    else:
+        print("  VERDICT: MISMATCHES FOUND — see report above")
+    print("=" * 64)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
