@@ -60,36 +60,53 @@ def _maxpool_nchw(x: jax.Array) -> jax.Array:
 
 
 def _kernel_body_mxu(shift_ref, x_ref, k_ref, out_ref, xs_ref, *, tb, ic, oc, size):
+    """Multi-image block-diagonal formulation: the whole tile's taps are
+    staged with 9 wide stores (all images at once, rows (img, ic)-major) and
+    contracted in ONE matmul against a (tb*oc, 9*tb*ic) block-diagonal weight
+    matrix. This packs the MXU's M/K dims (a lone image gives M=16, K=9 for
+    layer 0 — <1% utilisation; tb images give tb*16 / 9*tb)."""
     w = size
     hw = w * w
+    rows = tb * ic
     shift = shift_ref[0]
     scale = jnp.exp2(-shift.astype(jnp.float32))
 
     # x-edge wrap masks (lane constants): tap dx=0 reads x-1 (invalid at
     # x=0); dx=2 reads x+1 (invalid at x=W-1).
-    col = jax.lax.broadcasted_iota(jnp.int32, (ic, hw), 1) % w
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, hw), 1) % w
     masks = {
         0: (col >= 1).astype(jnp.float32),
         1: None,
         2: (col <= w - 2).astype(jnp.float32),
     }
 
-    for b in range(tb):  # static unroll over the batch tile
-        x2 = x_ref[b].astype(jnp.int32).astype(jnp.float32)  # (ic, hw)
-        zpad = jnp.zeros((ic, w + 1), jnp.float32)
-        xflat = jnp.concatenate([zpad, x2, zpad], axis=1)  # zero y-borders
-        # Stage the 9 shifted taps into a VMEM scratch (tap-major/ic-minor).
-        # Staging through the ref canonicalises each slice's lane-offset
-        # layout — Mosaic cannot concatenate misaligned-layout values.
-        for i, (dy, dx) in enumerate((a, c) for a in range(3) for c in range(3)):
-            off = (w + 1) + (dy - 1) * w + (dx - 1)
-            t = jax.lax.slice(xflat, (0, off), (ic, off + hw))
-            if masks[dx] is not None:
-                t = t * masks[dx]
-            xs_ref[i * ic : (i + 1) * ic, :] = t
-        acc = jnp.dot(k_ref[:], xs_ref[:], preferred_element_type=jnp.float32)
-        act = jnp.clip(jnp.floor(acc * scale), 0.0, 255.0)
-        out_ref[b] = act.astype(jnp.int32).astype(jnp.uint8)
+    x2 = x_ref[:].reshape(rows, hw).astype(jnp.int32).astype(jnp.float32)
+    zpad = jnp.zeros((rows, w + 1), jnp.float32)
+    xflat = jnp.concatenate([zpad, x2, zpad], axis=1)  # zero y-borders
+    # Stage the 9 shifted taps into a VMEM scratch, rows (tap, img, ic).
+    # Staging through the ref canonicalises each slice's lane-offset layout —
+    # Mosaic cannot concatenate misaligned-layout values.
+    for i, (dy, dx) in enumerate((a, c) for a in range(3) for c in range(3)):
+        off = (w + 1) + (dy - 1) * w + (dx - 1)
+        t = jax.lax.slice(xflat, (0, off), (rows, off + hw))
+        if masks[dx] is not None:
+            t = t * masks[dx]
+        xs_ref[i * rows : (i + 1) * rows, :] = t
+    acc = jnp.dot(k_ref[:], xs_ref[:], preferred_element_type=jnp.float32)
+    act = jnp.clip(jnp.floor(acc * scale), 0.0, 255.0)  # (tb*oc, hw)
+    out_ref[:] = act.reshape(tb, oc, hw).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _pack_blockdiag(kmat: jax.Array, tb: int, ic: int) -> jax.Array:
+    """(oc, 9ic) -> (tb*oc, 9*tb*ic) block-diagonal weights matching the
+    (tap, img, ic)-major staged tap rows: W[(i,o), (t,i',c)] = k[o, t, c]
+    iff i == i'."""
+    oc = kmat.shape[0]
+    k_toc = kmat.reshape(oc, 9, ic)  # (oc, tap, ic)
+    w = jnp.zeros((tb, oc, 9, tb, ic), jnp.float32)
+    idx = jnp.arange(tb)
+    w = w.at[idx, :, :, idx, :].set(jnp.broadcast_to(k_toc, (tb, oc, 9, ic)))
+    return w.reshape(tb * oc, 9 * tb * ic)
 
 
 def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
@@ -97,11 +114,15 @@ def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
     b, ic, hw = x.shape
     oc = kmat.shape[0]
     size = int(round(hw**0.5))
-    # per-image VMEM (f32): taps 9ic*hw + xs 9ic*hw + acc oc*hw
-    per_img = 4 * hw * (18 * ic + oc)
-    tb = max(1, min(8, (6 * 1024 * 1024) // per_img))
+    # VMEM per tile (f32): xs 9*tb*ic*hw + acc tb*oc*hw, target <= ~9 MB
+    per_img = 4 * hw * (9 * ic + oc)
+    limit = max(1, min(8, (9 * 1024 * 1024) // per_img))
+    tb = 1
+    while tb * 2 <= limit:  # largest power of two within the VMEM budget
+        tb *= 2
     while b % tb:
         tb //= 2
+    kpacked = _pack_blockdiag(kmat, tb, ic)
     return pl.pallas_call(
         partial(_kernel_body_mxu, tb=tb, ic=ic, oc=oc, size=size),
         out_shape=jax.ShapeDtypeStruct((b, oc, hw), jnp.uint8),
@@ -115,15 +136,15 @@ def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
             out_specs=pl.BlockSpec(
                 (tb, oc, hw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[pltpu.VMEM((9 * ic, hw), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((9 * tb * ic, hw), jnp.float32)],
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * oc * 9 * ic * hw * b,
-            bytes_accessed=b * hw * (ic + oc) + 4 * kmat.size,
+            bytes_accessed=b * hw * (ic + oc) + 4 * kpacked.size,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.reshape(shift.astype(jnp.int32), (1,)), x, kmat)
+    )(jnp.reshape(shift.astype(jnp.int32), (1,)), x, kpacked)
 
 
 # ── public API ───────────────────────────────────────────────────────
