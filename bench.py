@@ -32,10 +32,10 @@ def main():
     from tpu_cnn.ops import detect_head, quant
     from tpu_cnn.utils import weights as weights_codec
 
-    kernels = [
-        jnp.asarray(k)
-        for k in weights_codec.load_weights_bin("/root/reference/weights/weights.bin")
-    ]
+    from tpu_cnn.utils.paths import default_artifacts
+
+    weights_bin = __import__("os").path.join(default_artifacts(), "weights.bin")
+    kernels = [jnp.asarray(k) for k in weights_codec.load_weights_bin(weights_bin)]
     rs = np.random.RandomState(0)
     fc_w = jnp.asarray(rs.randn(len(CLASS_NAMES), 1024).astype(np.float32) * 0.05)
     fc_b = jnp.asarray(np.zeros(len(CLASS_NAMES), np.float32))

@@ -40,7 +40,7 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN benchmark")
-    p.add_argument("--artifacts", default="/root/reference/weights")
+    p.add_argument("--artifacts", default=None)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--runs", type=int, default=20)
     p.add_argument("--modes", default="xla,pallas",
@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--detect", action="store_true",
                    help="benchmark the fused detect pipeline (default: features)")
     args = p.parse_args(argv)
+    from tpu_cnn.utils.paths import default_artifacts
+
+    args.artifacts = args.artifacts or default_artifacts()
 
     print("=" * 64)
     print("  TPU CNN BENCHMARK")

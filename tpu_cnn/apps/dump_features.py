@@ -75,7 +75,7 @@ def dump_features(
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Dump CNN features to .npz")
-    p.add_argument("--artifacts", default="/root/reference/weights")
+    p.add_argument("--artifacts", default=None)
     p.add_argument("--image-dir", default=None)
     p.add_argument("--output", default="tpu_features.npz")
     p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "cpu"])
@@ -84,6 +84,9 @@ def main(argv=None):
     p.add_argument("--s1", type=int, default=DEFAULT_SHIFTS[1])
     p.add_argument("--s2", type=int, default=DEFAULT_SHIFTS[2])
     args = p.parse_args(argv)
+    from tpu_cnn.utils.paths import default_artifacts
+
+    args.artifacts = args.artifacts or default_artifacts()
 
     print("=" * 60)
     print("  FEATURE DUMP")

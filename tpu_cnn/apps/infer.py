@@ -94,8 +94,9 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN inference")
-    p.add_argument("--artifacts", default="/root/reference/weights",
-                   help="dir with weights.bin + fc_*.npy + classes.json")
+    p.add_argument("--artifacts", default=None,
+                   help="dir with weights.bin + fc_*.npy + classes.json "
+                        "(default: repo pretrained bundle or mounted reference)")
     p.add_argument("--head-prefix", default="", help="e.g. 'arm_' for engine-specific head")
     p.add_argument("--image", default=None, help="single image (.bin/.jpg/.png)")
     p.add_argument("--image-dir", default=None, help="directory of test_image_*.bin")
@@ -104,6 +105,9 @@ def main(argv=None):
     p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
     p.add_argument("--dump-features", action="store_true")
     args = p.parse_args(argv)
+    from tpu_cnn.utils.paths import default_artifacts
+
+    args.artifacts = args.artifacts or default_artifacts()
 
     shifts = [int(s) for s in args.shifts.split(",")]
     assert len(shifts) == 3

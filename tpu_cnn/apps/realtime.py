@@ -248,7 +248,7 @@ def encode_jpeg(frame: np.ndarray) -> bytes:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["auto", "xla", "pallas", "cpu"], default="auto")
-    ap.add_argument("--artifacts", default="/root/reference/weights")
+    ap.add_argument("--artifacts", default=None)
     ap.add_argument("--head-prefix", default="")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--source", choices=["camera", "synthetic"], default="camera")
@@ -257,6 +257,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
     ap.add_argument("--no-serve", action="store_true", help="skip the MJPEG server")
     args = ap.parse_args(argv)
+    from tpu_cnn.utils.paths import default_artifacts
+
+    args.artifacts = args.artifacts or default_artifacts()
     cam_w, cam_h = (int(v) for v in args.res.split("x"))
 
     print("=" * 60)

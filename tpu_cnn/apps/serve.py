@@ -220,12 +220,15 @@ class _HostDetectAdapter:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN inference service")
-    p.add_argument("--artifacts", default="/root/reference/weights")
+    p.add_argument("--artifacts", default=None)
     p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "cpu"])
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     args = p.parse_args(argv)
+    from tpu_cnn.utils.paths import default_artifacts
+
+    args.artifacts = args.artifacts or default_artifacts()
 
     batcher, backend = build_service(args.artifacts, args.mode,
                                      args.max_batch, args.max_wait_ms)

@@ -125,7 +125,7 @@ def compare(reference_name, outputs, stim_names):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Cross-implementation parity verifier")
-    p.add_argument("--weights", default="/root/reference/weights/weights.bin")
+    p.add_argument("--weights", default=None)
     p.add_argument("--image-dir", default=None)
     p.add_argument("--images", type=int, default=4, help="random stimuli count")
     p.add_argument("--backends",
@@ -134,6 +134,10 @@ def main(argv=None):
     p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
     args = p.parse_args(argv)
 
+    if args.weights is None:
+        from tpu_cnn.utils.paths import default_artifacts
+
+        args.weights = os.path.join(default_artifacts(), "weights.bin")
     shifts = [int(s) for s in args.shifts.split(",")]
     kernels = wc.load_weights_bin(args.weights)
     names = [b.strip() for b in args.backends.split(",")]

@@ -62,7 +62,7 @@ class TPUEngine:
         backend: str = "auto",
         compute_dtype: str = "float32",
         max_batch: int = 4096,
-        timeout_s: float | None = 60.0,
+        timeout_s: float | None = 300.0,  # first call includes XLA compile
     ):
         self.model = model
         self.compute_dtype = compute_dtype

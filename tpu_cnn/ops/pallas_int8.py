@@ -59,54 +59,63 @@ def _maxpool_nchw(x: jax.Array) -> jax.Array:
 # middle block dim equals the array dim.)
 
 
-def _kernel_body_mxu(shift_ref, x_ref, k_ref, out_ref, xs_ref, *, tb, ic, oc, size):
-    """Multi-image block-diagonal formulation: the whole tile's taps are
-    staged with 9 wide stores (all images at once, rows (img, ic)-major) and
-    contracted in ONE matmul against a (tb*oc, 9*tb*ic) block-diagonal weight
-    matrix. This packs the MXU's M/K dims (a lone image gives M=16, K=9 for
-    layer 0 — <1% utilisation; tb images give tb*16 / 9*tb)."""
+def _kernel_body_mxu(shift_ref, x_ref, k_ref, corr_ref, out_ref, xs_ref, *, tb, ic, oc, size):
+    """Multi-image block-diagonal int8 formulation.
+
+    The whole tile's taps are staged with 9 wide int8 stores (all images at
+    once, rows (tap, img, ic)-major) and contracted in ONE int8 MXU matmul
+    against a (tb*oc, 9*tb*ic) block-diagonal int8 weight matrix — packing
+    the MXU's M/K dims (a lone image gives M=16, K=9 for layer 0: <1%
+    utilisation) and quartering VMEM staging traffic vs f32.
+
+    uint8 activations don't fit int8, so taps are staged zero-point-shifted:
+    s = a - 128 (computed as a XOR 0x80 bitcast to int8 — Mosaic has no
+    u8->i8 value cast), with the exact host-precomputed correction
+    128 * sum(k) added to the int32 accumulator. Zero-padding/masked taps
+    therefore stage -128. All arithmetic stays integer: bit-exact by
+    construction."""
     w = size
     hw = w * w
     rows = tb * ic
     shift = shift_ref[0]
-    scale = jnp.exp2(-shift.astype(jnp.float32))
 
     # x-edge wrap masks (lane constants): tap dx=0 reads x-1 (invalid at
     # x=0); dx=2 reads x+1 (invalid at x=W-1).
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, hw), 1) % w
-    masks = {
-        0: (col >= 1).astype(jnp.float32),
-        1: None,
-        2: (col <= w - 2).astype(jnp.float32),
-    }
+    masks = {0: col >= 1, 1: None, 2: col <= w - 2}
 
-    x2 = x_ref[:].reshape(rows, hw).astype(jnp.int32).astype(jnp.float32)
-    zpad = jnp.zeros((rows, w + 1), jnp.float32)
-    xflat = jnp.concatenate([zpad, x2, zpad], axis=1)  # zero y-borders
-    # Stage the 9 shifted taps into a VMEM scratch, rows (tap, img, ic).
+    x_u8 = x_ref[:].reshape(rows, hw)
+    x_i8 = pltpu.bitcast(x_u8 ^ jnp.uint8(0x80), jnp.int8)  # a - 128
+    neg128 = jnp.full((rows, w + 1), -128, jnp.int8)
+    xflat = jnp.concatenate([neg128, x_i8, neg128], axis=1)  # "zero" y-borders
+    # Stage the 9 shifted taps into the VMEM scratch, rows (tap, img, ic).
     # Staging through the ref canonicalises each slice's lane-offset layout —
     # Mosaic cannot concatenate misaligned-layout values.
     for i, (dy, dx) in enumerate((a, c) for a in range(3) for c in range(3)):
         off = (w + 1) + (dy - 1) * w + (dx - 1)
         t = jax.lax.slice(xflat, (0, off), (rows, off + hw))
         if masks[dx] is not None:
-            t = t * masks[dx]
+            t = jnp.where(masks[dx], t, jnp.int8(-128))
         xs_ref[i * rows : (i + 1) * rows, :] = t
-    acc = jnp.dot(k_ref[:], xs_ref[:], preferred_element_type=jnp.float32)
-    act = jnp.clip(jnp.floor(acc * scale), 0.0, 255.0)  # (tb*oc, hw)
-    out_ref[:] = act.reshape(tb, oc, hw).astype(jnp.int32).astype(jnp.uint8)
+    acc = jnp.dot(k_ref[:], xs_ref[:], preferred_element_type=jnp.int32)
+    acc = acc + corr_ref[:]  # zero-point correction, (tb*oc, 1) broadcast
+    act = jnp.clip(jnp.right_shift(acc, shift), 0, 255)  # (tb*oc, hw)
+    out_ref[:] = act.reshape(tb, oc, hw).astype(jnp.uint8)
 
 
-def _pack_blockdiag(kmat: jax.Array, tb: int, ic: int) -> jax.Array:
-    """(oc, 9ic) -> (tb*oc, 9*tb*ic) block-diagonal weights matching the
-    (tap, img, ic)-major staged tap rows: W[(i,o), (t,i',c)] = k[o, t, c]
-    iff i == i'."""
+def _pack_blockdiag(kmat: jax.Array, tb: int, ic: int) -> tuple[jax.Array, jax.Array]:
+    """(oc, 9ic) -> ((tb*oc, 9*tb*ic) int8 block-diagonal weights matching
+    the (tap, img, ic)-major staged tap rows — W[(i,o), (t,i',c)] = k[o,t,c]
+    iff i == i' — plus the (tb*oc, 1) int32 zero-point correction
+    128 * sum_k per output row)."""
     oc = kmat.shape[0]
     k_toc = kmat.reshape(oc, 9, ic)  # (oc, tap, ic)
     w = jnp.zeros((tb, oc, 9, tb, ic), jnp.float32)
     idx = jnp.arange(tb)
     w = w.at[idx, :, :, idx, :].set(jnp.broadcast_to(k_toc, (tb, oc, 9, ic)))
-    return w.reshape(tb * oc, 9 * tb * ic)
+    w2d = w.reshape(tb * oc, 9 * tb * ic)
+    corr = (128.0 * w2d.sum(axis=1, keepdims=True)).astype(jnp.int32)
+    return w2d.astype(jnp.int8), corr
 
 
 def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
@@ -115,14 +124,15 @@ def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
     oc = kmat.shape[0]
     size = int(round(hw**0.5))
     # VMEM per tile (f32): xs 9*tb*ic*hw + acc tb*oc*hw, target <= ~9 MB
-    per_img = 4 * hw * (9 * ic + oc)
+    # VMEM per image: int8 taps 9*ic*hw + int32 acc 4*oc*hw
+    per_img = hw * (9 * ic + 4 * oc)
     limit = max(1, min(8, (9 * 1024 * 1024) // per_img))
     tb = 1
     while tb * 2 <= limit:  # largest power of two within the VMEM budget
         tb *= 2
     while b % tb:
         tb //= 2
-    kpacked = _pack_blockdiag(kmat, tb, ic)
+    kpacked, corr = _pack_blockdiag(kmat, tb, ic)
     return pl.pallas_call(
         partial(_kernel_body_mxu, tb=tb, ic=ic, oc=oc, size=size),
         out_shape=jax.ShapeDtypeStruct((b, oc, hw), jnp.uint8),
@@ -132,19 +142,20 @@ def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
             in_specs=[
                 pl.BlockSpec((tb, ic, hw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (tb, oc, hw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[pltpu.VMEM((9 * tb * ic, hw), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((9 * tb * ic, hw), jnp.int8)],
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * oc * 9 * ic * hw * b,
-            bytes_accessed=b * hw * (ic + oc) + 4 * kpacked.size,
+            bytes_accessed=b * hw * (ic + oc) + kpacked.size,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.reshape(shift.astype(jnp.int32), (1,)), x, kpacked)
+    )(jnp.reshape(shift.astype(jnp.int32), (1,)), x, kpacked, corr)
 
 
 # ── public API ───────────────────────────────────────────────────────
@@ -170,8 +181,17 @@ def fused_conv_layer(
     assert h == w, "square geometry"
     if interpret is None:
         interpret = _interpret_default()
-    act3 = _conv_mxu(x.reshape(b, ic, h * w), kmat, shift, interpret)
-    act = act3.reshape(b, kmat.shape[0], h, w)
+    # Mosaic miscompiles the int8 tap staging for tiles with < 4 sublane
+    # rows (observed on v5e 2026-08-16: B=1/2 outputs ~0.5% wrong, B>=4
+    # exact) — pad tiny batches up to 4 and slice back.
+    pb = b
+    if not interpret and b < 4:
+        pb = 4
+        x = jnp.concatenate(
+            [x, jnp.zeros((pb - b, ic, h, w), x.dtype)], axis=0
+        )
+    act3 = _conv_mxu(x.reshape(pb, ic, h * w), kmat, shift, interpret)
+    act = act3[:b].reshape(b, kmat.shape[0], h, w)
     return _maxpool_nchw(act)
 
 
