@@ -182,11 +182,12 @@ def fused_conv_layer(
     if interpret is None:
         interpret = _interpret_default()
     # Mosaic miscompiles the int8 tap staging for tiles with < 4 sublane
-    # rows (observed on v5e 2026-08-16: B=1/2 outputs ~0.5% wrong, B>=4
-    # exact) — pad tiny batches up to 4 and slice back.
+    # rows (observed on v5e 2026-08-16: B=1/2 at ic=1 gives ~0.5% wrong
+    # values, B>=4 exact) — pad the batch to a multiple of 4 so the tile
+    # size never degrades below 4 rows, and slice back.
     pb = b
-    if not interpret and b < 4:
-        pb = 4
+    if not interpret and b % 4:
+        pb = ((b + 3) // 4) * 4
         x = jnp.concatenate(
             [x, jnp.zeros((pb - b, ic, h, w), x.dtype)], axis=0
         )
