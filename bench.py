@@ -44,9 +44,17 @@ def main():
     batch = 2048
     chunk = 512
 
+    from tpu_cnn.ops import pallas_int8
+
     @jax.jit
     def detect(images):
-        feats = quant.cnn_forward_chunked(images, kernels, shifts, chunk=chunk)
+        # chunked hybrid forward (Pallas-int8 L0 + XLA deeper layers):
+        # bounded peak memory, fastest measured bit-exact path
+        n = images.shape[0] // chunk
+        xs = images.reshape(n, chunk, *images.shape[1:])
+        feats = jax.lax.map(
+            lambda c: pallas_int8.cnn_forward_hybrid(c, kernels, shifts), xs
+        ).reshape(images.shape[0], 64, 256)
         pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
         return pred, conf, bbox
 

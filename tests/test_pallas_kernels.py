@@ -85,3 +85,18 @@ def test_megakernel_interpret_parity(stock_kernels, rng):
     )
     for b in range(2):
         np.testing.assert_array_equal(got[b], numpy_cnn_forward(imgs[b], stock_kernels))
+
+
+def test_hybrid_forward_parity(stock_kernels, rng):
+    """Hybrid (Pallas L0 + XLA deeper layers) bit parity vs the oracle."""
+    imgs = rng.randint(0, 256, size=(2, 128, 128)).astype(np.uint8)
+    got = np.asarray(
+        pallas_int8.cnn_forward_hybrid(
+            jnp.asarray(imgs),
+            [jnp.asarray(k) for k in stock_kernels],
+            jnp.asarray(DEFAULT_SHIFTS, jnp.int32),
+            interpret=True,
+        )
+    )
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], numpy_cnn_forward(imgs[b], stock_kernels))

@@ -44,7 +44,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--runs", type=int, default=20)
     p.add_argument("--modes", default="xla,pallas",
-                   help="comma list of: xla, pallas, cpu")
+                   help="comma list of: xla, pallas, hybrid, cpu")
     p.add_argument("--detect", action="store_true",
                    help="benchmark the fused detect pipeline (default: features)")
     args = p.parse_args(argv)

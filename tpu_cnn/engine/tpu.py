@@ -85,15 +85,21 @@ class TPUEngine:
             platform = jax.devices()[0].platform
         except Exception:
             platform = "cpu"
-        # Measured on v5e: the XLA conv path outruns the current Pallas
-        # kernels (both bit-exact); keep 'pallas' opt-in until it wins.
-        return "xla"
+        if platform == "cpu":
+            return "xla"
+        # Measured on v5e (docs/DESIGN.md): Pallas-int8 layer 0 + XLA deeper
+        # layers is the fastest bit-exact combination.
+        return "hybrid"
 
     def _features_fn(self):
         if self.backend == "pallas":
             from tpu_cnn.ops import pallas_int8
 
             return pallas_int8.cnn_forward_pallas
+        if self.backend == "hybrid":
+            from tpu_cnn.ops import pallas_int8
+
+            return pallas_int8.cnn_forward_hybrid
         return partial(quant.cnn_forward, compute_dtype=self.compute_dtype)
 
     def _make_forward(self):

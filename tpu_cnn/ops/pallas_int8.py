@@ -197,6 +197,31 @@ def fused_conv_layer(
 
 
 @partial(jax.jit, static_argnames=("interpret",))
+def cnn_forward_hybrid(
+    images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
+    kernels: Sequence[jax.Array],
+    shifts: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fastest measured single-chip path: layer 0 on the Pallas int8 kernel
+    (wins on the ic=1 geometry), deeper layers on XLA convs (win there).
+    Bit-exact like both constituents; same output contract."""
+    from tpu_cnn.ops import quant
+
+    if images.ndim == 4:
+        images = images[..., 0]
+    x4 = images[:, None, :, :]
+    kmat0 = pack_kernel_matrix(kernels[0])
+    a = fused_conv_layer(x4, kmat0, shifts[0], interpret=interpret)
+    x = jnp.transpose(a, (0, 2, 3, 1))  # NCHW -> NHWC for the XLA layers
+    for i, k in enumerate(kernels[1:], start=1):
+        x = quant.fixed_point_conv_layer(x, k, shifts[i])
+    b, h, w, c = x.shape
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c, h * w)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
 def cnn_forward_pallas(
     images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
     kernels: Sequence[jax.Array],  # per-layer (oc, ic, 3, 3) int8
