@@ -63,7 +63,7 @@ def build_backends(kernels, shifts, names):
             backends["native"] = lambda imgs: oracle.infer_batch(imgs, kernels, shifts)
         except Exception as e:
             print(f"  native backend unavailable: {e}")
-    if "xla-f32" in names or "xla-int32" in names or "pallas" in names:
+    if any(n in names for n in ("xla-f32", "xla-int32", "pallas", "hybrid")):
         import jax.numpy as jnp
 
         kj = [jnp.asarray(k) for k in kernels]
@@ -85,6 +85,12 @@ def build_backends(kernels, shifts, names):
 
             backends["pallas"] = lambda imgs: np.asarray(
                 pallas_int8.cnn_forward_pallas(jnp.asarray(imgs), kj, sj)
+            )
+        if "hybrid" in names:
+            from tpu_cnn.ops import pallas_int8
+
+            backends["hybrid"] = lambda imgs: np.asarray(
+                pallas_int8.cnn_forward_hybrid(jnp.asarray(imgs), kj, sj)
             )
     if "torch" in names:
         try:
@@ -130,7 +136,7 @@ def main(argv=None):
     p.add_argument("--images", type=int, default=4, help="random stimuli count")
     p.add_argument("--backends",
                    default="numpy,native,xla-f32,xla-int32",
-                   help="comma list: numpy,native,xla-f32,xla-int32,pallas,torch")
+                   help="comma list: numpy,native,xla-f32,xla-int32,pallas,hybrid,torch")
     p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
     args = p.parse_args(argv)
 
