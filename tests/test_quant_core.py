@@ -139,3 +139,16 @@ def test_shift_is_runtime_arg(rng):
     out2 = f(img, kernels, jnp.asarray([1, 3, 5], jnp.int32))
     assert f._cache_size() == n_compiles
     assert not np.array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_chunked_forward_matches(rng):
+    """Large-batch lax.map chunking must be output-identical to the plain
+    forward (bounded-memory path used by bench/serving)."""
+    kernels = [jnp.asarray(k) for k in random_kernels(rng)]
+    imgs = rng.randint(0, 256, size=(8, 128, 128)).astype(np.uint8)
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    plain = np.asarray(quant.cnn_forward(jnp.asarray(imgs), kernels, shifts))
+    chunked = np.asarray(
+        quant.cnn_forward_chunked(jnp.asarray(imgs), kernels, shifts, chunk=4)
+    )
+    np.testing.assert_array_equal(plain, chunked)
