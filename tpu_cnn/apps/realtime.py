@@ -19,9 +19,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
-import os
-import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
