@@ -152,3 +152,18 @@ def test_chunked_forward_matches(rng):
         quant.cnn_forward_chunked(jnp.asarray(imgs), kernels, shifts, chunk=4)
     )
     np.testing.assert_array_equal(plain, chunked)
+
+
+def test_bf16_compute_parity(rng, stock_kernels, ramp_image):
+    """bf16 MXU inputs with f32 accumulation are exact for this contract
+    (activations <= 255 and weights <= 127 fit bf16's significand). Verified
+    bit-exact on TPU hardware 2026-08-16; asserted here on CPU."""
+    got = np.asarray(
+        quant.cnn_forward(
+            jnp.asarray(ramp_image[None]),
+            [jnp.asarray(k) for k in stock_kernels],
+            jnp.asarray(DEFAULT_SHIFTS, jnp.int32),
+            compute_dtype="bfloat16",
+        )
+    )[0]
+    np.testing.assert_array_equal(got, numpy_cnn_forward(ramp_image, stock_kernels))

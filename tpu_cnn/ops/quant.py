@@ -86,6 +86,10 @@ def fixed_point_conv_layer(
       - 'int32'  : integer conv, the literal oracle semantics.
     """
     cdt = jnp.dtype(compute_dtype)
+    # bf16 inputs are exact here (activations <= 255 and weights <= 127 are
+    # exactly representable in bf16's 8-bit significand) and must accumulate
+    # in f32 to stay exact; int32/f32 accumulate in themselves.
+    acc_dt = jnp.float32 if cdt == jnp.bfloat16 else cdt
     lhs = x.astype(cdt)
     # (oc, ic, 3, 3) -> HWIO
     rhs = jnp.transpose(kernel, (2, 3, 1, 0)).astype(cdt)
@@ -95,7 +99,7 @@ def fixed_point_conv_layer(
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=cdt,
+        preferred_element_type=acc_dt,
     )
     if accum_wrap:
         conv = wrap_accum(conv)
