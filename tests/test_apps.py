@@ -181,3 +181,48 @@ def test_verify_cli_detects_mismatch(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 1
     assert "MISMATCH" in out and "channels [3]" in out
+
+
+def test_eval_detection(artifact_dir):
+    """IoU harness: CAM boxes must beat the full-frame baseline and
+    classification must beat chance on the retrained head."""
+    from tpu_cnn.apps import dump_features, retrain_classifier
+    from tpu_cnn.apps.eval_detection import evaluate, iou
+    from tpu_cnn.models.cnn import FpgaCNN
+
+    assert iou((0, 0, 10, 10), (0, 0, 10, 10)) == 1.0
+    assert iou((0, 0, 10, 10), (20, 20, 30, 30)) == 0.0
+
+    # quick head fit so the CAM has meaningful weights
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        npz = os.path.join(td, "f.npz")
+        dump_features.main(["--artifacts", artifact_dir, "--image-dir",
+                            artifact_dir, "--output", npz, "--mode", "cpu"])
+        retrain_classifier.main(["--features", npz, "--output-dir", td,
+                                 "--epochs", "200",
+                                 "--classes", os.path.join(artifact_dir, "classes.json")])
+        model = FpgaCNN(
+            art.load_bundle(artifact_dir).kernels,
+            np.load(os.path.join(td, "fc_weight.npy")),
+            np.load(os.path.join(td, "fc_bias.npy")),
+            CLASS_NAMES,
+        )
+    out = evaluate(model, mode="cpu", n_per_class=6, verbose=False)
+    assert out["accuracy"] > 1 / 6
+    assert 0.0 <= out["mean_iou"] <= 1.0
+
+
+def test_tune_shifts_smoke(artifact_dir):
+    from tpu_cnn.apps.tune_shifts import candidate_grid, tune
+    from tpu_cnn.models.cnn import FpgaCNN
+
+    assert len(candidate_grid((2, 4, 6), radius=1)) == 27
+    assert candidate_grid((0, 4, 6), radius=1)[0][0] == 0  # lo clamp
+    bundle = art.load_bundle(artifact_dir)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    CLASS_NAMES)
+    best, results = tune(model, mode="cpu", n_per_class=6, radius=0,
+                         head_epochs=50, verbose=False)
+    assert best == (2, 4, 6) and len(results) == 1

@@ -88,6 +88,41 @@ class SyntheticShapes:
         labels = np.asarray([c for c, _ in self.samples], dtype=np.int32)
         return imgs, labels
 
+    def ground_truth_box(self, cls: int, seed: int) -> tuple[int, int, int, int]:
+        """Analytic object bounding box (x1, y1, x2, y2) for a rendered
+        sample — the generator's shape placement is deterministic in (cls,
+        seed), enabling quantitative detection-IoU evaluation (a capability
+        the reference lacks: its CAM boxes were only eyeballed)."""
+        s = self.img_size
+        r = np.random.RandomState(seed)
+        cx, cy = r.uniform(0.3, 0.7, 2) * s
+        scale = r.uniform(0.15, 0.3) * s
+        if cls == 0:
+            half_x = half_y = scale
+        elif cls == 1:
+            half_x, half_y = scale * 1.1, scale * 1.8  # blob + ears above
+            cy -= scale * 0.4
+        elif cls == 2:
+            half_x = half_y = scale * 1.5
+        elif cls == 3:
+            half_x, half_y = scale * 1.3, scale * 0.7
+        elif cls == 4:
+            half_x, half_y = scale * 1.6, scale * 0.7
+        else:
+            half_x = half_y = scale * 1.3
+        x1 = int(np.clip(cx - half_x, 0, s - 1))
+        y1 = int(np.clip(cy - half_y, 0, s - 1))
+        x2 = int(np.clip(cx + half_x, 0, s - 1))
+        y2 = int(np.clip(cy + half_y, 0, s - 1))
+        return (x1, y1, x2, y2)
+
+    def arrays_with_boxes(self):
+        imgs, labels = self.arrays()
+        boxes = np.asarray(
+            [self.ground_truth_box(c, sd) for c, sd in self.samples], np.int32
+        )
+        return imgs, labels, boxes
+
 
 class ImageFolderDataset:
     """<root>/<class_name>/*.{jpg,png,bmp} single-label layout."""
