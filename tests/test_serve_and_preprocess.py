@@ -148,3 +148,39 @@ def test_train_resume(tmp_path):
     data = _np.load(ck)
     meta = json.loads(bytes(data["__meta"]).decode())
     assert meta["epoch"] == 3
+
+
+def test_async_pipelined_batcher(artifact_dir, stock_kernels):
+    """With a TPUEngine (async-capable), the batcher pipelines batches
+    through dispatch + collector threads; results stay correct and complete
+    under concurrent load, and agree with the host head."""
+    from tpu_cnn.apps.serve import DynamicBatcher
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.head.classify import classify_np
+    from tpu_cnn.models.cnn import FpgaCNN
+
+    bundle = art.load_bundle(artifact_dir)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names)
+    engine = TPUEngine(model, backend="xla")
+    assert hasattr(engine, "detect_batch_async")
+    batcher = DynamicBatcher(engine, model.class_names, max_batch=4,
+                             max_wait_ms=10.0)
+    rs = np.random.RandomState(0)
+    imgs = [rs.randint(0, 256, (128, 128)).astype(np.uint8) for _ in range(10)]
+    results = [None] * 10
+
+    def call(i):
+        results[i] = batcher.submit(imgs[i], timeout_s=120)
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(10)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    assert all(r is not None and "pred" in r for r in results), results
+    # spot-check one against the host head
+    feats = engine.run_batch(np.stack(imgs[:1]))
+    idx, conf, probs = classify_np(feats, model.fc_weight, model.fc_bias)
+    assert results[0]["pred"] == int(idx[0])
+    batcher.stop()

@@ -90,7 +90,43 @@ class DynamicBatcher:
                 break
         return batch
 
+    def _fan_out(self, batch, res):
+        for i, p in enumerate(batch):
+            idx = int(res.pred[i])
+            p.result = {
+                "pred": idx,
+                "name": self.class_names[idx],
+                "conf": float(res.conf[i]),
+                "probs": [float(v) for v in res.probs[i]],
+                "bbox": [int(v) for v in res.bbox[i]],
+            }
+            p.event.set()
+
+    def _fail(self, batch, e):
+        for p in batch:
+            p.result = {"error": f"{type(e).__name__}: {e}"}
+            p.event.set()
+
+    def _record(self, n, t0):
+        dt = (time.perf_counter() - t0) * 1e3
+        with self._lock:
+            s = self.stats
+            s["requests"] += n
+            s["batches"] += 1
+            s["batch_ms_ema"] = 0.8 * s["batch_ms_ema"] + 0.2 * dt
+            s["mean_batch_size"] = s["requests"] / s["batches"]
+
     def _worker(self):
+        """Dispatch loop. With an async-capable engine, batches are
+        dispatched without blocking and resolved by the collector thread —
+        several batches overlap on device (the bench.py pipeline pattern).
+        Host engines fall back to synchronous dispatch."""
+        is_async = hasattr(self.engine, "detect_batch_async")
+        if is_async:
+            self._inflight: queue.Queue = queue.Queue(maxsize=4)
+            self._collector = threading.Thread(target=self._collect_loop,
+                                               daemon=True)
+            self._collector.start()
         while self.running:
             batch = self._collect()
             if not batch:
@@ -98,28 +134,28 @@ class DynamicBatcher:
             t0 = time.perf_counter()
             images = np.stack([p.image for p in batch])
             try:
-                res = self.engine.detect_batch(images)
-                for i, p in enumerate(batch):
-                    idx = int(res.pred[i])
-                    p.result = {
-                        "pred": idx,
-                        "name": self.class_names[idx],
-                        "conf": float(res.conf[i]),
-                        "probs": [float(v) for v in res.probs[i]],
-                        "bbox": [int(v) for v in res.bbox[i]],
-                    }
+                if is_async:
+                    handle = self.engine.detect_batch_async(images)
+                    self._inflight.put((batch, handle, t0))
+                else:
+                    res = self.engine.detect_batch(images)
+                    self._fan_out(batch, res)
+                    self._record(len(batch), t0)
             except Exception as e:  # fan the failure out, keep serving
-                for p in batch:
-                    p.result = {"error": f"{type(e).__name__}: {e}"}
-            for p in batch:
-                p.event.set()
-            dt = (time.perf_counter() - t0) * 1e3
-            with self._lock:
-                s = self.stats
-                s["requests"] += len(batch)
-                s["batches"] += 1
-                s["batch_ms_ema"] = 0.8 * s["batch_ms_ema"] + 0.2 * dt
-                s["mean_batch_size"] = s["requests"] / s["batches"]
+                self._fail(batch, e)
+
+    def _collect_loop(self):
+        while self.running:
+            try:
+                batch, handle, t0 = self._inflight.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            try:
+                res = self.engine.detect_resolve(handle)
+                self._fan_out(batch, res)
+                self._record(len(batch), t0)
+            except Exception as e:
+                self._fail(batch, e)
 
     def stop(self):
         self.running = False

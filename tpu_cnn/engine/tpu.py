@@ -197,6 +197,24 @@ class TPUEngine:
         read_ms = (time.perf_counter() - t1) * 1e3
         return host, conv_ms, read_ms
 
+    def detect_batch_async(self, images: np.ndarray):
+        """Dispatch a fused-detect batch without blocking; returns an opaque
+        handle for :meth:`detect_resolve`. Multiple handles may be in flight —
+        the device pipeline overlaps them (the bench.py pattern, exposed for
+        the serving layer)."""
+        images = np.asarray(images, np.uint8)
+        dev, b = self._pad_batch(images)
+        _, pred, conf, probs, bbox = self._detect(dev, self._shifts_dev)
+        for a in (pred, conf, probs, bbox):
+            a.copy_to_host_async()
+        return (pred, conf, probs, bbox, b)
+
+    def detect_resolve(self, handle) -> DetectResult:
+        pred, conf, probs, bbox, b = handle
+        self._wait((pred, conf, probs, bbox))
+        pred, conf, probs, bbox = jax.device_get((pred, conf, probs, bbox))
+        return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
+
     def run_batch_pooled(self, images: np.ndarray) -> np.ndarray:
         """(B, S, S) u8 -> (B, C*16) f32 spatial-bin-pooled features.
 
