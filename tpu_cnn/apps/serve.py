@@ -132,7 +132,12 @@ class DynamicBatcher:
             if not batch:
                 continue
             t0 = time.perf_counter()
-            images = np.stack([p.image for p in batch])
+            # Pad every device batch to the fixed max_batch shape: one
+            # compiled executable instead of one per power-of-two bucket
+            # (bucket churn stalls serving for minutes per new size).
+            images = np.zeros((self.max_batch, *batch[0].image.shape), np.uint8)
+            for i, p in enumerate(batch):
+                images[i] = p.image
             try:
                 if is_async:
                     handle = self.engine.detect_batch_async(images)
@@ -218,7 +223,7 @@ def build_service(artifacts_dir: str, mode: str = "auto",
 
     engine = make_engine(model, mode)
     if hasattr(engine, "warmup"):
-        engine.warmup(batch=1)
+        engine.warmup(batch=max_batch)  # compile the single serving shape
     if not hasattr(engine, "detect_batch"):
         # CPU oracle engine: adapt via host head
         engine = _HostDetectAdapter(engine, model)
