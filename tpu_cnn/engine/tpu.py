@@ -51,8 +51,9 @@ def _round_up_pow2(n: int, floor: int = 1) -> int:
 class TPUEngine:
     """Batched inference engine for the FpgaCNN contract on TPU.
 
-    ``backend``: 'xla' (lax conv, f32-exact), 'pallas' (fused Pallas kernels),
-    or 'auto' (pallas on TPU if available, else xla). All backends are
+    ``backend``: 'xla' (lax conv, f32-exact), 'pallas' (fused Pallas int8
+    kernels), 'hybrid' (Pallas layer 0 + XLA deeper layers — fastest
+    measured), or 'auto' (hybrid on TPU, xla on CPU). All backends are
     bit-parity-tested against the host oracles.
     """
 
