@@ -226,3 +226,42 @@ def test_tune_shifts_smoke(artifact_dir):
     best, results = tune(model, mode="cpu", n_per_class=6, radius=0,
                          head_epochs=50, verbose=False)
     assert best == (2, 4, 6) and len(results) == 1
+
+
+def test_image_decode_paths(tmp_path):
+    """PIL decode branches: load_image_any on .png, serve.decode_image on
+    encoded bytes, infer CLI on a non-.bin image."""
+    from PIL import Image
+
+    from tpu_cnn.apps.serve import decode_image
+    from tpu_cnn.utils.artifacts import load_image_any
+
+    rs = np.random.RandomState(0)
+    arr = rs.randint(0, 256, (200, 300), dtype=np.uint8)
+    png = str(tmp_path / "t.png")
+    Image.fromarray(arr).save(png)
+
+    flat = load_image_any(png)
+    assert flat.shape == (128 * 128,) and flat.dtype == np.uint8
+
+    with open(png, "rb") as f:
+        body = f.read()
+    img = decode_image(body)
+    assert img.shape == (128, 128) and img.dtype == np.uint8
+
+    raw = decode_image(arr[:128, :128].tobytes())
+    np.testing.assert_array_equal(raw, arr[:128, :128])
+
+
+def test_infer_cli_png(artifact_dir, tmp_path, capsys):
+    from PIL import Image
+
+    from tpu_cnn.apps import infer
+
+    rs = np.random.RandomState(1)
+    png = str(tmp_path / "photo.png")
+    Image.fromarray(rs.randint(0, 256, (128, 128), dtype=np.uint8)).save(png)
+    infer.main(["--artifacts", artifact_dir, "--image", png, "--mode", "cpu"])
+    out = capsys.readouterr().out
+    assert "Prediction:" in out
+    assert os.path.exists(str(tmp_path / "photo_result.jpg"))
