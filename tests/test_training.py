@@ -136,3 +136,31 @@ def test_end_to_end_training_and_reload(tmp_path):
     idx, conf, probs = classify_np(feats, model.fc_weight, model.fc_bias)
     acc = (idx == labels[:36]).mean()
     assert acc > 1.0 / 6 + 0.1, f"accuracy {acc} barely above chance"
+
+
+def test_variant_training_end_to_end(tmp_path):
+    """Train->export->reload on a non-stock variant (lyr2-small): the whole
+    stack must be geometry-generic, not hardcoded to the flagship."""
+    from tpu_cnn.engine.cpu_ref import CPURefEngine
+    from tpu_cnn.models.registry import get_config
+
+    vc = get_config("lyr2-small")
+    cfg = TrainConfig(layer_configs=vc.layer_configs, epochs=1,
+                      batch_size=16, head_epochs=20)
+    ds = D.SyntheticShapes(n_per_class=6, img_size=vc.img_size)
+    imgs, labels = ds.arrays()
+    out = str(tmp_path / "variant")
+    train(cfg, (imgs[6:], labels[6:]), (imgs[:6], labels[:6]), out,
+          class_names=ds.class_names, verbose=False)
+
+    import os
+
+    assert os.path.getsize(os.path.join(out, "weights.bin")) == vc.weight_bytes()
+    from tpu_cnn.utils import artifacts as art
+    from tpu_cnn.utils.weights import decode_weights
+
+    blob = np.fromfile(os.path.join(out, "weights.bin"), np.int8)
+    kernels = decode_weights(blob, vc.layer_configs)
+    eng = CPURefEngine(kernels, shifts=(2, 4), use_native=False)
+    feats = eng.run_batch(np.round(imgs[:2] * 255).astype(np.uint8))
+    assert feats.shape == (2, 32, 16 * 16)

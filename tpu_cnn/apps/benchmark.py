@@ -38,6 +38,52 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
     return dt
 
 
+def bench_camera_pipeline(model: FpgaCNN, mode: str, batch: int, runs: int,
+                          cam_w: int, cam_h: int):
+    """Raw (B, H, W, 3) camera frames -> boxes, everything on device: fused
+    preprocess (center-crop/gray/area-resize) + CNN + head. Frames staged in
+    HBM; async-pipelined like bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_cnn.ops import detect_head, pallas_int8, quant
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    kernels = [jnp.asarray(k) for k in model.kernels]
+    shifts = jnp.asarray(model.shifts, jnp.int32)
+    fc_w = jnp.asarray(model.fc_weight)
+    fc_b = jnp.asarray(model.fc_bias)
+    fwd = (pallas_int8.cnn_forward_hybrid if mode in ("auto", "hybrid")
+           else pallas_int8.cnn_forward_pallas if mode == "pallas"
+           else quant.cnn_forward)
+
+    chunk = min(512, batch)
+
+    @jax.jit
+    def pipeline(frames):
+        small = preprocess_frames(frames)
+        xs = small.reshape(small.shape[0] // chunk, chunk, 128, 128)
+        feats = jax.lax.map(lambda c: fwd(c, kernels, shifts), xs).reshape(
+            small.shape[0], model.config.out_channels, -1
+        )
+        pred, conf, probs, bbox = detect_head.detect(
+            feats, fc_w, fc_b, model.head_mode, model.config.img_size
+        )
+        return pred, conf, bbox
+
+    rng = np.random.RandomState(0)
+    pools = [
+        jnp.asarray(rng.randint(0, 256, (batch, cam_h, cam_w, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    jax.block_until_ready(pools)
+    jax.block_until_ready(pipeline(pools[0]))
+    t0 = time.perf_counter()
+    outs = [pipeline(pools[i % 2]) for i in range(runs)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / runs
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN benchmark")
     p.add_argument("--artifacts", default=None)
@@ -47,6 +93,13 @@ def main(argv=None):
                    help="comma list of: xla, pallas, hybrid, cpu")
     p.add_argument("--detect", action="store_true",
                    help="benchmark the fused detect pipeline (default: features)")
+    p.add_argument("--camera-pipeline", action="store_true",
+                   help="benchmark the FULL camera pipeline: on-device "
+                        "(B, H, W, 3) preprocess (crop/gray/resize) fused "
+                        "with detect — raw frames to boxes")
+    p.add_argument("--cam-res", default="640x480")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the measured loop")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -69,6 +122,20 @@ def main(argv=None):
     images = rng.randint(0, 256, size=(args.batch, 128, 128)).astype(np.uint8)
 
     from tpu_cnn.apps.infer import make_engine
+
+    if args.camera_pipeline:
+        cam_w, cam_h = (int(v) for v in args.cam_res.split("x"))
+        mode = args.modes.split(",")[0].strip()
+        from tpu_cnn.utils.profiling import jax_trace
+
+        with jax_trace(args.trace_dir):
+            dt = bench_camera_pipeline(model, mode, args.batch, args.runs,
+                                       cam_w, cam_h)
+        fps = args.batch / dt
+        print(f"\n  camera pipeline ({cam_w}x{cam_h}x3 -> boxes, {mode}): "
+              f"{dt * 1e3:9.3f} ms/batch{args.batch}  {fps:12,.0f} FPS  "
+              f"({fps / FPGA_FPS:,.0f}x reference)")
+        return {"camera_pipeline": fps}
 
     results = {}
     for mode in args.modes.split(","):

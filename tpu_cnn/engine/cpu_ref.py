@@ -19,7 +19,7 @@ from typing import Sequence
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, LAYER_CONFIGS, ACCUM_BITS
+from tpu_cnn.models.cnn import DEFAULT_SHIFTS, ACCUM_BITS
 
 
 def wrap_accum_np(x: np.ndarray, bits: int = ACCUM_BITS) -> np.ndarray:
@@ -49,15 +49,15 @@ def numpy_conv_layer(
 
 
 def numpy_cnn_forward(
-    image: np.ndarray,  # (128, 128) or flat uint8
+    image: np.ndarray,  # (S, S) or flat uint8
     kernels: Sequence[np.ndarray],
     shifts: Sequence[int] = DEFAULT_SHIFTS,
     accum_wrap: bool = False,
-    layer_configs=LAYER_CONFIGS,
+    layer_configs=None,  # kept for API compat; geometry comes from the image
 ) -> np.ndarray:
-    """Full forward for one image. Returns (oc, S*S) uint8 — the same
+    """Full forward for one image. Returns (oc, S'*S') uint8 — the same
     (64, 256) layout the reference reads back over AXI-Lite."""
-    size = layer_configs[0][2]
+    size = int(round(np.asarray(image).size ** 0.5))
     x = np.asarray(image, dtype=np.uint8).reshape(1, size, size)
     for k, s in zip(kernels, shifts):
         x = numpy_conv_layer(x, k, int(s), accum_wrap=accum_wrap)
