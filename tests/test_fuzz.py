@@ -1,0 +1,96 @@
+"""Property fuzzing: random geometries, seeds, and shifts across every
+host/device implementation pair — the widest net for contract drift."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_cnn.engine.cpu_ref import numpy_cnn_forward, numpy_conv_layer
+from tpu_cnn.ops import quant
+from tpu_cnn.utils import weights as wc
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_layer_geometries(seed):
+    rs = np.random.RandomState(seed)
+    ic = int(rs.choice([1, 3, 8, 16, 32]))
+    oc = int(rs.choice([16, 32, 48, 64]))
+    size = int(rs.choice([8, 16, 32]))
+    shift = int(rs.randint(0, 12))
+    x = rs.randint(0, 256, size=(2, size, size, ic)).astype(np.uint8)
+    k = rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+    got = np.asarray(
+        quant.fixed_point_conv_layer(jnp.asarray(x), jnp.asarray(k), jnp.int32(shift))
+    )
+    for b in range(2):
+        want = numpy_conv_layer(x[b].transpose(2, 0, 1), k, shift)
+        np.testing.assert_array_equal(got[b].transpose(2, 0, 1), want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_full_net_vs_native(seed):
+    from tpu_cnn.native.oracle import NativeOracle
+
+    rs = np.random.RandomState(100 + seed)
+    # random 2-4 layer ladder with 16-multiple output channels
+    n_layers = int(rs.randint(2, 5))
+    size = 16 * (2 ** (n_layers - 1))
+    ic = 1
+    cfgs = []
+    for _ in range(n_layers):
+        oc = 16 * int(rs.randint(1, 5))
+        cfgs.append((ic, oc, size))
+        ic, size = oc, size // 2
+    kernels = [
+        rs.randint(-127, 128, size=(oc, icc, 3, 3)).astype(np.int8)
+        for icc, oc, _ in cfgs
+    ]
+    shifts = [int(rs.randint(0, 10)) for _ in cfgs]
+    img = rs.randint(0, 256, size=(cfgs[0][2], cfgs[0][2])).astype(np.uint8)
+
+    a = numpy_cnn_forward(img, kernels, shifts=shifts)
+    b = NativeOracle().infer(img, kernels, shifts)
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(
+        quant.cnn_forward(
+            jnp.asarray(img[None]),
+            [jnp.asarray(k) for k in kernels],
+            jnp.asarray(shifts, jnp.int32),
+        )
+    )[0]
+    np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_weights_codec(seed):
+    rs = np.random.RandomState(200 + seed)
+    n_layers = int(rs.randint(1, 5))
+    cfgs, ic = [], int(rs.choice([1, 4, 16]))
+    for _ in range(n_layers):
+        oc = 16 * int(rs.randint(1, 9))
+        cfgs.append((ic, oc, 0))
+        ic = oc
+    kernels = [
+        rs.randint(-128, 128, size=(oc, icc, 3, 3)).astype(np.int8)
+        for icc, oc, _ in cfgs
+    ]
+    blob = wc.encode_weights(kernels)
+    back = wc.decode_weights(np.frombuffer(blob, np.int8), cfgs)
+    for a, b in zip(kernels, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fuzz_extreme_shifts(stock_kernels, ramp_image):
+    """Shift 0 (max saturation) and shift 20 (all zeros) corner cases."""
+    hot = numpy_cnn_forward(ramp_image, stock_kernels, shifts=(0, 0, 0))
+    cold = numpy_cnn_forward(ramp_image, stock_kernels, shifts=(20, 20, 20))
+    assert (cold == 0).all()
+    got_hot = np.asarray(
+        quant.cnn_forward(
+            jnp.asarray(ramp_image[None]),
+            [jnp.asarray(k) for k in stock_kernels],
+            jnp.asarray([0, 0, 0], jnp.int32),
+        )
+    )[0]
+    np.testing.assert_array_equal(got_hot, hot)
