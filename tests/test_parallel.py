@@ -85,3 +85,19 @@ def test_mesh_engine_protocol(stock_kernels, rng):
     assert res.pred.shape == (5,) and res.bbox.shape == (5, 4)
     feat1, ms, _ = eng.run(imgs[0])
     np.testing.assert_array_equal(feat1, feats[0])
+
+
+def test_make_engine_mesh_mode(stock_kernels, rng):
+    """--mode mesh from the app surface returns a MeshEngine over all local
+    devices with the standard engine protocol."""
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.parallel.mesh import MeshEngine
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.05
+    model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
+    eng = make_engine(model, "mesh")
+    assert isinstance(eng, MeshEngine)
+    imgs = rng.randint(0, 256, size=(4, 128, 128)).astype(np.uint8)
+    feats = eng.run_batch(imgs)
+    np.testing.assert_array_equal(feats[1], numpy_cnn_forward(imgs[1], stock_kernels))

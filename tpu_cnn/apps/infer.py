@@ -28,10 +28,17 @@ from tpu_cnn.utils import artifacts as art
 
 
 def make_engine(model: FpgaCNN, mode: str):
+    """The engine swap (reference --mode fpga|arm, realtime_detect.py:556):
+    cpu = host oracle, mesh = all local chips data-parallel, otherwise
+    TPUEngine with the named compute backend."""
     if mode == "cpu":
         from tpu_cnn.engine.cpu_ref import CPURefEngine
 
         return CPURefEngine(model.kernels, model.shifts)
+    if mode == "mesh":
+        from tpu_cnn.parallel.mesh import MeshEngine
+
+        return MeshEngine(model)
     from tpu_cnn.engine.tpu import TPUEngine
 
     return TPUEngine(model, backend=mode if mode in ("xla", "pallas", "hybrid") else "auto")
@@ -100,7 +107,7 @@ def main(argv=None):
     p.add_argument("--head-prefix", default="", help="e.g. 'arm_' for engine-specific head")
     p.add_argument("--image", default=None, help="single image (.bin/.jpg/.png)")
     p.add_argument("--image-dir", default=None, help="directory of test_image_*.bin")
-    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "cpu"])
+    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"])
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
     p.add_argument("--dump-features", action="store_true")
