@@ -2,13 +2,14 @@
 
 This is the TPU-native re-expression of the reference's RTL datapath
 (``rtl/core/``): line_buffer + sliding_window -> shifted tap views in VMEM;
-16x conv_core MACs -> MXU matmul (VPU tap-FMA for the single-input-channel
-first layer); accumulator BRAM -> the matmul accumulator; ReLU + shift ->
-fused epilogue. The 2x2 max_pooling_engine runs as an XLA fusion between
-kernels (bandwidth-trivial, and Mosaic lacks lane-pair reductions).
+16x conv_core MACs -> one int8 MXU matmul; accumulator BRAM -> the int32
+matmul accumulator; ReLU + shift -> fused epilogue. The 2x2
+max_pooling_engine runs as an XLA fusion between kernels (bandwidth-trivial,
+and Mosaic lacks lane-pair reductions).
 
-Math: f32 throughout, which is *bit-exact* for this contract because every
-partial sum is an integer below 2^24 (see ``ops.quant`` module docstring).
+Math: pure integer end to end (int8 taps via zero-point shift, int8 weights,
+int32 accumulate + exact host-precomputed correction) — bit-exact by
+construction; see ``_kernel_body_mxu``.
 
 One kernel shape for every layer, driven by Mosaic's 2D-native layout rules
 (last two dims of every block must be (8k, 128k)-divisible or span the
