@@ -338,24 +338,37 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="path for per-epoch .npz checkpoints")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--variant", default="lyr3-std",
+                   help="model variant from models.registry (geometry)")
     args = p.parse_args(argv)
 
-    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size, lr=args.lr)
+    from tpu_cnn.models.registry import default_shifts, get_config
+
+    vcfg = get_config(args.variant)
+    cfg = TrainConfig(
+        layer_configs=vcfg.layer_configs,
+        shifts=tuple(default_shifts(vcfg)),
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+    )
     from tpu_cnn.train import data as D
 
+    img_size = cfg.layer_configs[0][2]
     if args.image_folder:
-        ds = D.ImageFolderDataset(args.image_folder, max_per_class=args.max_per_class)
+        ds = D.ImageFolderDataset(args.image_folder, img_size=img_size,
+                                  max_per_class=args.max_per_class)
         imgs, labels = ds.arrays()
         names = ds.class_names
     elif args.train_images and args.train_ann:
         ds = D.CocoClassification(args.train_images, args.train_ann,
+                                  img_size=img_size,
                                   max_per_class=args.max_per_class)
         imgs, labels = ds.arrays()
         names = ds.class_names
     else:
         if not args.synthetic:
             print("No dataset given — using --synthetic shapes.")
-        ds = D.SyntheticShapes(n_per_class=max(50, args.max_per_class // 25))
+        ds = D.SyntheticShapes(n_per_class=max(50, args.max_per_class // 25),
+                               img_size=img_size)
         imgs, labels = ds.arrays()
         names = ds.class_names
 
