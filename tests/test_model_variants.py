@@ -105,3 +105,25 @@ def test_registry_names():
     assert "lyr3-std" in REGISTRY
     with pytest.raises(KeyError):
         get_config("nope")
+
+
+def test_infer_cli_variant(tmp_path, rng, capsys):
+    """The infer CLI drives non-stock geometries end to end via --variant."""
+    from tpu_cnn.apps import infer
+    from tpu_cnn.models.registry import get_config
+    from tpu_cnn.utils import artifacts as art
+
+    cfg = get_config("lyr3-tiny")  # 32x32 input
+    kernels = make_kernels(cfg, rng)
+    art.save_bundle(tmp_path, art.ArtifactBundle(
+        kernels,
+        rng.randn(6, cfg.out_channels).astype(np.float32) * 0.1,  # GAP head
+        np.zeros(6, np.float32),
+        list(CLASS_NAMES),
+    ))
+    img = rng.randint(0, 256, cfg.img_size * cfg.img_size).astype(np.uint8)
+    img.tofile(str(tmp_path / "test_image_0_class2.bin"))
+    infer.main(["--artifacts", str(tmp_path), "--variant", "lyr3-tiny",
+                "--mode", "cpu", "--no-save", "--image-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "Accuracy:" in out and "[gap head]" in out

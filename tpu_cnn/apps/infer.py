@@ -44,12 +44,12 @@ def make_engine(model: FpgaCNN, mode: str):
     return TPUEngine(model, backend=mode if mode in ("xla", "pallas", "hybrid") else "auto")
 
 
-def annotate_and_save(image_flat, bbox, label, out_path):
+def annotate_and_save(image_flat, bbox, label, out_path, img_size=128):
     """Green bbox + label band, reference-identical output format
     (``pynq_inference.py:467-491``)."""
     from PIL import Image, ImageDraw
 
-    gray = image_flat.reshape(128, 128)
+    gray = image_flat.reshape(img_size, img_size)
     rgb = np.stack([gray, gray, gray], axis=2)
     img = Image.fromarray(rgb, "RGB")
     draw = ImageDraw.Draw(img)
@@ -62,16 +62,18 @@ def annotate_and_save(image_flat, bbox, label, out_path):
 
 
 def run_inference(engine, model, image_path, verbose=True, save_output=True):
-    image = art.load_image_any(image_path)
+    size = model.config.img_size
+    image = art.load_image_any(image_path, img_size=size)
     feat, conv_ms, read_ms = engine.run(image)
 
     idx, name, conf, probs = classify_host.classify_np(
         feat, model.fc_weight, model.fc_bias, model.class_names
     )
     if model.head_mode == "bins":
-        _, bbox = cam_host.cam_bbox_hires(feat, idx, model.fc_weight)
+        _, bbox = cam_host.cam_bbox_hires(feat, idx, model.fc_weight,
+                                          img_size=size)
     else:
-        bbox = (0, 0, 127, 127)
+        bbox = (0, 0, size - 1, size - 1)
 
     if verbose:
         base = os.path.basename(image_path)
@@ -92,7 +94,8 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True):
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(image_path)), f"{stem}_result.jpg"
         )
-        annotate_and_save(image, bbox, f"{name} {conf:.0%}", out_path)
+        annotate_and_save(image, bbox, f"{name} {conf:.0%}", out_path,
+                          img_size=size)
         if verbose:
             print(f"  Output:     {out_path}")
 
@@ -111,20 +114,29 @@ def main(argv=None):
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
     p.add_argument("--dump-features", action="store_true")
+    p.add_argument("--variant", default="lyr3-std",
+                   help="model geometry from models.registry")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
     args.artifacts = args.artifacts or default_artifacts()
 
-    shifts = [int(s) for s in args.shifts.split(",")]
-    assert len(shifts) == 3
+    from tpu_cnn.models.registry import default_shifts, get_config
+
+    config = get_config(args.variant)
+    if args.shifts == ",".join(map(str, DEFAULT_SHIFTS)) and args.variant != "lyr3-std":
+        shifts = default_shifts(config)
+    else:
+        shifts = [int(s) for s in args.shifts.split(",")]
+    assert len(shifts) == len(config.layer_configs)
 
     print("=" * 60)
     print("  TPU CNN — INFERENCE")
     print("=" * 60)
-    bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix)
+    bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix,
+                             layer_configs=config.layer_configs)
     model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=shifts)
+                    bundle.class_names, shifts=shifts, config=config)
     engine = make_engine(model, args.mode)
     print(f"Engine: {type(engine).__name__} ({getattr(engine, 'backend', '?')})")
     print(f"Classifier: {len(model.class_names)} classes — {model.class_names} "

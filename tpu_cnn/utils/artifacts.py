@@ -36,15 +36,22 @@ FC_BIAS = "fc_bias.npy"
 CLASSES = "classes.json"
 
 
-def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "") -> ArtifactBundle:
+def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
+                layer_configs=None) -> ArtifactBundle:
     """Load a full artifact bundle from a directory.
 
     ``prefix`` selects an engine-specific head, e.g. ``arm_`` ->
     arm_fc_weight.npy (reference ``software/retrain_classifier.py:139-140``,
-    ``software/realtime_detect.py:520-539``).
+    ``software/realtime_detect.py:520-539``). ``layer_configs`` selects a
+    non-stock geometry (models.registry variants).
     """
     d = os.fspath(artifact_dir)
-    kernels = weights_codec.load_weights_bin(os.path.join(d, WEIGHTS_BIN))
+    if layer_configs is not None:
+        kernels = weights_codec.load_weights_bin(
+            os.path.join(d, WEIGHTS_BIN), layer_configs
+        )
+    else:
+        kernels = weights_codec.load_weights_bin(os.path.join(d, WEIGHTS_BIN))
     fc_w = np.load(os.path.join(d, prefix + FC_WEIGHT)).astype(np.float32)
     fc_b = np.load(os.path.join(d, prefix + FC_BIAS)).astype(np.float32)
     classes_path = os.path.join(d, CLASSES)

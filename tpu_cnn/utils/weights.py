@@ -74,10 +74,13 @@ def encode_weights(kernels: Sequence[np.ndarray]) -> bytes:
     return np.concatenate(parts).tobytes()
 
 
-def load_weights_bin(path: str | os.PathLike) -> list[np.ndarray]:
+def load_weights_bin(
+    path: str | os.PathLike,
+    layer_configs: Sequence[tuple[int, int, int]] = LAYER_CONFIGS,
+) -> list[np.ndarray]:
     """Load and decode a weights.bin file (23,184 bytes for the stock net)."""
     blob = np.fromfile(os.fspath(path), dtype=np.int8)
-    return decode_weights(blob)
+    return decode_weights(blob, layer_configs)
 
 
 def save_weights_bin(path: str | os.PathLike, kernels: Sequence[np.ndarray]) -> None:
