@@ -100,3 +100,23 @@ def test_hybrid_forward_parity(stock_kernels, rng):
     )
     for b in range(2):
         np.testing.assert_array_equal(got[b], numpy_cnn_forward(imgs[b], stock_kernels))
+
+
+def test_polyphase_megakernel_interpret_parity(stock_kernels, rng):
+    """Polyphase megakernel (ops.pallas_poly): whole net in one kernel,
+    bit-exact vs the oracle (interpret mode; hardware parity in verify)."""
+    from tpu_cnn.ops.pallas_poly import cnn_forward_polyphase_pallas
+
+    imgs = rng.randint(0, 256, size=(3, 128, 128)).astype(np.uint8)  # pads to 4
+    got = np.asarray(
+        cnn_forward_polyphase_pallas(
+            jnp.asarray(imgs),
+            [jnp.asarray(k) for k in stock_kernels],
+            jnp.asarray([1, 3, 5], jnp.int32),
+            interpret=True,
+        )
+    )
+    for b in range(3):
+        np.testing.assert_array_equal(
+            got[b], numpy_cnn_forward(imgs[b], stock_kernels, shifts=(1, 3, 5))
+        )

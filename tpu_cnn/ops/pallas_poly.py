@@ -1,0 +1,226 @@
+"""Polyphase megakernel: the ENTIRE network in one Pallas kernel, for real.
+
+Port of the validated numpy blueprint in ``ops.polyphase_ref`` (see its
+docstring for the derivation; tests/test_polyphase.py proves the algebra
+bit-exact). The image lives as a 2^L x 2^L phase-blocked flat row with whole
+256-lane phase blocks, which makes every constituent expressible in
+Mosaic-legal primitives — all individually verified on hardware:
+
+  taps      global lane rolls (one per (sy, sx) block-carry) + iota masks
+  conv      one block-diagonal int8 MXU matmul per layer per batch tile
+            (zero-point-shifted taps + exact int32 correction)
+  pool      3 lane rolls + elementwise max + (g/2)^2 whole-block copies
+  layers    chained through VMEM scratch; activations never touch HBM
+
+HBM per image: 16 KB in + 16 KB out. The phase split/merge are free XLA
+transposes outside the kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_cnn.ops.pallas_int8 import _interpret_default
+
+
+def _roll(v, k, lanes):
+    """out[l] = v[l + k] (matching np.roll(v, -k)); pltpu.roll needs a
+    non-negative left shift."""
+    return pltpu.roll(v, (lanes - k) % lanes, axis=1)
+
+
+def _tap_variants(g: int, ay: int, ax: int):
+    """Static (roll_amount, sy, sx) list for a tap's block-carry cases."""
+    out = []
+    for sy in sorted({(ry + ay) // g for ry in range(g)}):
+        for sx in sorted({(rx + ax) // g for rx in range(g)}):
+            out.append((sy, sx))
+    return out
+
+
+def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
+    """Stage the 9 zero-point-shifted taps of x_i32 (rows, lanes; uint8
+    values widened — this Mosaic build miscompiles 8-bit rolls) into xs_ref
+    int8 rows, (tap, row)-major. Invalid positions stage a=0, which the
+    XOR-0x80 shift turns into -128. Masks come from in-kernel iota (Pallas
+    forbids captured constants)."""
+    m = t * t
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    blk = p // m
+    ry, rx = blk // g, blk % g
+    inb = p % m
+    Y, X = inb // t, inb % t
+
+    for i, (dy, dx) in enumerate((a, b) for a in range(3) for b in range(3)):
+        ay, ax = dy - 1, dx - 1
+        yy = g * Y + ry + ay
+        xx = g * X + rx + ax
+        valid = (yy >= 0) & (yy < g * t) & (xx >= 0) & (xx < g * t)
+        tap = jnp.zeros((rows, lanes), jnp.int32)
+        for sy, sx in _tap_variants(g, ay, ax):
+            sel = ((ry + ay) // g == sy) & ((rx + ax) // g == sx)
+            r = (ay - g * sy) * g * m + (ax - g * sx) * m + sy * t + sx
+            rolled = _roll(x_i32, r, lanes)
+            tap = jnp.where(sel & valid, rolled, tap)
+        tap_u8 = tap.astype(jnp.uint8)  # values in [0, 255]
+        xs_ref[i * rows : (i + 1) * rows, :] = pltpu.bitcast(
+            tap_u8 ^ jnp.uint8(0x80), jnp.int8
+        )
+
+
+def _pool_blocks(act_i32, g, t, rows):
+    """(rows, g*g*m) i32 -> pooled blocks via 3 rolls + max + whole-block
+    compaction (returned as a list of block values to store). i32 because
+    8-bit rolls miscompile on this Mosaic build."""
+    m = t * t
+    lanes = g * g * m
+    u = act_i32
+    for by, bx in ((0, 1), (1, 0), (1, 1)):
+        u = jnp.maximum(u, _roll(act_i32, (by * g + bx) * m, lanes))
+    blocks = []
+    g2 = g // 2
+    for ry2 in range(g2):
+        for rx2 in range(g2):
+            src = (2 * ry2) * g + (2 * rx2)
+            blocks.append(jax.lax.slice(u, (0, src * m), (rows, (src + 1) * m)))
+    return blocks
+
+
+def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t):
+    n_layers = len(layer_params)
+    k_refs = rest[:n_layers]
+    corr_refs = rest[n_layers : 2 * n_layers]
+    out_ref = rest[2 * n_layers]
+    xs_refs = rest[2 * n_layers + 1 : 3 * n_layers + 1]
+    act_refs = rest[3 * n_layers + 1 :]  # inter-layer phase rows (u8)
+
+    m = t * t
+    g0 = layer_params[0][2]
+    x_u8 = x_ref[:].reshape(tb, g0 * g0 * m)  # (tb, lanes0); ic0 == 1
+
+    for li, (ic, oc, g) in enumerate(layer_params):
+        lanes = g * g * m
+        rows = tb * ic
+        cur_u8 = x_u8 if li == 0 else act_refs[li - 1][:]
+        x_i32 = cur_u8.astype(jnp.int32)
+        _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes)
+        acc = jnp.dot(k_refs[li][:], xs_refs[li][:],
+                      preferred_element_type=jnp.int32)
+        acc = acc + corr_refs[li][:]
+        act = jnp.clip(jnp.right_shift(acc, shift_ref[li]), 0, 255)
+        blocks = _pool_blocks(act, g, t, tb * oc)  # i32 blocks
+        target = out_ref if li == n_layers - 1 else act_refs[li]
+        for d, b in enumerate(blocks):
+            target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
+
+
+def _pack_blockdiag_poly(kernel: jax.Array, tb: int):
+    """(oc, ic, 3, 3) int8 -> block-diag (tb*oc, 9*tb*ic) int8 + (tb*oc, 1)
+    int32 zero-point correction. Staged rows are (tap, img, ic)-major.
+    Traceable (jnp) so it folds to a constant under jit."""
+    oc, ic = kernel.shape[:2]
+    k_toc = jnp.transpose(kernel.astype(jnp.float32), (0, 2, 3, 1)).reshape(oc, 9, ic)
+    w = jnp.zeros((tb, oc, 9, tb, ic), jnp.float32)
+    idx = jnp.arange(tb)
+    w = w.at[idx, :, :, idx, :].set(jnp.broadcast_to(k_toc, (tb, oc, 9, ic)))
+    w2d = w.reshape(tb * oc, 9 * tb * ic)
+    corr = (128.0 * w2d.sum(axis=1, keepdims=True)).astype(jnp.int32)
+    return w2d.astype(jnp.int8), corr
+
+
+def phase_split_batch(images: jax.Array, g: int) -> jax.Array:
+    """(B, S, S) u8 -> (B, 1, g*g*(S/g)^2) phase-blocked rows (XLA side)."""
+    b, s, _ = images.shape
+    t = s // g
+    v = images.reshape(b, t, g, t, g).transpose(0, 2, 4, 1, 3)
+    return v.reshape(b, 1, g * g * t * t)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def cnn_forward_polyphase_pallas(
+    images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
+    kernels: Sequence[jax.Array],
+    shifts: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
+    same layout contract as ``ops.quant.cnn_forward`` (the final single
+    phase's flat (Y, X) order IS the feature layout)."""
+    if images.ndim == 4:
+        images = images[..., 0]
+    b, s, _ = images.shape
+    if interpret is None:
+        interpret = _interpret_default()
+
+    n_layers = len(kernels)
+    g0 = 2**n_layers
+    t = s // g0
+    m = t * t
+
+    layer_params = []  # (ic, oc, g at layer input)
+    g = g0
+    for k in kernels:
+        oc, ic = np.asarray(k.shape[:2], int)
+        layer_params.append((int(ic), int(oc), g))
+        g //= 2
+    oc_last = layer_params[-1][1]
+
+    # batch tile: VMEM budget ~ xs0 int8 (9*tb, lanes0) + acc int32
+    tb = 4
+    pb = b
+    if b % tb:
+        pb = ((b + tb - 1) // tb) * tb
+        images = jnp.concatenate(
+            [images, jnp.zeros((pb - b, s, s), images.dtype)], axis=0
+        )
+
+    x_rows = phase_split_batch(images, g0)
+
+    kmats, corrs = [], []
+    for k, (ic, oc, g) in zip(kernels, layer_params):
+        km, co = _pack_blockdiag_poly(k, tb)
+        kmats.append(km)
+        corrs.append(co)
+
+    scratch = [
+        pltpu.VMEM((9 * tb * ic, g * g * m), jnp.int8)
+        for ic, oc, g in layer_params
+    ] + [
+        # inter-layer activation rows (u8), sized at the layer's OUTPUT
+        pltpu.VMEM((tb * oc, (g // 2) * (g // 2) * m), jnp.uint8)
+        for ic, oc, g in layer_params[:-1]
+    ]
+    total_macs = sum(oc * 9 * ic * g * g * m for ic, oc, g in layer_params)
+
+    out = pl.pallas_call(
+        partial(_mega_body, layer_params=layer_params, tb=tb, t=t),
+        out_shape=jax.ShapeDtypeStruct((pb * oc_last, m), jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # shifts vector in SMEM
+            grid=(pb // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, 1, g0 * g0 * m), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_layers)],
+            ],
+            out_specs=pl.BlockSpec(
+                (tb * oc_last, m), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=scratch,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total_macs * pb,
+            bytes_accessed=pb * (s * s + oc_last * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(shifts.astype(jnp.int32), x_rows, *kmats, *corrs)
+    return out.reshape(pb, oc_last, m)[:b]
