@@ -44,19 +44,24 @@ def main():
     batch = 2048
     chunk = 512
 
-    from tpu_cnn.ops import pallas_int8
+    from tpu_cnn.ops import pallas_poly
 
     @jax.jit
     def detect(images):
-        # chunked hybrid forward (Pallas-int8 L0 + XLA deeper layers):
-        # bounded peak memory, fastest measured bit-exact path
+        # polyphase megakernel (whole CNN in ONE Pallas kernel, activations
+        # VMEM-resident) chunked with the fused head per chunk so head
+        # compute overlaps the next chunk's kernel
         n = images.shape[0] // chunk
         xs = images.reshape(n, chunk, *images.shape[1:])
-        feats = jax.lax.map(
-            lambda c: pallas_int8.cnn_forward_hybrid(c, kernels, shifts), xs
-        ).reshape(images.shape[0], 64, 256)
-        pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
-        return pred, conf, bbox
+
+        def one(c):
+            feats = pallas_poly.cnn_forward_polyphase_pallas(c, kernels, shifts)
+            pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
+            return pred, conf, bbox
+
+        pred, conf, bbox = jax.lax.map(one, xs)
+        return (pred.reshape(-1), conf.reshape(-1),
+                bbox.reshape(images.shape[0], 4))
 
     # ── correctness gate: device path must be bit-exact vs the host oracle ──
     from tpu_cnn.engine.cpu_ref import numpy_cnn_forward

@@ -78,7 +78,7 @@ def main(argv=None):
     p.add_argument("--artifacts", default=None)
     p.add_argument("--image-dir", default=None)
     p.add_argument("--output", default="tpu_features.npz")
-    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"])
+    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--s0", type=int, default=DEFAULT_SHIFTS[0])
     p.add_argument("--s1", type=int, default=DEFAULT_SHIFTS[1])

@@ -85,7 +85,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Detection quality evaluation")
     p.add_argument("--artifacts", default=None)
     p.add_argument("--mode", default="auto",
-                   choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"])
+                   choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--n-per-class", type=int, default=30)
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts

@@ -41,7 +41,7 @@ def make_engine(model: FpgaCNN, mode: str):
         return MeshEngine(model)
     from tpu_cnn.engine.tpu import TPUEngine
 
-    return TPUEngine(model, backend=mode if mode in ("xla", "pallas", "hybrid") else "auto")
+    return TPUEngine(model, backend=mode if mode in ("xla", "pallas", "hybrid", "mega") else "auto")
 
 
 def annotate_and_save(image_flat, bbox, label, out_path, img_size=128):
@@ -110,7 +110,7 @@ def main(argv=None):
     p.add_argument("--head-prefix", default="", help="e.g. 'arm_' for engine-specific head")
     p.add_argument("--image", default=None, help="single image (.bin/.jpg/.png)")
     p.add_argument("--image-dir", default=None, help="directory of test_image_*.bin")
-    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"])
+    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--no-save", action="store_true")
     p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
     p.add_argument("--dump-features", action="store_true")

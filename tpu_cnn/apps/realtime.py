@@ -244,7 +244,7 @@ def encode_jpeg(frame: np.ndarray) -> bytes:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"], default="auto")
+    ap.add_argument("--mode", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"], default="auto")
     ap.add_argument("--artifacts", default=None)
     ap.add_argument("--head-prefix", default="")
     ap.add_argument("--port", type=int, default=5000)

@@ -262,7 +262,7 @@ class _HostDetectAdapter:
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN inference service")
     p.add_argument("--artifacts", default=None)
-    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"])
+    p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=5.0)

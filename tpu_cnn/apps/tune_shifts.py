@@ -88,7 +88,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Auto-tune per-layer ReLU shifts")
     p.add_argument("--artifacts", default=None)
     p.add_argument("--mode", default="cpu",
-                   choices=["auto", "xla", "pallas", "hybrid", "mesh", "cpu"])
+                   choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--radius", type=int, default=1)
     p.add_argument("--n-per-class", type=int, default=40)
     p.add_argument("--head-epochs", type=int, default=300)

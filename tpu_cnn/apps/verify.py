@@ -63,7 +63,7 @@ def build_backends(kernels, shifts, names):
             backends["native"] = lambda imgs: oracle.infer_batch(imgs, kernels, shifts)
         except Exception as e:
             print(f"  native backend unavailable: {e}")
-    if any(n in names for n in ("xla-f32", "xla-int32", "pallas", "hybrid")):
+    if any(n in names for n in ("xla-f32", "xla-int32", "pallas", "hybrid", "mega")):
         import jax.numpy as jnp
 
         kj = [jnp.asarray(k) for k in kernels]
@@ -91,6 +91,12 @@ def build_backends(kernels, shifts, names):
 
             backends["hybrid"] = lambda imgs: np.asarray(
                 pallas_int8.cnn_forward_hybrid(jnp.asarray(imgs), kj, sj)
+            )
+        if "mega" in names:
+            from tpu_cnn.ops import pallas_poly
+
+            backends["mega"] = lambda imgs: np.asarray(
+                pallas_poly.cnn_forward_polyphase_pallas(jnp.asarray(imgs), kj, sj)
             )
     if "torch" in names:
         try:

@@ -88,9 +88,10 @@ class TPUEngine:
             platform = "cpu"
         if platform == "cpu":
             return "xla"
-        # Measured on v5e (docs/DESIGN.md): Pallas-int8 layer 0 + XLA deeper
-        # layers is the fastest bit-exact combination.
-        return "hybrid"
+        # Measured on v5e (docs/DESIGN.md): the polyphase megakernel (whole
+        # net in one Pallas kernel, activations never leave VMEM) is the
+        # fastest bit-exact path.
+        return "mega"
 
     def _features_fn(self):
         if self.backend == "pallas":
@@ -101,6 +102,10 @@ class TPUEngine:
             from tpu_cnn.ops import pallas_int8
 
             return pallas_int8.cnn_forward_hybrid
+        if self.backend == "mega":
+            from tpu_cnn.ops import pallas_poly
+
+            return pallas_poly.cnn_forward_polyphase_pallas
         return partial(quant.cnn_forward, compute_dtype=self.compute_dtype)
 
     def _make_forward(self):
