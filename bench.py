@@ -44,24 +44,21 @@ def main():
     batch = 2048
     chunk = 512
 
-    from tpu_cnn.ops import pallas_poly
+    from tpu_cnn.ops import pallas_int8
 
     @jax.jit
     def detect(images):
-        # polyphase megakernel (whole CNN in ONE Pallas kernel, activations
-        # VMEM-resident) chunked with the fused head per chunk so head
-        # compute overlaps the next chunk's kernel
+        # chunked hybrid forward (Pallas-int8 L0 + XLA deeper layers) + fused
+        # head: the fastest measured end-to-end composition. (The polyphase
+        # megakernel in ops.pallas_poly wins forward-only — 158.6k vs 147k
+        # FPS — but composes worse with the head; see docs/DESIGN.md.)
         n = images.shape[0] // chunk
         xs = images.reshape(n, chunk, *images.shape[1:])
-
-        def one(c):
-            feats = pallas_poly.cnn_forward_polyphase_pallas(c, kernels, shifts)
-            pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
-            return pred, conf, bbox
-
-        pred, conf, bbox = jax.lax.map(one, xs)
-        return (pred.reshape(-1), conf.reshape(-1),
-                bbox.reshape(images.shape[0], 4))
+        feats = jax.lax.map(
+            lambda c: pallas_int8.cnn_forward_hybrid(c, kernels, shifts), xs
+        ).reshape(images.shape[0], 64, 256)
+        pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
+        return pred, conf, bbox
 
     # ── correctness gate: device path must be bit-exact vs the host oracle ──
     from tpu_cnn.engine.cpu_ref import numpy_cnn_forward

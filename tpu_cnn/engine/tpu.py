@@ -88,10 +88,10 @@ class TPUEngine:
             platform = "cpu"
         if platform == "cpu":
             return "xla"
-        # Measured on v5e (docs/DESIGN.md): the polyphase megakernel (whole
-        # net in one Pallas kernel, activations never leave VMEM) is the
-        # fastest bit-exact path.
-        return "mega"
+        # Measured on v5e (docs/DESIGN.md): hybrid wins end-to-end with the
+        # fused head; 'mega' (whole-net polyphase megakernel) wins
+        # feature-extraction-only and stays opt-in.
+        return "hybrid"
 
     def _features_fn(self):
         if self.backend == "pallas":
