@@ -45,6 +45,24 @@ def _tap_variants(g: int, ay: int, ax: int):
     return out
 
 
+def _variant_runs(g: int, ay: int, ax: int, sy: int, sx: int):
+    """Maximal contiguous runs (start_block, n_blocks) of the target phase
+    blocks whose carries are exactly (sy, sx). Static."""
+    targets = [
+        ry * g + rx
+        for ry in range(g)
+        for rx in range(g)
+        if (ry + ay) // g == sy and (rx + ax) // g == sx
+    ]
+    runs = []
+    for b in targets:
+        if runs and runs[-1][0] + runs[-1][1] == b:
+            runs[-1][1] += 1
+        else:
+            runs.append([b, 1])
+    return [(s, n) for s, n in runs]
+
+
 def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
     """Stage the 9 zero-point-shifted taps of x_i32 (rows, lanes; uint8
     values widened — this Mosaic build miscompiles 8-bit rolls) into xs_ref
@@ -58,21 +76,40 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
     inb = p % m
     Y, X = inb // t, inb % t
 
+    def cvt(v_i32):
+        return pltpu.bitcast(v_i32.astype(jnp.uint8) ^ jnp.uint8(0x80), jnp.int8)
+
     for i, (dy, dx) in enumerate((a, b) for a in range(3) for b in range(3)):
         ay, ax = dy - 1, dx - 1
         yy = g * Y + ry + ay
         xx = g * X + rx + ax
         valid = (yy >= 0) & (yy < g * t) & (xx >= 0) & (xx < g * t)
-        tap = jnp.zeros((rows, lanes), jnp.int32)
+
+        # base (carry-free) variant: one full roll + one full store.
+        # Blocks belonging to other variants get overwritten below.
+        r0 = ay * g * m + ax * m
+        base = jnp.where(valid, _roll(x_i32, r0, lanes), 0)
+        xs_ref[i * rows : (i + 1) * rows, :] = cvt(base)
+
+        # corrective variants: contiguous boundary-block runs only, each a
+        # static slice of the source (no roll) + masked store — far less
+        # traffic than a full roll per variant.
         for sy, sx in _tap_variants(g, ay, ax):
-            sel = ((ry + ay) // g == sy) & ((rx + ax) // g == sx)
+            if sy == 0 and sx == 0:
+                continue
             r = (ay - g * sy) * g * m + (ax - g * sx) * m + sy * t + sx
-            rolled = _roll(x_i32, r, lanes)
-            tap = jnp.where(sel & valid, rolled, tap)
-        tap_u8 = tap.astype(jnp.uint8)  # values in [0, 255]
-        xs_ref[i * rows : (i + 1) * rows, :] = pltpu.bitcast(
-            tap_u8 ^ jnp.uint8(0x80), jnp.int8
-        )
+            for b0, nb in _variant_runs(g, ay, ax, sy, sx):
+                lo, ln = b0 * m, nb * m
+                if 0 <= lo + r and lo + r + ln <= lanes:
+                    src = jax.lax.slice(x_i32, (0, lo + r), (rows, lo + r + ln))
+                else:  # source wraps the array: fall back to a full roll
+                    src = jax.lax.slice(
+                        _roll(x_i32, r, lanes), (0, lo), (rows, lo + ln)
+                    )
+                lvalid = jax.lax.slice(valid, (0, lo), (1, lo + ln))
+                xs_ref[i * rows : (i + 1) * rows, lo : lo + ln] = cvt(
+                    jnp.where(lvalid, src, 0)
+                )
 
 
 def _pool_blocks(act_i32, g, t, rows):
