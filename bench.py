@@ -44,20 +44,19 @@ def main():
     batch = 2048
     chunk = 512
 
-    from tpu_cnn.ops import pallas_int8
+    from tpu_cnn.ops import pallas_poly
 
     @jax.jit
     def detect(images):
-        # chunked hybrid forward (Pallas-int8 L0 + XLA deeper layers) + fused
-        # head: the fastest measured end-to-end composition. (The polyphase
-        # megakernel in ops.pallas_poly wins forward-only — 158.6k vs 147k
-        # FPS — but composes worse with the head; see docs/DESIGN.md.)
-        n = images.shape[0] // chunk
-        xs = images.reshape(n, chunk, *images.shape[1:])
-        feats = jax.lax.map(
-            lambda c: pallas_int8.cnn_forward_hybrid(c, kernels, shifts), xs
-        ).reshape(images.shape[0], 64, 256)
-        pred, conf, probs, bbox = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
+        # polyphase megakernel (whole CNN in ONE Pallas kernel, activations
+        # VMEM-resident, 3.3 us/img) with the head's bin pooling fused into
+        # its epilogue, + classify/CAM on device
+        feats, pooled = pallas_poly.cnn_forward_polyphase_pallas(
+            images, kernels, shifts, with_bins=True
+        )
+        pred, conf, probs, bbox = detect_head.detect_with_pooled(
+            feats, pooled, fc_w, fc_b, 128
+        )
         return pred, conf, bbox
 
     # ── correctness gate: device path must be bit-exact vs the host oracle ──

@@ -120,3 +120,30 @@ def test_polyphase_megakernel_interpret_parity(stock_kernels, rng):
         np.testing.assert_array_equal(
             got[b], numpy_cnn_forward(imgs[b], stock_kernels, shifts=(1, 3, 5))
         )
+
+
+def test_megakernel_fused_bins(stock_kernels, rng):
+    """with_bins: the kernel's fused bin pooling must match detect_head's,
+    and detect_with_pooled must agree with the standard head on predictions."""
+    from tpu_cnn.ops import detect_head
+    from tpu_cnn.ops.pallas_poly import cnn_forward_polyphase_pallas
+
+    imgs = rng.randint(0, 256, size=(4, 128, 128)).astype(np.uint8)
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    feats, bins = cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts, interpret=True, with_bins=True
+    )
+    want_bins = detect_head.bin_pool(feats)
+    np.testing.assert_allclose(np.asarray(bins), np.asarray(want_bins),
+                               rtol=1e-6, atol=1e-7)
+
+    rs = np.random.RandomState(5)
+    fc_w = jnp.asarray(rs.randn(6, 1024).astype(np.float32) * 0.1)
+    fc_b = jnp.asarray(np.zeros(6, np.float32))
+    p1 = detect_head.detect(feats, fc_w, fc_b, "bins", 128)
+    p2 = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128)
+    np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(p2[0]))  # pred
+    np.testing.assert_array_equal(np.asarray(p1[3]), np.asarray(p2[3]))  # bbox
+    np.testing.assert_allclose(np.asarray(p1[2]), np.asarray(p2[2]),
+                               rtol=1e-4, atol=1e-5)  # probs

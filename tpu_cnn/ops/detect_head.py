@@ -116,6 +116,23 @@ def cam_bbox(
     return jnp.where(any_mask[:, None], bbox, full[None, :]).astype(jnp.int32)
 
 
+def detect_with_pooled(
+    features: jax.Array,  # (B, C, S*S) uint8 (for the CAM)
+    pooled: jax.Array,  # (B, C*16) f32 — kernel-fused bin pooling
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    img_size: int = 128,
+):
+    """Fused classify + bbox when the bin pooling already happened inside
+    the conv megakernel (``pallas_poly`` with_bins)."""
+    logits = pooled @ fc_weight.T + fc_bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
+    bbox = cam_bbox(features, pred, fc_weight, img_size)
+    return pred, conf, probs, bbox
+
+
 def detect(
     features: jax.Array,
     fc_weight: jax.Array,

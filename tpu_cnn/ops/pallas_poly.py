@@ -130,13 +130,18 @@ def _pool_blocks(act_i32, g, t, rows):
     return blocks
 
 
-def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t):
+def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins):
     n_layers = len(layer_params)
     k_refs = rest[:n_layers]
     corr_refs = rest[n_layers : 2 * n_layers]
     out_ref = rest[2 * n_layers]
-    xs_refs = rest[2 * n_layers + 1 : 3 * n_layers + 1]
-    act_refs = rest[3 * n_layers + 1 :]  # inter-layer phase rows (u8)
+    off = 2 * n_layers + 1
+    bins_ref = None
+    if with_bins:
+        bins_ref = rest[off]
+        off += 1
+    xs_refs = rest[off : off + n_layers]
+    act_refs = rest[off + n_layers :]  # inter-layer phase rows (u8)
 
     m = t * t
     g0 = layer_params[0][2]
@@ -156,6 +161,19 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t):
         target = out_ref if li == n_layers - 1 else act_refs[li]
         for d, b in enumerate(blocks):
             target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
+        if with_bins and li == n_layers - 1:
+            # fused head pooling: 4x4 spatial-bin means of the final 16x16
+            # map, via a selection matmul (exact integer sums, then the same
+            # /16 and /255 as detect_head.bin_pool)
+            s = int(round(m**0.5))
+            npx = s // 4
+            p_i = jax.lax.broadcasted_iota(jnp.int32, (m, 16), 0)
+            b_i = jax.lax.broadcasted_iota(jnp.int32, (m, 16), 1)
+            sel = ((p_i // s // npx) * 4 + (p_i % s) // npx) == b_i
+            mb = sel.astype(jnp.float32)
+            sums = jnp.dot(blocks[0].astype(jnp.float32), mb,
+                           preferred_element_type=jnp.float32)
+            bins_ref[:] = sums / (npx * npx) / 255.0
 
 
 def _pack_blockdiag_poly(kernel: jax.Array, tb: int):
@@ -180,17 +198,20 @@ def phase_split_batch(images: jax.Array, g: int) -> jax.Array:
     return v.reshape(b, 1, g * g * t * t)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "with_bins"))
 def cnn_forward_polyphase_pallas(
     images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
     kernels: Sequence[jax.Array],
     shifts: jax.Array,
     *,
     interpret: bool | None = None,
+    with_bins: bool = False,
 ) -> jax.Array:
     """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
     same layout contract as ``ops.quant.cnn_forward`` (the final single
-    phase's flat (Y, X) order IS the feature layout)."""
+    phase's flat (Y, X) order IS the feature layout). With ``with_bins``,
+    additionally returns the fused-head spatial-bin pooling
+    (B, oc_last*16) f32 (matching ``detect_head.bin_pool``)."""
     if images.ndim == 4:
         images = images[..., 0]
     b, s, _ = images.shape
@@ -237,9 +258,22 @@ def cnn_forward_polyphase_pallas(
     ]
     total_macs = sum(oc * 9 * ic * g * g * m for ic, oc, g in layer_params)
 
-    out = pl.pallas_call(
-        partial(_mega_body, layer_params=layer_params, tb=tb, t=t),
-        out_shape=jax.ShapeDtypeStruct((pb * oc_last, m), jnp.uint8),
+    out_shapes = [jax.ShapeDtypeStruct((pb * oc_last, m), jnp.uint8)]
+    out_specs = [
+        pl.BlockSpec((tb * oc_last, m), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if with_bins:
+        out_shapes.append(jax.ShapeDtypeStruct((pb * oc_last, 16), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((tb * oc_last, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    res = pl.pallas_call(
+        partial(_mega_body, layer_params=layer_params, tb=tb, t=t,
+                with_bins=with_bins),
+        out_shape=tuple(out_shapes) if with_bins else out_shapes[0],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shifts vector in SMEM
             grid=(pb // tb,),
@@ -248,9 +282,7 @@ def cnn_forward_polyphase_pallas(
                              memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_layers)],
             ],
-            out_specs=pl.BlockSpec(
-                (tb * oc_last, m), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
+            out_specs=tuple(out_specs) if with_bins else out_specs[0],
             scratch_shapes=scratch,
         ),
         cost_estimate=pl.CostEstimate(
@@ -260,4 +292,10 @@ def cnn_forward_polyphase_pallas(
         ),
         interpret=interpret,
     )(shifts.astype(jnp.int32), x_rows, *kmats, *corrs)
-    return out.reshape(pb, oc_last, m)[:b]
+    if with_bins:
+        out, bins = res
+        return (
+            out.reshape(pb, oc_last, m)[:b],
+            bins.reshape(pb, oc_last * 16)[:b],
+        )
+    return res.reshape(pb, oc_last, m)[:b]
