@@ -88,10 +88,10 @@ class TPUEngine:
             platform = "cpu"
         if platform == "cpu":
             return "xla"
-        # Measured on v5e (docs/DESIGN.md): hybrid wins end-to-end with the
-        # fused head; 'mega' (whole-net polyphase megakernel) wins
-        # feature-extraction-only and stays opt-in.
-        return "hybrid"
+        # Measured on v5e (docs/DESIGN.md): the polyphase megakernel with
+        # kernel-fused head pooling is the fastest path end-to-end (227.8k
+        # FPS) and for features (305k FPS).
+        return "mega"
 
     def _features_fn(self):
         if self.backend == "pallas":
@@ -121,13 +121,24 @@ class TPUEngine:
         features_fn = self._features_fn()
         head_mode = self.model.head_mode
         img_size = self.model.config.img_size
+        fuse_bins = self.backend == "mega" and head_mode == "bins"
 
         @jax.jit
         def detect(images, shifts):
-            feats = features_fn(images, self._kernels_dev, shifts)
-            pred, conf, probs, bbox = detect_head.detect(
-                feats, self._fc_w_dev, self._fc_b_dev, head_mode, img_size
-            )
+            if fuse_bins:
+                from tpu_cnn.ops import pallas_poly
+
+                feats, pooled = pallas_poly.cnn_forward_polyphase_pallas(
+                    images, self._kernels_dev, shifts, with_bins=True
+                )
+                pred, conf, probs, bbox = detect_head.detect_with_pooled(
+                    feats, pooled, self._fc_w_dev, self._fc_b_dev, img_size
+                )
+            else:
+                feats = features_fn(images, self._kernels_dev, shifts)
+                pred, conf, probs, bbox = detect_head.detect(
+                    feats, self._fc_w_dev, self._fc_b_dev, head_mode, img_size
+                )
             return feats, pred, conf, probs, bbox
 
         return detect
