@@ -127,3 +127,26 @@ def test_infer_cli_variant(tmp_path, rng, capsys):
                 "--mode", "cpu", "--no-save", "--image-dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "Accuracy:" in out and "[gap head]" in out
+
+
+@pytest.mark.parametrize("name", ["lyr3-tiny", "lyr2-small", "lyr4-wide"])
+def test_variant_megakernel(name, rng):
+    """The polyphase megakernel is geometry-generic (the engine's TPU default
+    routes every variant through it)."""
+    from tpu_cnn.ops.pallas_poly import cnn_forward_polyphase_pallas
+
+    cfg = get_config(name)
+    kernels = make_kernels(cfg, rng)
+    shifts = default_shifts(cfg)
+    s = cfg.img_size
+    imgs = rng.randint(0, 256, size=(2, s, s)).astype(np.uint8)
+    got = np.asarray(
+        cnn_forward_polyphase_pallas(
+            jnp.asarray(imgs), [jnp.asarray(k) for k in kernels],
+            jnp.asarray(shifts, jnp.int32), interpret=True,
+        )
+    )
+    for b in range(2):
+        np.testing.assert_array_equal(
+            got[b], numpy_cnn_forward(imgs[b], kernels, shifts=shifts)
+        )
