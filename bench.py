@@ -1,13 +1,22 @@
 """Headline benchmark — end-to-end batched detection throughput on one chip.
 
-Measures the production pipeline on device: fused 3-layer int8 CNN +
-classifier + CAM bbox over batched 128x128 uint8 frames, async-pipelined
-(multiple batches in flight). Frames are staged in HBM first — in this test
-environment the TPU sits behind a ~30 MB/s loopback relay, so including the
-relay would measure the tunnel rather than the chip (a production host feeds
-a v5e at 10s of GB/s over PCIe, far above the ~2 GB/s this pipeline needs at
-measured throughput). A parity gate first asserts bit-exactness of the device
-path against the host oracle.
+Measures the production pipeline on device: the polyphase megakernel (whole
+3-layer int8 CNN in ONE Pallas kernel, head bin-pooling fused into its
+epilogue) + classifier + CAM bbox over batched 128x128 uint8 frames,
+async-pipelined (multiple batches in flight). Frames are staged in HBM first
+— in this test environment the TPU sits behind a ~30 MB/s loopback relay, so
+including the relay would measure the tunnel rather than the chip (a
+production host feeds a v5e at 10s of GB/s over PCIe, far above the ~2 GB/s
+this pipeline needs at measured throughput).
+
+Correctness gate: before measuring, the EXACT production path —
+``pallas_poly.cnn_forward_polyphase_pallas(..., with_bins=True)`` +
+``detect_head.detect_with_pooled`` with the SHIPPED retrained head — runs on
+real test images + noise and is checked against the host numpy oracle:
+features bit-equal, fused bin pooling vs the host twin, predictions/
+probabilities/boxes against the host head twins. Any mismatch prints an
+error JSON and exits 1 (the golden-compare-everything ethos of the reference
+testbench, ``sim/top/tb.v:635-712``).
 
 Baseline: the reference FPGA system's 22 FPS end-to-end real-time rate
 (BASELINE.md; reference README.md:11). Prints ONE JSON line.
@@ -15,7 +24,9 @@ Baseline: the reference FPGA system's 22 FPS end-to-end real-time rate
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 import time
 
@@ -24,53 +35,107 @@ import numpy as np
 BASELINE_FPS = 22.0
 
 
+def load_gate_images(art_dir: str, n_real: int = 28, n_noise: int = 4,
+                     img_size: int = 128) -> np.ndarray:
+    """Shipped real test images + random noise, count a multiple of the
+    megakernel batch tile (4)."""
+    rs = np.random.RandomState(0)
+    imgs = []
+    for p in sorted(glob.glob(os.path.join(art_dir, "test_image_*.bin")))[:n_real]:
+        imgs.append(
+            np.fromfile(p, dtype=np.uint8, count=img_size * img_size)
+            .reshape(img_size, img_size)
+        )
+    imgs += [rs.randint(0, 256, (img_size, img_size)).astype(np.uint8)
+             for _ in range(n_noise)]
+    return np.stack(imgs)
+
+
+def run_parity_gate(production_path, bundle, gate: np.ndarray) -> str | None:
+    """Run ``production_path`` (images -> (feats, pooled, pred, conf, probs,
+    bbox), the exact measured device function) on the gate batch and compare
+    every output against the host numpy oracle + head twins. Returns an
+    error string on mismatch, None when bit-accurate."""
+    import jax
+
+    from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+    from tpu_cnn.head.cam import cam_bbox_fast
+    from tpu_cnn.head.classify import bin_pool_np, classify_np
+
+    gfeats, gpooled, gpred, gconf, gprobs, gbbox = (
+        np.asarray(a) for a in jax.jit(production_path)(gate)
+    )
+
+    np_kernels = [np.asarray(k) for k in bundle.kernels]
+    want_feats = np.stack([numpy_cnn_forward(im, np_kernels) for im in gate])
+    if not np.array_equal(gfeats, want_feats):
+        return "bit-parity failure: megakernel features vs numpy oracle"
+    # Fused bin sums are exact integers; the /16/255 scaling may differ from
+    # the host twin by 1 ulp (~6e-8) from division-order folding. A real
+    # corruption moves a bin by >= 1/4080 ~ 2.4e-4, so 1e-5 separates the
+    # two by >10x in both directions.
+    want_pooled = bin_pool_np(want_feats)
+    if not np.allclose(gpooled, want_pooled, atol=1e-5):
+        return "parity failure: fused bin pooling vs host bin_pool"
+    widx, wconf, wprobs = classify_np(want_feats, bundle.fc_weight, bundle.fc_bias)
+    if not np.array_equal(gpred, widx.astype(gpred.dtype)):
+        return "parity failure: device predictions vs host classifier"
+    if not np.allclose(gprobs, wprobs, atol=1e-4):
+        return "parity failure: device probabilities vs host classifier"
+    want_bbox = np.stack([
+        cam_bbox_fast(want_feats[i], int(widx[i]), bundle.fc_weight)
+        for i in range(len(gate))
+    ])
+    if not np.array_equal(gbbox, want_bbox.astype(gbbox.dtype)):
+        return "parity failure: device CAM bbox vs host CAM twin"
+    return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu_cnn.models.cnn import CLASS_NAMES, DEFAULT_SHIFTS
-    from tpu_cnn.ops import detect_head, quant
-    from tpu_cnn.utils import weights as weights_codec
-
+    from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+    from tpu_cnn.ops import detect_head, pallas_poly
+    from tpu_cnn.utils import artifacts as art
     from tpu_cnn.utils.paths import default_artifacts
 
-    weights_bin = __import__("os").path.join(default_artifacts(), "weights.bin")
-    kernels = [jnp.asarray(k) for k in weights_codec.load_weights_bin(weights_bin)]
-    rs = np.random.RandomState(0)
-    fc_w = jnp.asarray(rs.randn(len(CLASS_NAMES), 1024).astype(np.float32) * 0.05)
-    fc_b = jnp.asarray(np.zeros(len(CLASS_NAMES), np.float32))
+    art_dir = default_artifacts()
+    bundle = art.load_bundle(art_dir)  # shipped retrained (6, 1024) bins head
+    kernels = [jnp.asarray(k) for k in bundle.kernels]
+    fc_w = jnp.asarray(bundle.fc_weight)
+    fc_b = jnp.asarray(bundle.fc_bias)
     shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    img_size = 128
 
     batch = 2048
-    chunk = 512
+    rs = np.random.RandomState(0)
 
-    from tpu_cnn.ops import pallas_poly
-
-    @jax.jit
-    def detect(images):
-        # polyphase megakernel (whole CNN in ONE Pallas kernel, activations
-        # VMEM-resident, 3.3 us/img) with the head's bin pooling fused into
-        # its epilogue, + classify/CAM on device
+    def production_path(images):
         feats, pooled = pallas_poly.cnn_forward_polyphase_pallas(
             images, kernels, shifts, with_bins=True
         )
         pred, conf, probs, bbox = detect_head.detect_with_pooled(
-            feats, pooled, fc_w, fc_b, 128
+            feats, pooled, fc_w, fc_b, img_size
         )
+        return feats, pooled, pred, conf, probs, bbox
+
+    @jax.jit
+    def detect(images):  # the measured program
+        _, _, pred, conf, _, bbox = production_path(images)
         return pred, conf, bbox
 
-    # ── correctness gate: device path must be bit-exact vs the host oracle ──
-    from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
-
-    sample = rs.randint(0, 256, size=(2, 128, 128)).astype(np.uint8)
-    feats_dev = np.asarray(quant.cnn_forward(jnp.asarray(sample), kernels, shifts))
-    for b in range(2):
-        want = numpy_cnn_forward(sample[b], [np.asarray(k) for k in kernels])
-        if not np.array_equal(feats_dev[b], want):
-            print(json.dumps({"metric": "end_to_end_fps", "value": 0.0,
-                              "unit": "frames/sec", "vs_baseline": 0.0,
-                              "error": "bit-parity failure"}))
-            sys.exit(1)
+    # ── correctness gate: the measured path vs the host oracle ──────────
+    # Identical per-tile kernel code to the measured run (only the grid
+    # count differs with batch size).
+    err = run_parity_gate(
+        production_path, bundle, jnp.asarray(load_gate_images(art_dir))
+    )
+    if err is not None:
+        print(json.dumps({"metric": "end_to_end_fps", "value": 0.0,
+                          "unit": "frames/sec", "vs_baseline": 0.0,
+                          "error": err}))
+        sys.exit(1)
 
     # ── stage a pool of distinct frame batches in HBM ──
     n_pools = 4

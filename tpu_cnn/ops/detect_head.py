@@ -21,6 +21,17 @@ CAM_THRESHOLD_FLOOR = 0.25  # software/realtime_detect.py:109
 CAM_PERCENTILE = 70.0
 
 
+def _fc_logits(pooled: jax.Array, fc_weight: jax.Array, fc_bias: jax.Array):
+    """Classifier logits in true f32. TPU f32 matmuls default to bf16 MXU
+    passes (~1e-3 drift vs the host head twin, enough to flip near-tie
+    predictions); precision='highest' keeps this tiny (B, D) x (D, C)
+    matmul bit-stable against the numpy oracle at negligible cost."""
+    return (
+        jnp.dot(pooled, fc_weight.T, precision=jax.lax.Precision.HIGHEST)
+        + fc_bias
+    )
+
+
 def bin_pool(features: jax.Array, grid: int = 4) -> jax.Array:
     """(B, C, S*S) uint8 -> (B, C*grid*grid) float32 spatial-bin means / 255.
 
@@ -52,7 +63,7 @@ def classify(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (pred (B,) int32, conf (B,) f32, probs (B, num_classes) f32)."""
     pooled = bin_pool(features) if head_mode == "bins" else gap_pool(features)
-    logits = pooled @ fc_weight.T + fc_bias
+    logits = _fc_logits(pooled, fc_weight, fc_bias)
     probs = jax.nn.softmax(logits, axis=-1)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
@@ -125,7 +136,7 @@ def detect_with_pooled(
 ):
     """Fused classify + bbox when the bin pooling already happened inside
     the conv megakernel (``pallas_poly`` with_bins)."""
-    logits = pooled @ fc_weight.T + fc_bias
+    logits = _fc_logits(pooled, fc_weight, fc_bias)
     probs = jax.nn.softmax(logits, axis=-1)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
