@@ -69,24 +69,6 @@ def test_odd_batch_sizes(rng, stock_kernels):
     np.testing.assert_array_equal(got, numpy_cnn_forward(imgs[0], stock_kernels))
 
 
-def test_megakernel_interpret_parity(stock_kernels, rng):
-    """Full-net megakernel (ops.pallas_fused): bit parity in interpret mode.
-    (Hardware compilation is gated on a Mosaic gather fix — see module doc.)"""
-    from tpu_cnn.ops.pallas_fused import cnn_forward_megakernel
-
-    imgs = rng.randint(0, 256, size=(2, 128, 128)).astype(np.uint8)
-    got = np.asarray(
-        cnn_forward_megakernel(
-            jnp.asarray(imgs),
-            [jnp.asarray(k) for k in stock_kernels],
-            jnp.asarray(DEFAULT_SHIFTS, jnp.int32),
-            interpret=True,
-        )
-    )
-    for b in range(2):
-        np.testing.assert_array_equal(got[b], numpy_cnn_forward(imgs[b], stock_kernels))
-
-
 def test_hybrid_forward_parity(stock_kernels, rng):
     """Hybrid (Pallas L0 + XLA deeper layers) bit parity vs the oracle."""
     imgs = rng.randint(0, 256, size=(2, 128, 128)).astype(np.uint8)
