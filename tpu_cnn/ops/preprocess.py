@@ -1,11 +1,15 @@
 """On-device batched frame preprocessing.
 
 The reference preprocesses per frame on the ARM CPU: center-crop to square,
-BGR->gray, area-resize to 128x128 (``software/realtime_detect.py:584-591``).
-At TPU throughput (>100k FPS) host preprocessing would dominate, so the same
-transform runs batched on device: one jit takes raw (B, H, W, 3) uint8 camera
-frames and emits (B, 128, 128) uint8 model inputs. Exact integer area-mean
-when the crop size is a multiple of 128 (the common camera geometries).
+cv2.COLOR_BGR2GRAY, area-resize to 128x128 (``software/realtime_detect.py:
+584-591``). At TPU throughput (>100k FPS) host preprocessing would dominate,
+so the same transform runs batched on device: one jit takes raw (B, H, W, 3)
+uint8 camera frames and emits (B, 128, 128) uint8 model inputs.
+
+Grayscale uses OpenCV's exact BT.601 fixed-point luma
+(Y = (4899 R + 9617 G + 1868 B + 8192) >> 14), so color frames produce the
+same model inputs as the reference pipeline. Area resize is an exact integer
+mean when the crop size is a multiple of 128 (the common camera geometries).
 """
 
 from __future__ import annotations
@@ -15,17 +19,37 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# cv2's BGR2GRAY fixed-point BT.601 coefficients (R, G, B), >> 14 with
+# round-half-up bias — bit-identical to OpenCV's integer path.
+_LUMA_R, _LUMA_G, _LUMA_B, _LUMA_BIAS, _LUMA_SHIFT = 4899, 9617, 1868, 8192, 14
 
-@partial(jax.jit, static_argnames=("out_size",))
-def preprocess_frames(frames: jax.Array, out_size: int = 128) -> jax.Array:
+
+def bt601_gray(frames: jax.Array, channel_order: str = "bgr") -> jax.Array:
+    """(..., 3) uint8 color -> (...) uint16 gray, cv2.COLOR_BGR2GRAY-exact."""
+    c = frames.astype(jnp.uint32)
+    if channel_order == "bgr":
+        b, g, r = c[..., 0], c[..., 1], c[..., 2]
+    elif channel_order == "rgb":
+        r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    else:
+        raise ValueError(f"channel_order must be 'bgr' or 'rgb', got {channel_order!r}")
+    y = (_LUMA_R * r + _LUMA_G * g + _LUMA_B * b + _LUMA_BIAS) >> _LUMA_SHIFT
+    return y.astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("out_size", "channel_order"))
+def preprocess_frames(
+    frames: jax.Array, out_size: int = 128, channel_order: str = "bgr"
+) -> jax.Array:
     """(B, H, W[, 3]) uint8 -> (B, out_size, out_size) uint8.
 
-    Center-crop to square, channel-mean grayscale, area resize. For crop
-    sizes that are not a multiple of ``out_size``, falls back to nearest
-    sampling (same behaviour class as cv2.INTER_AREA's reduction path).
+    Center-crop to square, BT.601 grayscale (cv2-exact), area resize. For
+    crop sizes that are not a multiple of ``out_size``, falls back to
+    nearest sampling (same behaviour class as cv2.INTER_AREA's reduction
+    path).
     """
     if frames.ndim == 4:
-        gray = frames.astype(jnp.uint16).sum(axis=3) // 3  # channel mean
+        gray = bt601_gray(frames, channel_order)
     else:
         gray = frames.astype(jnp.uint16)
     b, h, w = gray.shape

@@ -62,9 +62,25 @@ def load_checkpoint(path: str, params_like: Any, opt_state_like: Any):
 
     def unflatten(prefix, like):
         leaves, treedef = jax.tree.flatten(like)
+        saved_treedef = str(data[f"{prefix}__treedef"])
+        if saved_treedef != str(treedef):
+            raise ValueError(
+                f"checkpoint {path!r} [{prefix}] structure mismatch: a "
+                f"template with the same leaf count but different pytree "
+                f"structure would silently misassign arrays.\n"
+                f"  saved:    {saved_treedef}\n  template: {treedef}"
+            )
         restored = [
             np.asarray(data[f"{prefix}__{i}"]) for i in range(len(leaves))
         ]
+        for i, (r, leaf) in enumerate(zip(restored, leaves)):
+            want = np.shape(leaf)
+            if r.shape != tuple(want):
+                raise ValueError(
+                    f"checkpoint {path!r} [{prefix} leaf {i}] shape "
+                    f"mismatch: saved {r.shape}, template {tuple(want)} — "
+                    f"layer_configs changed since this checkpoint was saved?"
+                )
         return jax.tree.unflatten(treedef, restored)
 
     params = unflatten("params", params_like)

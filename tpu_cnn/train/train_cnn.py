@@ -246,10 +246,14 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
 
     key = jax.random.PRNGKey(cfg.seed)
     params = init_params(cfg, key)
+    # The schedule is stepped once per optimizer update (per BATCH), so the
+    # cosine must span epochs * steps_per_epoch — not epochs — or LR hits 0
+    # after ~2 epochs and the rest of the run makes zero-magnitude updates.
+    steps_per_epoch = max(1, len(imgs_t) // cfg.batch_size)
     optimizer = optax.chain(
         optax.scale_by_adam(),
         optax.scale_by_schedule(
-            optax.cosine_decay_schedule(1.0, max(cfg.epochs, 1))
+            optax.cosine_decay_schedule(1.0, max(cfg.epochs, 1) * steps_per_epoch)
         ),
         optax.scale(-cfg.lr),
     )
