@@ -118,6 +118,50 @@ def test_realtime_synthetic_smoke(artifact_dir, capsys):
     assert "FPS" in out  # periodic status line printed at frame 20
 
 
+def test_realtime_mjpeg_stream_endpoints():
+    """Drive the MJPEG server end-to-end: index page + one multipart frame
+    delivered through a real socket (publisher/subscriber wakeup path)."""
+    import http.client
+    import threading
+    import time
+    from http.server import ThreadingHTTPServer
+
+    from tpu_cnn.apps import realtime
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), realtime.Stream)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200 and b"/stream" in body
+        conn.close()
+
+        frame = np.zeros((32, 32, 3), np.uint8)
+
+        def feed():
+            for _ in range(50):
+                realtime.PUBLISHER.publish(frame)
+                time.sleep(0.01)
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        conn.request("GET", "/stream")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert "multipart/x-mixed-replace" in resp.getheader("Content-Type")
+        chunk = resp.fp.read(2048)  # one boundary + JPEG header
+        assert b"tpuframe" in chunk and b"image/jpeg" in chunk
+        assert b"\xff\xd8" in chunk  # JPEG SOI marker
+        conn.close()
+        t.join()
+    finally:
+        srv.shutdown()
+
+
 def test_realtime_preprocess():
     from tpu_cnn.apps.realtime import preprocess
 

@@ -135,8 +135,8 @@ class CameraThread:
 
 
 def preprocess(frame: np.ndarray) -> np.ndarray:
-    """Center-crop to square, grayscale, area-resize to 128x128
-    (``realtime_detect.py:584-591``)."""
+    """Center-crop to square, BT.601 grayscale (cv2.COLOR_BGR2GRAY-exact),
+    area-resize to 128x128 (``realtime_detect.py:584-591``)."""
     h, w = frame.shape[:2]
     if w > h:
         x0 = (w - h) // 2
@@ -146,7 +146,11 @@ def preprocess(frame: np.ndarray) -> np.ndarray:
         crop = frame[y0 : y0 + w]
     else:
         crop = frame
-    gray = crop.mean(axis=2) if crop.ndim == 3 else crop
+    if crop.ndim == 3:  # BGR, OpenCV's fixed-point BT.601 luma
+        c = crop.astype(np.uint32)
+        gray = (4899 * c[..., 2] + 9617 * c[..., 1] + 1868 * c[..., 0] + 8192) >> 14
+    else:
+        gray = crop
     s = gray.shape[0]
     f = s // IMG_SIZE
     if f >= 1 and s % IMG_SIZE == 0:
@@ -183,45 +187,108 @@ def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
 
 
 # ── MJPEG server ─────────────────────────────────────────────────────
+#
+# Publisher/subscriber design: the inference loop publishes each annotated
+# frame ONCE (already JPEG-encoded, off the request threads); stream clients
+# block on a condition variable and are woken per frame — no polling sleeps,
+# no duplicate encodes when several viewers are attached, and a slow client
+# simply skips to the newest frame (sequence-numbered) instead of queueing.
+
+
+class FramePublisher:
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._jpeg: bytes | None = None
+        self._seq = 0
+        self._nsubs = 0
+
+    def subscribe(self):
+        with self._cond:
+            self._nsubs += 1
+
+    def unsubscribe(self):
+        with self._cond:
+            self._nsubs -= 1
+
+    def publish(self, frame: np.ndarray) -> None:
+        with self._cond:
+            if self._nsubs == 0:
+                return  # nobody watching: skip the JPEG encode entirely
+        data = encode_jpeg(frame)
+        with self._cond:
+            self._jpeg = data
+            self._seq += 1
+            self._cond.notify_all()
+
+    def next_frame(self, last_seq: int, timeout: float = 1.0):
+        """Block until a frame newer than ``last_seq`` exists (or timeout).
+        Returns (jpeg | None, seq)."""
+        with self._cond:
+            self._cond.wait_for(lambda: self._seq > last_seq, timeout=timeout)
+            return self._jpeg, self._seq
+
+
+PUBLISHER = FramePublisher()
+
+_INDEX_HTML = b"""\
+<!doctype html>
+<meta charset="utf-8">
+<title>tpu_cnn :: live</title>
+<style>
+  html { color-scheme: dark; }
+  body { margin: 0; min-height: 100vh; display: grid; place-items: center;
+         background: #16181d; color: #c9d1d9; font: 15px/1.4 monospace; }
+  main { text-align: center; }
+  main img { display: block; margin: 1rem auto; max-width: 92vw;
+             outline: 1px solid #3a3f4b; }
+  .tag { color: #7ee787; letter-spacing: .2em; }
+</style>
+<main>
+  <p class="tag">[ tpu_cnn &middot; realtime detector ]</p>
+  <img src="/stream" alt="live detection feed">
+  <p>fused CNN + CAM head on TPU &mdash; MJPEG relay</p>
+</main>
+"""
+
+_BOUNDARY = b"tpuframe"
 
 
 class Stream(BaseHTTPRequestHandler):
-    frame = None
-    lock = threading.Lock()
-
     def do_GET(self):
         if self.path == "/":
             self.send_response(200)
-            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(_INDEX_HTML)))
             self.end_headers()
-            self.wfile.write(
-                b"<!DOCTYPE html><html><head><title>TPU CNN Live</title>"
-                b"<style>body{background:#0a0a1a;color:#fff;font-family:system-ui;"
-                b"text-align:center;padding:20px}h1{color:#0af}img{border:2px solid #0af;"
-                b"border-radius:12px;max-width:95vw}</style></head><body>"
-                b"<h1>TPU CNN &mdash; Live Detection</h1><img src='/stream'/>"
-                b"<p style='color:#666'>tpu_cnn realtime</p></body></html>"
-            )
-        elif self.path == "/stream":
-            self.send_response(200)
-            self.send_header(
-                "Content-Type", "multipart/x-mixed-replace;boundary=f"
-            )
-            self.end_headers()
-            while True:
-                try:
-                    with Stream.lock:
-                        f = Stream.frame
-                    if f is not None:
-                        jpg = encode_jpeg(f)
-                        self.wfile.write(b"--f\r\nContent-Type:image/jpeg\r\n\r\n")
-                        self.wfile.write(jpg)
-                        self.wfile.write(b"\r\n")
-                    time.sleep(0.02)
-                except Exception:
-                    break
-        else:
+            self.wfile.write(_INDEX_HTML)
+            return
+        if self.path != "/stream":
             self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header(
+            "Content-Type",
+            "multipart/x-mixed-replace; boundary=" + _BOUNDARY.decode(),
+        )
+        self.end_headers()
+        seq = 0
+        PUBLISHER.subscribe()
+        try:
+            while True:
+                jpeg, seq = PUBLISHER.next_frame(seq)
+                if jpeg is None:
+                    continue
+                part = b"".join([
+                    b"--", _BOUNDARY, b"\r\n",
+                    b"Content-Type: image/jpeg\r\n",
+                    b"Content-Length: ", str(len(jpeg)).encode(), b"\r\n\r\n",
+                    jpeg, b"\r\n",
+                ])
+                self.wfile.write(part)
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            return  # client went away
+        finally:
+            PUBLISHER.unsubscribe()
 
     def log_message(self, *_):
         pass
@@ -318,8 +385,7 @@ def main(argv=None):
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)
             draw_overlay(out, idx, name, conf, probs, bbox, fps, conv_ms,
                          read_ms, mode_lbl, names)
-            with Stream.lock:
-                Stream.frame = out
+            PUBLISHER.publish(out)
 
             n += 1
             if n % 20 == 0:

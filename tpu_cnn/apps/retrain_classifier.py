@@ -123,23 +123,29 @@ def train_linear_classifier(
 
 
 def report(pooled, labels, W, bias, class_names):
-    logits = pooled @ W.T + bias
-    preds = logits.argmax(axis=1)
-    acc = (preds == labels).mean() * 100
-    print(f"\nOverall accuracy: {acc:.1f}%")
-    uniq = np.unique(labels)
-    print("\nPer-class accuracy:")
-    for c in uniq:
-        m = labels == c
-        name = class_names[c] if class_names else str(c)
-        print(f"  {name:12s}: {(preds[m] == c).mean() * 100:.1f}% ({m.sum()} samples)")
-    print("\nConfusion matrix (rows=true, cols=pred):")
-    hdr = "".join(f" {(class_names[c][:4] if class_names else str(c)):>5s}" for c in uniq)
-    print(f"{'':>12s}{hdr}")
-    for t in uniq:
-        row = "".join(f" {int(((preds[labels == t]) == p).sum()):5d}" for p in uniq)
-        name = class_names[t][:8] if class_names else str(t)
-        print(f"  {name:>10s}{row}")
+    """Post-training evaluation: overall accuracy, per-class recall with a
+    gauge bar, and a true->predicted count matrix."""
+    preds = (pooled @ W.T + bias).argmax(axis=1)
+    acc = float((preds == labels).mean()) * 100
+    classes = [int(c) for c in np.unique(labels)]
+    name_of = {c: (class_names[c] if class_names else f"class{c}")
+               for c in classes}
+    pad = max(len(n) for n in name_of.values())
+
+    print(f"\n== evaluation on {len(labels)} samples ==")
+    print(f"overall accuracy: {acc:.1f}%\n")
+    for c in classes:
+        hits = preds[labels == c] == c
+        r = float(hits.mean()) if hits.size else 0.0
+        gauge = "#" * round(r * 24)
+        print(f"  {name_of[c].ljust(pad)}  {r * 100:6.1f}%  "
+              f"|{gauge:<24}|  n={int(hits.size)}")
+
+    print("\nconfusion (true row -> predicted column):")
+    print("  " + " " * pad + "  " + " ".join(f"{name_of[c][:6]:>6}" for c in classes))
+    for t in classes:
+        counts = [int((preds[labels == t] == p).sum()) for p in classes]
+        print(f"  {name_of[t].ljust(pad)}  " + " ".join(f"{n:>6}" for n in counts))
     return acc
 
 
