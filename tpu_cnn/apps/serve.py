@@ -31,8 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, IMG_SIZE, FpgaCNN
-from tpu_cnn.utils import artifacts as art
+from tpu_cnn.models.cnn import IMG_SIZE
 
 
 class _Pending:
@@ -52,11 +51,12 @@ class DynamicBatcher:
     """
 
     def __init__(self, engine, class_names, max_batch: int = 256,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, img_size: int = IMG_SIZE):
         self.engine = engine
         self.class_names = class_names
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        self.img_size = img_size
         self.q: queue.Queue[_Pending] = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batch_ms_ema": 0.0,
                       "mean_batch_size": 0.0}
@@ -162,17 +162,26 @@ class DynamicBatcher:
             except Exception as e:
                 self._fail(batch, e)
 
+    def snapshot(self) -> dict:
+        with self._lock:
+            return dict(self.stats)
+
     def stop(self):
         self.running = False
 
 
-def decode_image(body: bytes) -> np.ndarray:
-    if len(body) == IMG_SIZE * IMG_SIZE:
-        return np.frombuffer(body, np.uint8).reshape(IMG_SIZE, IMG_SIZE).copy()
+def decode_image(body: bytes, img_size: int = IMG_SIZE) -> np.ndarray:
+    if len(body) == img_size * img_size:
+        return np.frombuffer(body, np.uint8).reshape(img_size, img_size).copy()
     from PIL import Image
 
-    img = Image.open(io.BytesIO(body)).convert("L").resize((IMG_SIZE, IMG_SIZE))
+    img = Image.open(io.BytesIO(body)).convert("L").resize((img_size, img_size))
     return np.asarray(img, np.uint8)
+
+
+# Reject request bodies above this size before reading them: the server
+# otherwise buffers attacker-controlled Content-Length bytes in RAM.
+MAX_BODY_BYTES = 8 * 1024 * 1024
 
 
 def make_handler(batcher: DynamicBatcher, backend: str):
@@ -189,7 +198,7 @@ def make_handler(batcher: DynamicBatcher, backend: str):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "backend": backend})
             elif self.path == "/stats":
-                self._json(200, dict(batcher.stats))
+                self._json(200, batcher.snapshot())
             else:
                 self._json(404, {"error": "not found"})
 
@@ -198,9 +207,13 @@ def make_handler(batcher: DynamicBatcher, backend: str):
                 self._json(404, {"error": "not found"})
                 return
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                self._json(413, {"error": f"body too large ({n} bytes; "
+                                          f"max {MAX_BODY_BYTES})"})
+                return
             body = self.rfile.read(n)
             try:
-                image = decode_image(body)
+                image = decode_image(body, batcher.img_size)
                 result = batcher.submit(image)
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
@@ -215,12 +228,12 @@ def make_handler(batcher: DynamicBatcher, backend: str):
 
 
 def build_service(artifacts_dir: str, mode: str = "auto",
-                  max_batch: int = 256, max_wait_ms: float = 5.0):
-    bundle = art.load_bundle(artifacts_dir)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+                  max_batch: int = 256, max_wait_ms: float = 5.0,
+                  variant: str = "lyr3-std", head_prefix: str = ""):
+    from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
 
+    model = load_model(artifacts_dir, variant, head_prefix)
     engine = make_engine(model, mode)
     if hasattr(engine, "warmup"):
         engine.warmup(batch=max_batch)  # compile the single serving shape
@@ -228,7 +241,8 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         # CPU oracle engine: adapt via host head
         engine = _HostDetectAdapter(engine, model)
     batcher = DynamicBatcher(engine, model.class_names,
-                             max_batch=max_batch, max_wait_ms=max_wait_ms)
+                             max_batch=max_batch, max_wait_ms=max_wait_ms,
+                             img_size=model.config.img_size)
     return batcher, getattr(engine, "backend", mode)
 
 
@@ -247,13 +261,14 @@ class _HostDetectAdapter:
 
         feats = self.engine.run_batch(images)
         idx, conf, probs = classify_np(feats, self.model.fc_weight, self.model.fc_bias)
+        s = self.model.config.img_size
         boxes = []
         for i in range(len(images)):
             if self.model.head_mode == "bins":
                 boxes.append(cam_host.cam_bbox_fast(feats[i], int(idx[i]),
-                                                    self.model.fc_weight))
+                                                    self.model.fc_weight, s))
             else:
-                boxes.append((0, 0, 127, 127))
+                boxes.append((0, 0, s - 1, s - 1))
         return DetectResult(idx.astype(np.int32), conf.astype(np.float32),
                             probs.astype(np.float32),
                             np.asarray(boxes, np.int32))
@@ -263,19 +278,28 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN inference service")
     p.add_argument("--artifacts", default=None)
     p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; the service has no "
+                        "auth — expose beyond localhost deliberately)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--head-prefix", default="")
+    from tpu_cnn.apps.common import add_variant_arg
+
+    add_variant_arg(p)
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
     args.artifacts = args.artifacts or default_artifacts()
 
     batcher, backend = build_service(args.artifacts, args.mode,
-                                     args.max_batch, args.max_wait_ms)
-    srv = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                     args.max_batch, args.max_wait_ms,
+                                     variant=args.variant,
+                                     head_prefix=args.head_prefix)
+    srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(batcher, backend))
-    print(f"serving on :{args.port} (backend {backend}, "
+    print(f"serving on {args.host}:{args.port} (backend {backend}, "
           f"max_batch {args.max_batch}, max_wait {args.max_wait_ms}ms)")
     try:
         srv.serve_forever()
