@@ -101,3 +101,85 @@ def test_make_engine_mesh_mode(stock_kernels, rng):
     imgs = rng.randint(0, 256, size=(4, 128, 128)).astype(np.uint8)
     feats = eng.run_batch(imgs)
     np.testing.assert_array_equal(feats[1], numpy_cnn_forward(imgs[1], stock_kernels))
+
+
+def test_sharded_mega_forward_parity(mesh, stock_kernels, rng):
+    """The PRODUCTION megakernel under shard_map over all 8 devices must be
+    bit-exact vs the host oracle (round-1 verdict: the datapath that ships
+    must be the datapath that scales)."""
+    from tpu_cnn.parallel.mesh import sharded_forward_mega
+
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    f = sharded_forward_mega(mesh, kj)
+    imgs = rng.randint(0, 256, size=(32, 128, 128)).astype(np.uint8)
+    feats = np.asarray(
+        f(shard_batch(mesh, jnp.asarray(imgs), all_axes=True),
+          jnp.asarray(DEFAULT_SHIFTS, jnp.int32))
+    )
+    for b in range(32):
+        np.testing.assert_array_equal(feats[b], numpy_cnn_forward(imgs[b], stock_kernels))
+
+
+def test_sharded_mega_detect_fused_bins(mesh, stock_kernels, rng):
+    """Fused megakernel + head under the mesh: detections must equal the
+    single-device production path (pooled bins fused in-kernel)."""
+    from tpu_cnn.ops import detect_head, pallas_poly
+    from tpu_cnn.parallel.mesh import sharded_detect_mega
+
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    fc_w = jnp.asarray(rng.randn(6, 1024).astype(np.float32) * 0.05)
+    fc_b = jnp.asarray(np.zeros(6, np.float32))
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    imgs = rng.randint(0, 256, size=(16, 128, 128)).astype(np.uint8)
+
+    det = sharded_detect_mega(mesh, kj, fc_w, fc_b)
+    pred, conf, probs, bbox = det(
+        shard_batch(mesh, jnp.asarray(imgs), all_axes=True), shifts
+    )
+
+    feats1, pooled1 = pallas_poly.cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts, with_bins=True
+    )
+    p1, c1, pr1, b1 = detect_head.detect_with_pooled(feats1, pooled1, fc_w, fc_b, 128)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(bbox), np.asarray(b1))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(pr1), atol=1e-6)
+
+
+def test_mesh_engine_async_pipeline(mesh, stock_kernels, rng):
+    """detect_batch_async/detect_resolve: several batches in flight, results
+    match the synchronous path."""
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.parallel.mesh import MeshEngine
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.05
+    model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
+    eng = MeshEngine(model, mesh)
+    assert eng.backend.endswith(":mega")
+    batches = [rng.randint(0, 256, size=(8, 128, 128)).astype(np.uint8)
+               for _ in range(3)]
+    handles = [eng.detect_batch_async(b) for b in batches]
+    results = [eng.detect_resolve(h) for h in handles]
+    for b, r in zip(batches, results):
+        sync = eng.detect_batch(b)
+        np.testing.assert_array_equal(r.pred, sync.pred)
+        np.testing.assert_array_equal(r.bbox, sync.bbox)
+
+
+def test_mesh_engine_auto_fallback_big_geometry(rng):
+    """Geometries whose megakernel working set exceeds VMEM fall back to the
+    sharded XLA path automatically."""
+    from tpu_cnn.models.cnn import CNNConfig, FpgaCNN
+    from tpu_cnn.models.registry import REGISTRY, default_shifts
+    from tpu_cnn.parallel.mesh import MeshEngine
+
+    cfg = REGISTRY["lyr4-wide"]
+    kernels = [
+        rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    fc_w = rng.randn(6, cfg.layer_configs[-1][1] * 16).astype(np.float32) * 0.01
+    model = FpgaCNN(kernels, fc_w, np.zeros(6, np.float32),
+                    shifts=default_shifts(cfg), config=cfg)
+    eng = MeshEngine(model, make_mesh(8, model_axis=1))
+    assert eng.backend.endswith(":xla")

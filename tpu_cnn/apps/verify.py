@@ -29,24 +29,25 @@ from tpu_cnn.models.cnn import DEFAULT_SHIFTS
 from tpu_cnn.utils import weights as wc
 
 
-def make_stimuli(n_random: int, image_dir: str | None, seed: int = 0):
+def make_stimuli(n_random: int, image_dir: str | None, seed: int = 0,
+                 size: int = 128):
     """Controlled + random + on-disk stimuli (tb.v:478-530 idiom)."""
     stims = {}
-    i = np.arange(128 * 128, dtype=np.int64)
-    stims["ramp"] = ((13 * i + 5) % 256).astype(np.uint8).reshape(128, 128)
-    stims["zeros"] = np.zeros((128, 128), np.uint8)
-    stims["full255"] = np.full((128, 128), 255, np.uint8)
+    i = np.arange(size * size, dtype=np.int64)
+    stims["ramp"] = ((13 * i + 5) % 256).astype(np.uint8).reshape(size, size)
+    stims["zeros"] = np.zeros((size, size), np.uint8)
+    stims["full255"] = np.full((size, size), 255, np.uint8)
     rs = np.random.RandomState(seed)
     for k in range(n_random):
-        stims[f"random{k}"] = rs.randint(0, 256, (128, 128)).astype(np.uint8)
-    if image_dir:
+        stims[f"random{k}"] = rs.randint(0, 256, (size, size)).astype(np.uint8)
+    if image_dir and size == 128:
         for p in sorted(glob.glob(os.path.join(image_dir, "test_image_*.bin")))[:8]:
-            stims[os.path.basename(p)] = np.fromfile(p, np.uint8).reshape(128, 128)
+            stims[os.path.basename(p)] = np.fromfile(p, np.uint8).reshape(size, size)
     return stims
 
 
-def build_backends(kernels, shifts, names):
-    """Map backend name -> fn(images (B,128,128) u8) -> (B, 64, 256) u8."""
+def build_backends(kernels, shifts, names, img_size: int = 128):
+    """Map backend name -> fn(images (B,S,S) u8) -> (B, C, S'*S') u8."""
     backends = {}
 
     if "numpy" in names:
@@ -95,9 +96,18 @@ def build_backends(kernels, shifts, names):
         if "mega" in names:
             from tpu_cnn.ops import pallas_poly
 
-            backends["mega"] = lambda imgs: np.asarray(
-                pallas_poly.cnn_forward_polyphase_pallas(jnp.asarray(imgs), kj, sj)
+            sizes = [img_size // 2**i for i in range(len(kernels))]
+            layer_cfg = tuple(
+                (k.shape[1], k.shape[0], s) for k, s in zip(kernels, sizes)
             )
+            if pallas_poly.polyphase_supported(layer_cfg, with_bins=False):
+                backends["mega"] = lambda imgs: np.asarray(
+                    pallas_poly.cnn_forward_polyphase_pallas(jnp.asarray(imgs), kj, sj)
+                )
+            else:
+                print("  mega backend skipped: VMEM working set exceeds "
+                      "budget for this geometry (hybrid is the production "
+                      "path here)")
     if "torch" in names:
         try:
             from tests.test_torch_parity import torch_fixed_point_forward
@@ -143,26 +153,47 @@ def main(argv=None):
     p.add_argument("--backends",
                    default="numpy,native,xla-f32,xla-int32",
                    help="comma list: numpy,native,xla-f32,xla-int32,pallas,hybrid,torch")
-    p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
+    p.add_argument("--shifts", default=None)
+    p.add_argument("--variant", default="lyr3-std",
+                   help="model geometry from models.registry; non-stock "
+                        "variants verify with seeded random weights")
     args = p.parse_args(argv)
 
-    if args.weights is None:
+    from tpu_cnn.models.registry import default_shifts, get_config
+
+    config = get_config(args.variant)
+    if args.shifts is None:
+        shifts = (list(DEFAULT_SHIFTS) if args.variant == "lyr3-std"
+                  else default_shifts(config))
+    else:
+        shifts = [int(s) for s in args.shifts.split(",")]
+
+    if args.weights is not None:
+        kernels = wc.load_weights_bin(args.weights, config.layer_configs)
+    elif args.variant == "lyr3-std":
         from tpu_cnn.utils.paths import default_artifacts
 
         args.weights = os.path.join(default_artifacts(), "weights.bin")
-    shifts = [int(s) for s in args.shifts.split(",")]
-    kernels = wc.load_weights_bin(args.weights)
+        kernels = wc.load_weights_bin(args.weights)
+    else:
+        # Parity is about arithmetic, not trained weights: seeded random
+        # int8 kernels exercise the full accumulation range.
+        rs = np.random.RandomState(0)
+        kernels = [
+            rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+            for ic, oc, _ in config.layer_configs
+        ]
     names = [b.strip() for b in args.backends.split(",")]
 
     print("=" * 64)
-    print("  CROSS-IMPLEMENTATION PARITY VERIFICATION")
+    print(f"  CROSS-IMPLEMENTATION PARITY VERIFICATION [{args.variant}]")
     print("=" * 64)
-    stims = make_stimuli(args.images, args.image_dir)
+    stims = make_stimuli(args.images, args.image_dir, size=config.img_size)
     batch = np.stack(list(stims.values()))
     print(f"  {len(stims)} stimuli x {len(names)} backends "
           f"(shifts {shifts})")
 
-    backends = build_backends(kernels, shifts, names)
+    backends = build_backends(kernels, shifts, names, config.img_size)
     outputs = {}
     for name, fn in backends.items():
         outputs[name] = fn(batch)

@@ -80,6 +80,17 @@ class TPUEngine:
     # ── backend selection ────────────────────────────────────────────
 
     def _resolve_backend(self, backend: str) -> str:
+        if backend == "mega" and not self._mega_fits():
+            # The megakernel's VMEM working set doesn't fit this geometry;
+            # hybrid is the fastest path that tiles arbitrarily.
+            import warnings
+
+            warnings.warn(
+                f"megakernel working set exceeds VMEM for "
+                f"{self.model.config.layer_configs}; using hybrid backend",
+                stacklevel=3,
+            )
+            return "hybrid"
         if backend != "auto":
             return backend
         try:
@@ -90,8 +101,17 @@ class TPUEngine:
             return "xla"
         # Measured on v5e (docs/DESIGN.md): the polyphase megakernel with
         # kernel-fused head pooling is the fastest path end-to-end (227.8k
-        # FPS) and for features (305k FPS).
-        return "mega"
+        # FPS) and for features (305k FPS). Geometries whose working set
+        # exceeds VMEM (poly_vmem_estimate) run hybrid instead.
+        return "mega" if self._mega_fits() else "hybrid"
+
+    def _mega_fits(self) -> bool:
+        from tpu_cnn.ops import pallas_poly
+
+        return pallas_poly.polyphase_supported(
+            self.model.config.layer_configs,
+            with_bins=self.model.head_mode == "bins",
+        )
 
     def _features_fn(self):
         if self.backend == "pallas":

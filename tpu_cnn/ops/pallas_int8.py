@@ -119,20 +119,27 @@ def _pack_blockdiag(kmat: jax.Array, tb: int, ic: int) -> tuple[jax.Array, jax.A
     return w2d.astype(jnp.int8), corr
 
 
+def plan_batch_tile(hw: int, ic: int, oc: int, b: int | None = None) -> int:
+    """Largest power-of-two batch tile whose VMEM working set fits ~9 MB
+    (int8 taps 9*ic*hw + int32 acc 4*oc*hw per image), capped at 8 and
+    divided down to divide ``b`` when given."""
+    per_img = hw * (9 * ic + 4 * oc)
+    limit = max(1, min(8, (9 * 1024 * 1024) // per_img))
+    tb = 1
+    while tb * 2 <= limit:
+        tb *= 2
+    if b is not None:
+        while b % tb:
+            tb //= 2
+    return tb
+
+
 def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
     """(B, ic, HW) u8, (oc, 9ic) f32 -> (B, oc, HW) u8 pre-pool activations."""
     b, ic, hw = x.shape
     oc = kmat.shape[0]
     size = int(round(hw**0.5))
-    # VMEM per tile (f32): xs 9*tb*ic*hw + acc tb*oc*hw, target <= ~9 MB
-    # VMEM per image: int8 taps 9*ic*hw + int32 acc 4*oc*hw
-    per_img = hw * (9 * ic + 4 * oc)
-    limit = max(1, min(8, (9 * 1024 * 1024) // per_img))
-    tb = 1
-    while tb * 2 <= limit:  # largest power of two within the VMEM budget
-        tb *= 2
-    while b % tb:
-        tb //= 2
+    tb = plan_batch_tile(hw, ic, oc, b)
     kpacked, corr = _pack_blockdiag(kmat, tb, ic)
     return pl.pallas_call(
         partial(_kernel_body_mxu, tb=tb, ic=ic, oc=oc, size=size),
@@ -169,6 +176,15 @@ def pack_kernel_matrix(kernel: np.ndarray | jax.Array) -> jax.Array:
     return jnp.transpose(k, (0, 2, 3, 1)).reshape(oc, 9 * ic)
 
 
+def _unpack_kernel_matrix(kmat: jax.Array, ic: int) -> jax.Array:
+    """Inverse of :func:`pack_kernel_matrix`: (oc, 9*ic) f32 -> (oc, ic, 3, 3)
+    int8 (exact — packed values are small integers)."""
+    oc = kmat.shape[0]
+    return jnp.transpose(
+        kmat.reshape(oc, 3, 3, ic), (0, 3, 1, 2)
+    ).astype(jnp.int8)
+
+
 def fused_conv_layer(
     x: jax.Array,  # (B, ic, H, W) uint8
     kmat: jax.Array,  # (oc, 9*ic) float32
@@ -179,13 +195,26 @@ def fused_conv_layer(
     """One contract layer (conv3x3 -> >>shift -> clip in Pallas, 2x2 pool in
     XLA). Returns (B, oc, H/2, W/2) uint8."""
     b, ic, h, w = x.shape
+    oc = kmat.shape[0]
     assert h == w, "square geometry"
     if interpret is None:
         interpret = _interpret_default()
     # Mosaic miscompiles the int8 tap staging for tiles with < 4 sublane
-    # rows (observed on v5e 2026-08-16: B=1/2 at ic=1 gives ~0.5% wrong
-    # values, B>=4 exact) — pad the batch to a multiple of 4 so the tile
-    # size never degrades below 4 rows, and slice back.
+    # rows (observed on v5e 2026-08-16: ~0.5% wrong values, SILENTLY).
+    # Two ways a tile can degrade below 4 rows: a small batch (padded to a
+    # multiple of 4 below) — or a geometry so large that the VMEM budget
+    # forces tb*ic < 4 (lyr4-wide's 256^2 layer 0: tb=1, ic=1; caught by
+    # the hardware variant sweep 2026-08-16). The latter can't be padded
+    # away, so that layer runs the XLA conv instead — same contract,
+    # bit-exact, and HBM-bound anyway at that size.
+    if not interpret and plan_batch_tile(h * w, ic, oc) * ic < 4:
+        from tpu_cnn.ops import quant
+
+        nhwc = jnp.transpose(x, (0, 2, 3, 1))
+        out = quant.fixed_point_conv_layer(
+            nhwc, _unpack_kernel_matrix(kmat, ic), shift
+        )
+        return jnp.transpose(out, (0, 3, 1, 2))
     pb = b
     if not interpret and b % 4:
         pb = ((b + 3) // 4) * 4

@@ -30,6 +30,65 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_cnn.ops.pallas_int8 import _interpret_default
 
 
+# Batch tile. 4 is both the floor (Mosaic miscompiles int8 staging for
+# tiles with < 4 sublane rows — docs/DESIGN.md) and the measured best
+# (tb=8 probed 3.54 us/img vs 3.28 at tb=4 on v5e, docs/ROADMAP.md).
+POLY_TB = 4
+
+# Per-core VMEM is ~16 MiB; leave headroom for Mosaic's own temporaries.
+POLY_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _poly_layer_params(layer_configs):
+    """((ic, oc, in_size), ...) -> (layer_params [(ic, oc, g)], t)."""
+    n_layers = len(layer_configs)
+    s = layer_configs[0][2]
+    g = 2**n_layers
+    t = s // g
+    params = []
+    for ic, oc, _ in layer_configs:
+        params.append((ic, oc, g))
+        g //= 2
+    return params, t
+
+
+def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
+                       with_bins: bool = False) -> int:
+    """Peak-VMEM model (bytes) for the megakernel at batch tile ``tb``.
+
+    Persistent across the kernel body: the per-layer int8 tap scratches,
+    the inter-layer activation rows, the (double-buffered) grid input and
+    output blocks, and the packed weight matrices. Transients (widened
+    input, int32 accumulator, pool temporaries) are live one layer at a
+    time, so only the worst layer counts. The same budgeting discipline as
+    ``pallas_int8._conv_mxu`` — the reference's per-layer geometry mux
+    (``rtl/core/cnn_acc_top.v:45-54``) sized its BRAMs per layer the same
+    way."""
+    m = t * t
+    xs = sum(9 * tb * ic * g * g * m for ic, oc, g in layer_params)
+    refs = sum(tb * oc * (g // 2) ** 2 * m for ic, oc, g in layer_params[:-1])
+    in_blk = 2 * tb * layer_params[0][2] ** 2 * m
+    oc_last = layer_params[-1][1]
+    out_blk = 2 * (tb * oc_last * m + (tb * oc_last * 16 * 4 if with_bins else 0))
+    kmats = sum(tb * oc * 9 * tb * ic + 4 * tb * oc for ic, oc, g in layer_params)
+    # transient peak: widened i32 input + i32 accumulator + one i32 pool temp
+    peak = max(
+        4 * tb * ic * g * g * m + 2 * 4 * tb * oc * g * g * m
+        for ic, oc, g in layer_params
+    )
+    return xs + refs + in_blk + out_blk + kmats + peak
+
+
+def polyphase_supported(layer_configs, with_bins: bool = True) -> bool:
+    """True when the megakernel's working set fits VMEM for this geometry
+    (e.g. lyr4-wide's tap scratches alone exceed it -> use hybrid)."""
+    layer_params, t = _poly_layer_params(layer_configs)
+    if t < 2:
+        return False
+    est = poly_vmem_estimate(layer_params, t, POLY_TB, with_bins)
+    return est <= POLY_VMEM_BUDGET
+
+
 def _roll(v, k, lanes):
     """out[l] = v[l + k] (matching np.roll(v, -k)); pltpu.roll needs a
     non-negative left shift."""
@@ -231,8 +290,15 @@ def cnn_forward_polyphase_pallas(
         g //= 2
     oc_last = layer_params[-1][1]
 
-    # batch tile: VMEM budget ~ xs0 int8 (9*tb, lanes0) + acc int32
-    tb = 4
+    tb = POLY_TB
+    est = poly_vmem_estimate(layer_params, t, tb, with_bins)
+    if not interpret and est > POLY_VMEM_BUDGET:
+        raise ValueError(
+            f"polyphase megakernel working set ~{est / 2**20:.1f} MiB exceeds "
+            f"the {POLY_VMEM_BUDGET / 2**20:.0f} MiB VMEM budget for this "
+            f"geometry — use the hybrid backend (TPUEngine falls back "
+            f"automatically)"
+        )
     pb = b
     if b % tb:
         pb = ((b + tb - 1) // tb) * tb

@@ -51,9 +51,11 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def shard_batch(mesh: Mesh, images: jax.Array) -> jax.Array:
-    """Place a host batch onto the mesh, sharded over the data axis."""
-    return jax.device_put(images, NamedSharding(mesh, P("data")))
+def shard_batch(mesh: Mesh, images: jax.Array, all_axes: bool = False) -> jax.Array:
+    """Place a host batch onto the mesh, sharded over the data axis (or over
+    every axis flattened, for the pure-DP megakernel path)."""
+    spec = P(tuple(mesh.axis_names)) if all_axes else P("data")
+    return jax.device_put(images, NamedSharding(mesh, spec))
 
 
 def _constrain(mesh: Mesh, x: jax.Array, spec: P) -> jax.Array:
@@ -91,30 +93,124 @@ def sharded_forward(
     return forward
 
 
+def _all_axes(mesh: Mesh) -> tuple[str, ...]:
+    return tuple(mesh.axis_names)
+
+
+def sharded_forward_mega(mesh: Mesh, kernels: Sequence[jax.Array]):
+    """The PRODUCTION megakernel under the mesh via ``jax.shard_map``:
+    pure batch sharding over EVERY device (data and model axes flattened —
+    the megakernel is one fused Pallas program, so the RTL-style oc model
+    split doesn't apply inside it). Returns a jitted
+    ``f(images, shifts) -> (B, C, S'*S') u8``.
+
+    This is SURVEY.md §2.5's "batch-sharding across chips" applied to the
+    datapath that actually ships — the reference analogue being that its
+    only datapath (``rtl/core/cnn_acc_top.v``) is the one that scales."""
+    from tpu_cnn.ops import pallas_poly
+
+    axes = _all_axes(mesh)
+    kernels = [jnp.asarray(k) for k in kernels]
+
+    def per_shard(images, shifts):
+        return pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis info
+    fn = jax.shard_map(
+        per_shard, mesh=mesh, in_specs=(P(axes), P()), out_specs=P(axes),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_detect_mega(
+    mesh: Mesh,
+    kernels: Sequence[jax.Array],
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    head_mode: str = "bins",
+    img_size: int = 128,
+):
+    """Fused megakernel CNN + head under the mesh (shard_map over all
+    devices). With the bins head, the head's pooling stays fused in the
+    kernel epilogue exactly as on one chip."""
+    from tpu_cnn.ops import pallas_poly
+
+    axes = _all_axes(mesh)
+    kernels = [jnp.asarray(k) for k in kernels]
+    fc_w = jnp.asarray(fc_weight)
+    fc_b = jnp.asarray(fc_bias)
+
+    def per_shard(images, shifts):
+        if head_mode == "bins":
+            feats, pooled = pallas_poly.cnn_forward_polyphase_pallas(
+                images, kernels, shifts, with_bins=True
+            )
+            return detect_head.detect_with_pooled(
+                feats, pooled, fc_w, fc_b, img_size
+            )
+        feats = pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
+        return detect_head.detect(feats, fc_w, fc_b, head_mode, img_size)
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axes), P()),
+        out_specs=(P(axes), P(axes), P(axes), P(axes)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 class MeshEngine:
     """Engine-protocol wrapper over a device mesh: ``run_batch`` /
-    ``detect_batch`` like TPUEngine, but data-parallel across every chip in
-    the mesh (with oc/feature-dim model sharding). Drop-in for the apps'
-    ``--mode`` swap at multi-chip scale."""
+    ``detect_batch`` / ``detect_batch_async`` like TPUEngine, but
+    data-parallel across every chip in the mesh. ``backend`` picks the
+    per-shard datapath: 'mega' (the production megakernel, via shard_map),
+    'xla' (sharding-constraint path with oc/feature-dim model sharding), or
+    'auto' (mega when its VMEM model fits the geometry). Drop-in for the
+    apps' ``--mode`` swap at multi-chip scale."""
 
-    def __init__(self, model, mesh: Mesh | None = None, model_axis: int = 1):
+    def __init__(self, model, mesh: Mesh | None = None, model_axis: int = 1,
+                 backend: str = "auto"):
         import jax.numpy as jnp
 
         self.model = model
         self.mesh = mesh or make_mesh(model_axis=model_axis)
-        self.backend = f"mesh[{self.mesh.devices.shape}]"
         kernels = [jnp.asarray(k) for k in model.kernels]
         self._shifts = jnp.asarray(model.shifts, jnp.int32)
-        self._forward = sharded_forward(self.mesh, kernels)
-        self._detect = sharded_detect(
-            self.mesh,
-            kernels,
-            jnp.asarray(model.fc_weight),
-            jnp.asarray(model.fc_bias),
-            model.head_mode,
-            model.config.img_size,
-        )
-        self._batch_mult = int(np.prod(self.mesh.devices.shape))
+
+        if backend == "auto":
+            from tpu_cnn.ops import pallas_poly
+
+            backend = (
+                "mega"
+                if pallas_poly.polyphase_supported(
+                    model.config.layer_configs,
+                    with_bins=model.head_mode == "bins",
+                )
+                else "xla"
+            )
+        fc_w = jnp.asarray(model.fc_weight)
+        fc_b = jnp.asarray(model.fc_bias)
+        if backend == "mega":
+            self._forward = sharded_forward_mega(self.mesh, kernels)
+            self._detect = sharded_detect_mega(
+                self.mesh, kernels, fc_w, fc_b,
+                model.head_mode, model.config.img_size,
+            )
+        else:
+            self._forward = sharded_forward(self.mesh, kernels)
+            self._detect = sharded_detect(
+                self.mesh, kernels, fc_w, fc_b,
+                model.head_mode, model.config.img_size,
+            )
+        self.backend = f"mesh[{self.mesh.devices.shape}]:{backend}"
+        # per-shard megakernel batch tile is 4; pad global batches so every
+        # shard gets an identical, tile-aligned shape
+        shard_tile = 4 if backend == "mega" else 1
+        self._batch_mult = int(np.prod(self.mesh.devices.shape)) * shard_tile
+        self._all_axes = backend == "mega"  # pure DP: shard over every axis
 
     def _pad(self, images):
         b = images.shape[0]
@@ -126,22 +222,47 @@ class MeshEngine:
             )
         return images, b
 
+    def warmup(self, batch: int = 1) -> None:
+        s = self.model.config.img_size
+        img = np.zeros((max(batch, self._batch_mult), s, s), np.uint8)
+        jax.block_until_ready(
+            self._detect(shard_batch(self.mesh, img, self._all_axes), self._shifts)
+        )
+
+    def set_shifts(self, *shifts: int) -> None:
+        self.model.shifts = np.asarray(shifts, np.int32)
+        self._shifts = jnp.asarray(self.model.shifts)
+
     def run_batch(self, images: np.ndarray) -> np.ndarray:
         import jax
 
         images, b = self._pad(np.asarray(images, np.uint8))
-        feats = self._forward(shard_batch(self.mesh, images), self._shifts)
+        feats = self._forward(
+            shard_batch(self.mesh, images, self._all_axes), self._shifts
+        )
         return np.asarray(jax.device_get(feats))[:b]
 
     def detect_batch(self, images: np.ndarray):
+        return self.detect_resolve(self.detect_batch_async(images))
+
+    def detect_batch_async(self, images: np.ndarray):
+        """Dispatch without blocking (several batches may be in flight on
+        the mesh); resolve with :meth:`detect_resolve` — the same async
+        pipeline contract as TPUEngine."""
+        images, b = self._pad(np.asarray(images, np.uint8))
+        pred, conf, probs, bbox = self._detect(
+            shard_batch(self.mesh, images, self._all_axes), self._shifts
+        )
+        for a in (pred, conf, probs, bbox):
+            a.copy_to_host_async()
+        return (pred, conf, probs, bbox, b)
+
+    def detect_resolve(self, handle):
         import jax
 
         from tpu_cnn.engine.tpu import DetectResult
 
-        images, b = self._pad(np.asarray(images, np.uint8))
-        pred, conf, probs, bbox = self._detect(
-            shard_batch(self.mesh, images), self._shifts
-        )
+        pred, conf, probs, bbox, b = handle
         pred, conf, probs, bbox = jax.device_get((pred, conf, probs, bbox))
         return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
 
