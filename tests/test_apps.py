@@ -208,8 +208,8 @@ def test_verify_cli_detects_mismatch(capsys, monkeypatch):
 
     real = verify.build_backends
 
-    def corrupted(kernels, shifts, names):
-        b = real(kernels, shifts, names)
+    def corrupted(kernels, shifts, names, img_size=128):
+        b = real(kernels, shifts, names, img_size)
         orig = b["native"]
 
         def bad(imgs):

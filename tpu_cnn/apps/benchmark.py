@@ -22,10 +22,82 @@ from tpu_cnn.utils import artifacts as art
 
 FPGA_FPS = 22.0  # reference README.md:11
 FPGA_CONV_MS = 6.8  # reference README.md:12
+# v5e MXU peak: 394 int8 TOPS = 197e12 MAC/s (MFU denominator; the pipeline
+# is HBM-bound, so single-digit MFU is expected at these tiny channel counts)
+PEAK_INT8_MACS = 197e12
 
 
-def macs_per_image() -> int:
-    return sum(size * size * oc * ic * 9 for ic, oc, size in LAYER_CONFIGS)
+def macs_per_image(layer_configs=LAYER_CONFIGS) -> int:
+    return sum(size * size * oc * ic * 9 for ic, oc, size in layer_configs)
+
+
+def bench_per_layer(model: FpgaCNN, mode: str, batch: int, runs: int):
+    """Per-layer device timings + MFU — the ``arm_benchmark.py:227-242``
+    table, reproduced on TPU. Each layer is timed alone (async-dispatched
+    ``runs`` times, one block at the end) on inputs staged in HBM by running
+    the preceding layers once."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_cnn.ops import pallas_int8, quant
+
+    kj = [jnp.asarray(k) for k in model.kernels]
+    shifts = jnp.asarray(model.shifts, jnp.int32)
+    rng = np.random.RandomState(0)
+    cfgs = model.config.layer_configs
+    x = jnp.asarray(
+        rng.randint(0, 256, (batch, cfgs[0][2], cfgs[0][2], 1), dtype=np.uint8)
+    )
+
+    def layer_fn(i):
+        use_pallas = mode == "pallas" or (mode in ("hybrid", "auto") and i == 0)
+        if use_pallas:
+            kmat = pallas_int8.pack_kernel_matrix(kj[i])
+
+            def f(a):  # NHWC -> NHWC via the Pallas NCHW kernel
+                nchw = jnp.transpose(a, (0, 3, 1, 2))
+                out = pallas_int8.fused_conv_layer(nchw, kmat, shifts[i])
+                return jnp.transpose(out, (0, 2, 3, 1))
+
+            return jax.jit(f), "pallas"
+        return jax.jit(
+            lambda a: quant.fixed_point_conv_layer(a, kj[i], shifts[i])
+        ), "xla"
+
+    rows = []
+    for i, (ic, oc, size) in enumerate(cfgs):
+        fn, kind = layer_fn(i)
+        y = jax.block_until_ready(fn(x))  # compile + stage next input
+        t0 = time.perf_counter()
+        outs = [fn(x) for _ in range(runs)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / runs
+        macs = size * size * oc * ic * 9 * batch
+        rows.append({
+            "layer": i, "ic": ic, "oc": oc, "size": size, "kind": kind,
+            "ms": dt * 1e3, "us_per_img": dt / batch * 1e6,
+            "tmacs": macs / dt / 1e12, "mfu": macs / dt / PEAK_INT8_MACS,
+        })
+        x = y
+
+    # head: fused classify + CAM on the final features
+    from tpu_cnn.ops import detect_head
+
+    feats = jnp.transpose(x, (0, 3, 1, 2)).reshape(batch, x.shape[3], -1)
+    fc_w, fc_b = jnp.asarray(model.fc_weight), jnp.asarray(model.fc_bias)
+    head = jax.jit(lambda f: detect_head.detect(
+        f, fc_w, fc_b, model.head_mode, model.config.img_size))
+    jax.block_until_ready(head(feats))
+    t0 = time.perf_counter()
+    outs = [head(feats) for _ in range(runs)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / runs
+    rows.append({
+        "layer": "head", "ic": x.shape[3], "oc": len(model.fc_bias),
+        "size": x.shape[1], "kind": "xla", "ms": dt * 1e3,
+        "us_per_img": dt / batch * 1e6, "tmacs": 0.0, "mfu": 0.0,
+    })
+    return rows
 
 
 def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
@@ -93,6 +165,9 @@ def main(argv=None):
                    help="comma list of: xla, pallas, hybrid, cpu")
     p.add_argument("--detect", action="store_true",
                    help="benchmark the fused detect pipeline (default: features)")
+    p.add_argument("--per-layer", action="store_true",
+                   help="per-layer device timings + MFU (arm_benchmark's "
+                        "per-layer table, reproduced on TPU)")
     p.add_argument("--camera-pipeline", action="store_true",
                    help="benchmark the FULL camera pipeline: on-device "
                         "(B, H, W, 3) preprocess (crop/gray/resize) fused "
@@ -122,6 +197,26 @@ def main(argv=None):
     images = rng.randint(0, 256, size=(args.batch, 128, 128)).astype(np.uint8)
 
     from tpu_cnn.apps.infer import make_engine
+
+    if args.per_layer:
+        mode = args.modes.split(",")[0].strip()
+        rows = bench_per_layer(model, mode, args.batch, args.runs)
+        print(f"\n  per-layer timings ({mode}, batch {args.batch}, "
+              f"{args.runs} runs, async):")
+        print(f"  {'layer':>6} {'geometry':>16} {'path':>7} {'ms/batch':>9} "
+              f"{'us/img':>7} {'TMAC/s':>7} {'MFU%':>6}")
+        total_us = 0.0
+        for r in rows:
+            geo = f"{r['ic']}->{r['oc']} @{r['size']}"
+            print(f"  {str(r['layer']):>6} {geo:>16} {r['kind']:>7} "
+                  f"{r['ms']:9.3f} {r['us_per_img']:7.2f} "
+                  f"{r['tmacs']:7.2f} {r['mfu'] * 100:6.2f}")
+            total_us += r["us_per_img"]
+        fps = 1e6 / total_us
+        print(f"  {'sum':>6} {'':>16} {'':>7} {'':>9} {total_us:7.2f}  "
+              f"-> {fps:,.0f} FPS layer-sum bound "
+              f"({fps / FPGA_FPS:,.0f}x reference)")
+        return {"per_layer": rows}
 
     if args.camera_pipeline:
         cam_w, cam_h = (int(v) for v in args.cam_res.split("x"))

@@ -36,13 +36,14 @@ def dump_features(
     from tpu_cnn.apps.infer import make_engine
 
     engine = make_engine(model, mode)
+    s = model.config.img_size
     names = [os.path.basename(p) for p in image_paths]
     labels = np.asarray([art.label_from_filename(p) for p in image_paths])
 
     imgs, kept, skipped = [], [], 0
     for i, p in enumerate(image_paths):
         try:
-            imgs.append(art.load_image_any(p).reshape(128, 128))
+            imgs.append(art.load_image_any(p, s).reshape(s, s))
             kept.append(i)
         except (OSError, ValueError) as e:
             # per-image skip-and-continue (dump_fpga_features.py:103-106)
@@ -51,7 +52,7 @@ def dump_features(
                 print(f"  SKIP {names[i]}: {e}")
     if skipped and verbose:
         print(f"  Skipped {skipped} files due to I/O errors")
-    images = np.stack(imgs) if imgs else np.zeros((0, 128, 128), np.uint8)
+    images = np.stack(imgs) if imgs else np.zeros((0, s, s), np.uint8)
     labels = labels[kept]
     names = [names[i] for i in kept]
 
@@ -67,8 +68,9 @@ def dump_features(
             done = min(start + batch_size, len(images))
             print(f"  [{done:4d}/{len(images)}] "
                   f"{(time.time() - t0) / max(done, 1) * 1e3:.2f} ms/image")
+    c, fs = model.config.out_channels, model.config.out_spatial
     features = (
-        np.concatenate(feats) if feats else np.zeros((0, 64, 256), np.uint8)
+        np.concatenate(feats) if feats else np.zeros((0, c, fs * fs), np.uint8)
     )
     return features, labels, names
 
@@ -80,21 +82,30 @@ def main(argv=None):
     p.add_argument("--output", default="tpu_features.npz")
     p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--s0", type=int, default=DEFAULT_SHIFTS[0])
-    p.add_argument("--s1", type=int, default=DEFAULT_SHIFTS[1])
-    p.add_argument("--s2", type=int, default=DEFAULT_SHIFTS[2])
+    p.add_argument("--shifts", default=None,
+                   help="comma list, one per layer (default: variant ladder)")
+    p.add_argument("--s0", type=int, default=None, help="legacy per-layer shift")
+    p.add_argument("--s1", type=int, default=None)
+    p.add_argument("--s2", type=int, default=None)
+    from tpu_cnn.apps.common import add_variant_arg, load_model
+
+    add_variant_arg(p)
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
     args.artifacts = args.artifacts or default_artifacts()
+    shifts = None
+    if args.shifts is not None:
+        shifts = [int(v) for v in args.shifts.split(",")]
+    elif args.s0 is not None:
+        shifts = [args.s0, args.s1 if args.s1 is not None else DEFAULT_SHIFTS[1],
+                  args.s2 if args.s2 is not None else DEFAULT_SHIFTS[2]]
 
     print("=" * 60)
     print("  FEATURE DUMP")
     print("=" * 60)
-    bundle = art.load_bundle(args.artifacts)
-    shifts = (args.s0, args.s1, args.s2)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=shifts)
+    model = load_model(args.artifacts, args.variant, shifts=shifts)
+    shifts = tuple(int(s) for s in model.shifts)
 
     image_dir = args.image_dir or args.artifacts
     paths = sorted(glob.glob(os.path.join(image_dir, "test_image_*.bin")))

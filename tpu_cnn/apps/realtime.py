@@ -27,8 +27,7 @@ import numpy as np
 
 from tpu_cnn.head import cam as cam_host
 from tpu_cnn.head import classify as classify_host
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, IMG_SIZE, FpgaCNN
-from tpu_cnn.utils import artifacts as art
+from tpu_cnn.models.cnn import IMG_SIZE
 from tpu_cnn.utils.profiling import EmaFps
 
 COLORS = [
@@ -134,9 +133,9 @@ class CameraThread:
 # ── Preprocess + overlay (numpy, no cv2 dependency) ─────────────────
 
 
-def preprocess(frame: np.ndarray) -> np.ndarray:
+def preprocess(frame: np.ndarray, out_size: int = IMG_SIZE) -> np.ndarray:
     """Center-crop to square, BT.601 grayscale (cv2.COLOR_BGR2GRAY-exact),
-    area-resize to 128x128 (``realtime_detect.py:584-591``)."""
+    area-resize to the model input size (``realtime_detect.py:584-591``)."""
     h, w = frame.shape[:2]
     if w > h:
         x0 = (w - h) // 2
@@ -152,21 +151,21 @@ def preprocess(frame: np.ndarray) -> np.ndarray:
     else:
         gray = crop
     s = gray.shape[0]
-    f = s // IMG_SIZE
-    if f >= 1 and s % IMG_SIZE == 0:
-        small = gray.reshape(IMG_SIZE, f, IMG_SIZE, f).mean(axis=(1, 3))
+    f = s // out_size
+    if f >= 1 and s % out_size == 0:
+        small = gray.reshape(out_size, f, out_size, f).mean(axis=(1, 3))
     else:
-        idx = (np.arange(IMG_SIZE) * s // IMG_SIZE).clip(0, s - 1)
+        idx = (np.arange(out_size) * s // out_size).clip(0, s - 1)
         small = gray[np.ix_(idx, idx)]
     return small.astype(np.uint8)
 
 
 def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
-                 mode, names):
+                 mode, names, img_size: int = IMG_SIZE):
     """In-place overlay: bbox rectangle + header + probability bars."""
     h, w = frame.shape[:2]
     xo = (w - h) // 2 if w > h else 0
-    s = min(w, h) / float(IMG_SIZE)
+    s = min(w, h) / float(img_size)
     x1, y1 = int(xo + bbox[0] * s), int(bbox[1] * s)
     x2, y2 = int(xo + bbox[2] * s), int(bbox[3] * s)
     c = COLORS[idx % len(COLORS)]
@@ -320,6 +319,9 @@ def main(argv=None):
     ap.add_argument("--res", type=str, default="640x480")
     ap.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
     ap.add_argument("--no-serve", action="store_true", help="skip the MJPEG server")
+    from tpu_cnn.apps.common import add_variant_arg
+
+    add_variant_arg(ap)
     args = ap.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -329,9 +331,10 @@ def main(argv=None):
     print("=" * 60)
     print("  REAL-TIME OBJECT DETECTION — TPU CNN")
     print("=" * 60)
-    bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+    from tpu_cnn.apps.common import load_model
+
+    model = load_model(args.artifacts, args.variant, args.head_prefix)
+    img_size = model.config.img_size
     names = model.class_names
     print(f"Classes: {names}")
 
@@ -370,21 +373,21 @@ def main(argv=None):
             if frame is None:
                 time.sleep(0.005)
                 continue
-            small = preprocess(frame)
+            small = preprocess(frame, img_size)
 
             feat, conv_ms, read_ms = engine.run(small)
             idx, name, conf, probs = classify_host.classify_np(
                 feat, model.fc_weight, model.fc_bias, names
             )
             if model.head_mode == "bins":
-                bbox = cam_host.cam_bbox_fast(feat, idx, model.fc_weight)
+                bbox = cam_host.cam_bbox_fast(feat, idx, model.fc_weight, img_size)
             else:
-                bbox = (0, 0, IMG_SIZE - 1, IMG_SIZE - 1)
+                bbox = (0, 0, img_size - 1, img_size - 1)
 
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)
             draw_overlay(out, idx, name, conf, probs, bbox, fps, conv_ms,
-                         read_ms, mode_lbl, names)
+                         read_ms, mode_lbl, names, img_size)
             PUBLISHER.publish(out)
 
             n += 1

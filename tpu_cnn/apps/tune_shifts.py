@@ -63,7 +63,8 @@ def tune(model: FpgaCNN, mode: str = "cpu", n_per_class: int = 40,
     from tpu_cnn.apps.infer import make_engine
     from tpu_cnn.train.data import SyntheticShapes
 
-    ds = SyntheticShapes(n_per_class=n_per_class, seed=31)
+    ds = SyntheticShapes(n_per_class=n_per_class, seed=31,
+                         img_size=model.config.img_size)
     imgs, labels = ds.arrays()
     u8 = np.round(imgs * 255).astype(np.uint8)
 
@@ -92,6 +93,9 @@ def main(argv=None):
     p.add_argument("--radius", type=int, default=1)
     p.add_argument("--n-per-class", type=int, default=40)
     p.add_argument("--head-epochs", type=int, default=300)
+    from tpu_cnn.apps.common import add_variant_arg, load_model
+
+    add_variant_arg(p)
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -100,9 +104,7 @@ def main(argv=None):
     print("=" * 60)
     print("  RELU SHIFT AUTO-TUNING")
     print("=" * 60)
-    bundle = art.load_bundle(args.artifacts)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+    model = load_model(args.artifacts, args.variant)
     tune(model, mode=args.mode, n_per_class=args.n_per_class,
          radius=args.radius, head_epochs=args.head_epochs)
 
