@@ -309,3 +309,64 @@ def test_infer_cli_png(artifact_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Prediction:" in out
     assert os.path.exists(str(tmp_path / "photo_result.jpg"))
+
+
+def test_camera_recovery_ladder(monkeypatch):
+    """The stall watchdog escalates reopen -> free-device -> usb-reset and
+    resets to healthy when frames return."""
+    import sys
+    import time as _time
+    import types
+
+    from tpu_cnn.apps import realtime
+
+    state = {"opens": 0, "frames_after": 99999}
+
+    class FakeCap:
+        def __init__(self):
+            state["opens"] += 1
+            self._n = 0
+
+        def isOpened(self):
+            return True
+
+        def set(self, *a):
+            pass
+
+        def read(self):
+            self._n += 1
+            if state["opens"] >= state["frames_after"]:
+                return True, np.zeros((8, 8, 3), np.uint8)
+            return False, None
+
+        def release(self):
+            pass
+
+    fake_cv2 = types.SimpleNamespace(
+        VideoCapture=lambda idx: FakeCap(),
+        CAP_PROP_FRAME_WIDTH=3, CAP_PROP_FRAME_HEIGHT=4,
+    )
+    monkeypatch.setitem(sys.modules, "cv2", fake_cv2)
+
+    rungs = []
+    monkeypatch.setattr(realtime, "_free_video_device",
+                        lambda idx: rungs.append("free") or True)
+    monkeypatch.setattr(realtime, "_usb_reset_video_device",
+                        lambda idx: rungs.append("usb") or False)
+
+    cam = realtime.CameraThread(0, stall_timeout=0.05)
+    try:
+        deadline = _time.time() + 5.0
+        while cam._stall_strikes < 3 and _time.time() < deadline:
+            _time.sleep(0.02)
+        assert cam._stall_strikes >= 3  # walked the whole ladder
+        assert "free" in rungs and "usb" in rungs
+        # frames come back -> healthy, strikes reset
+        state["frames_after"] = 0
+        deadline = _time.time() + 5.0
+        while cam._stall_strikes != 0 and _time.time() < deadline:
+            _time.sleep(0.02)
+        assert cam._stall_strikes == 0
+        assert cam.read() is not None
+    finally:
+        cam.release()

@@ -164,3 +164,86 @@ def test_variant_training_end_to_end(tmp_path):
     eng = CPURefEngine(kernels, shifts=(2, 4), use_native=False)
     feats = eng.run_batch(np.round(imgs[:2] * 255).astype(np.uint8))
     assert feats.shape == (2, 32, 16 * 16)
+
+
+def test_coco_protocol_on_disk(tmp_path):
+    """The reference's COCO protocol (training/train_cnn.py:58-97) exercised
+    on real bytes: a fabricated COCO-format annotation file + JPEGs on disk,
+    read through CocoClassification (pure-JSON fallback when pycocotools is
+    absent)."""
+    import json
+
+    from PIL import Image
+
+    from tpu_cnn.train.data import CocoClassification
+
+    rng = np.random.RandomState(7)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    cats = list(CocoClassification.COCO_CATS.items())
+    n_per = 3
+    iid = aid = 0
+    for name, cat_id in cats:
+        for k in range(n_per):
+            fn = f"{name}_{k}.jpg"
+            arr = rng.randint(0, 256, (37, 53, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / fn, quality=90)
+            images.append({"id": iid, "file_name": fn, "width": 53, "height": 37})
+            annotations.append({"id": aid, "image_id": iid,
+                                "category_id": cat_id, "bbox": [1, 1, 10, 10]})
+            iid += 1
+            aid += 1
+    ann_file = tmp_path / "instances.json"
+    ann_file.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": c, "name": n} for n, c in cats],
+    }))
+
+    ds = CocoClassification(str(img_dir), str(ann_file), img_size=32)
+    assert len(ds) == n_per * len(cats)
+    imgs, labels = ds.arrays()
+    assert imgs.shape == (len(ds), 32, 32) and imgs.dtype == np.float32
+    assert imgs.max() <= 1.0 and imgs.min() >= 0.0
+    assert sorted(np.bincount(labels).tolist()) == [n_per] * len(cats)
+    assert ds.class_names == list(CocoClassification.COCO_CATS)
+
+
+def test_train_cli_on_coco_format(tmp_path):
+    """End-to-end: the train CLI consuming a COCO-format dataset from disk
+    (tiny geometry, 1 epoch) exports a loadable bundle."""
+    import json
+
+    from PIL import Image
+
+    from tpu_cnn.train import train_cnn
+    from tpu_cnn.train.data import CocoClassification
+    from tpu_cnn.utils import artifacts as art
+
+    rng = np.random.RandomState(3)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    iid = 0
+    for name, cat_id in CocoClassification.COCO_CATS.items():
+        for k in range(4):
+            fn = f"{name}_{k}.jpg"
+            Image.fromarray(
+                rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+            ).save(img_dir / fn)
+            images.append({"id": iid, "file_name": fn, "width": 40, "height": 40})
+            annotations.append({"id": iid, "image_id": iid,
+                                "category_id": cat_id, "bbox": [0, 0, 5, 5]})
+            iid += 1
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"images": images, "annotations": annotations}))
+
+    out = str(tmp_path / "out")
+    train_cnn.main([
+        "--train-images", str(img_dir), "--train-ann", str(ann),
+        "--variant", "lyr3-tiny", "--epochs", "1", "--batch-size", "8",
+        "--output-dir", out,
+    ])
+    bundle = art.load_bundle(out, layer_configs=(
+        (1, 16, 32), (16, 32, 16), (32, 64, 8)))
+    assert bundle.fc_weight.shape[0] == 6

@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -63,9 +64,60 @@ class SyntheticSource:
         pass
 
 
+def _free_video_device(idx: int) -> bool:
+    """Recovery rung 2: terminate other processes holding /dev/videoN (the
+    usual cause of a capture that reopens but never delivers frames)."""
+    import subprocess
+
+    dev = f"/dev/video{idx}"
+    if not os.path.exists(dev):
+        return False
+    try:
+        r = subprocess.run(["fuser", "-k", dev], capture_output=True, timeout=5)
+        return r.returncode == 0
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _usb_reset_video_device(idx: int) -> bool:
+    """Recovery rung 3: port-level USB reset of the camera. Resolves the
+    V4L device's USB bus/device numbers through sysfs and issues
+    USBDEVFS_RESET on the /dev/bus/usb node — the software equivalent of
+    replugging the cable."""
+    import fcntl
+
+    USBDEVFS_RESET = ord("U") << 8 | 20
+    sys_dev = f"/sys/class/video4linux/video{idx}/device"
+    try:
+        usb_dir = os.path.realpath(sys_dev)
+        # walk up to the USB device level (the dir that has busnum/devnum)
+        while usb_dir and usb_dir != "/":
+            if os.path.exists(os.path.join(usb_dir, "busnum")):
+                break
+            usb_dir = os.path.dirname(usb_dir)
+        with open(os.path.join(usb_dir, "busnum")) as f:
+            bus = int(f.read())
+        with open(os.path.join(usb_dir, "devnum")) as f:
+            dev = int(f.read())
+        node = f"/dev/bus/usb/{bus:03d}/{dev:03d}"
+        fd = os.open(node, os.O_WRONLY)
+        try:
+            fcntl.ioctl(fd, USBDEVFS_RESET, 0)
+        finally:
+            os.close(fd)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 class CameraThread:
     """Background capture holding the latest frame, with a stall watchdog
-    that reopens the device (reference ``realtime_detect.py:148-240``)."""
+    driving an escalating recovery ladder (reference
+    ``realtime_detect.py:148-240``): (1) release + reopen; (2) free the
+    device from other holders; (3) USB port reset; each rung only after the
+    previous one failed to restore frames."""
+
+    RECOVERY = ("reopen", "free-device", "usb-reset")
 
     def __init__(self, cam_idx=0, width=640, height=480, stall_timeout=2.0):
         import cv2
@@ -77,6 +129,7 @@ class CameraThread:
         self.lock = threading.Lock()
         self.running = True
         self._last_ok = time.time()
+        self._stall_strikes = 0  # consecutive stalls -> ladder rung
         self.cap = self._open()
         if self.cap is None:
             raise RuntimeError(f"camera {cam_idx} failed to open")
@@ -93,6 +146,25 @@ class CameraThread:
         cap.set(cv2.CAP_PROP_FRAME_HEIGHT, self._h)
         return cap
 
+    def _recover(self):
+        rung = self.RECOVERY[min(self._stall_strikes, len(self.RECOVERY) - 1)]
+        print(f"camera stalled — recovery rung {self._stall_strikes + 1}: "
+              f"{rung}", flush=True)
+        try:
+            self.cap.release()
+        except Exception:
+            pass
+        if rung == "free-device":
+            _free_video_device(self._idx)
+        elif rung == "usb-reset":
+            if _usb_reset_video_device(self._idx):
+                time.sleep(1.0)  # device re-enumerates
+        cap = self._open()
+        if cap is not None:
+            self.cap = cap
+        self._stall_strikes += 1
+        self._last_ok = time.time()
+
     def _reader(self):
         while self.running:
             try:
@@ -101,17 +173,10 @@ class CameraThread:
                     with self.lock:
                         self.frame = f
                     self._last_ok = time.time()
+                    self._stall_strikes = 0  # healthy again
                     continue
                 if time.time() - self._last_ok > self._stall:
-                    print("camera stalled — reopening", flush=True)
-                    try:
-                        self.cap.release()
-                    except Exception:
-                        pass
-                    cap = self._open()
-                    if cap is not None:
-                        self.cap = cap
-                    self._last_ok = time.time()
+                    self._recover()
                 else:
                     time.sleep(0.01)
             except Exception as e:

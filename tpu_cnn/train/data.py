@@ -159,10 +159,38 @@ class ImageFolderDataset:
         return np.stack(imgs), np.asarray(labels, np.int32)
 
 
+class _MiniCoco:
+    """Minimal pure-JSON reader for COCO detection annotation files,
+    implementing the two queries the protocol needs (getImgIds by category,
+    loadImgs). Drop-in for environments without pycocotools — the
+    annotation format is plain JSON."""
+
+    def __init__(self, ann_file: str):
+        import json
+
+        with open(ann_file) as f:
+            data = json.load(f)
+        self._imgs = {im["id"]: im for im in data.get("images", [])}
+        self._cat_to_imgs: dict[int, set] = {}
+        for ann in data.get("annotations", []):
+            self._cat_to_imgs.setdefault(ann["category_id"], set()).add(
+                ann["image_id"]
+            )
+
+    def getImgIds(self, catIds):
+        ids: set = set()
+        for c in catIds:
+            ids |= self._cat_to_imgs.get(c, set())
+        return sorted(ids)
+
+    def loadImgs(self, img_id):
+        return [self._imgs[img_id]]
+
+
 class CocoClassification:
     """COCO detection annotations -> single-label classification, the
-    reference's protocol (``training/train_cnn.py:58-97``). Requires
-    pycocotools and the dataset on disk."""
+    reference's protocol (``training/train_cnn.py:58-97``). Uses
+    pycocotools when installed, else a built-in pure-JSON reader."""
 
     COCO_CATS = {  # training/train_cnn.py:47-53
         "airplane": 5, "cat": 17, "zebra": 24,
@@ -171,16 +199,19 @@ class CocoClassification:
 
     def __init__(self, img_dir: str, ann_file: str, max_per_class: int = 0,
                  img_size: int = IMG_SIZE, seed: int = 0):
-        from pycocotools.coco import COCO  # gated import
+        try:
+            from pycocotools.coco import COCO
 
-        self.coco = COCO(ann_file)
+            self.coco = COCO(ann_file)
+        except ImportError:
+            self.coco = _MiniCoco(ann_file)
         self.img_dir = img_dir
         self.img_size = img_size
         self.class_names = list(self.COCO_CATS.keys())
         rng = np.random.RandomState(seed)
         self.samples = []
         for ci, (_, cat_id) in enumerate(self.COCO_CATS.items()):
-            ids = self.coco.getImgIds(catIds=[cat_id])
+            ids = list(self.coco.getImgIds(catIds=[cat_id]))
             rng.shuffle(ids)
             if max_per_class:
                 ids = ids[:max_per_class]
