@@ -129,3 +129,31 @@ def test_megakernel_fused_bins(stock_kernels, rng):
     np.testing.assert_array_equal(np.asarray(p1[3]), np.asarray(p2[3]))  # bbox
     np.testing.assert_allclose(np.asarray(p1[2]), np.asarray(p2[2]),
                                rtol=1e-4, atol=1e-5)  # probs
+
+
+def test_megakernel_f32_twin(stock_kernels, rng):
+    """with_f32: the kernel's f32 feature twin must equal the u8 features
+    exactly, and the f32-twin CAM path must produce the same boxes as the
+    u8 path (the production detect wiring)."""
+    from tpu_cnn.ops import detect_head
+    from tpu_cnn.ops.pallas_poly import cnn_forward_polyphase_pallas
+
+    imgs = rng.randint(0, 256, size=(4, 128, 128)).astype(np.uint8)
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    feats, bins, f32 = cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts, interpret=True,
+        with_bins=True, with_f32=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f32), np.asarray(feats).astype(np.float32)
+    )
+
+    rs = np.random.RandomState(5)
+    fc_w = jnp.asarray(rs.randn(6, 1024).astype(np.float32) * 0.1)
+    fc_b = jnp.asarray(np.zeros(6, np.float32))
+    pu = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128)
+    pf = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128,
+                                        features_f32=f32)
+    np.testing.assert_array_equal(np.asarray(pu[0]), np.asarray(pf[0]))
+    np.testing.assert_array_equal(np.asarray(pu[3]), np.asarray(pf[3]))

@@ -95,6 +95,32 @@ def test_http_service_end_to_end(artifact_dir):
         batcher.stop()
 
 
+def test_http_service_rejects_oversized_body(artifact_dir):
+    """Bodies above MAX_BODY_BYTES are refused with 413 before being read
+    (memory-exhaustion hardening)."""
+    import http.client
+
+    from tpu_cnn.apps.serve import MAX_BODY_BYTES, build_service, make_handler
+
+    batcher, backend = build_service(artifact_dir, mode="cpu",
+                                     max_batch=2, max_wait_ms=1.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, backend))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/detect")
+        conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "too large" in json.loads(resp.read())["error"]
+        conn.close()
+    finally:
+        srv.shutdown()
+        batcher.stop()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import optax

@@ -101,6 +101,19 @@ def bench_per_layer(model: FpgaCNN, mode: str, batch: int, runs: int):
 
 
 def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
+    """Async-pipelined when the engine supports it (detect_batch_async):
+    all batches dispatched, resolved at the end — the relay's ~30 ms
+    round-trip never serialises the device (CLAUDE.md dispatch rules)."""
+    if use_detect and hasattr(engine, "detect_batch_async"):
+        # Stage the frames in HBM first, then measure pure dispatch+compute
+        # (bench.py's measurement discipline — see stage_batch docstring).
+        pools = [engine.stage_batch(images) for _ in range(2)]
+        engine.detect_resolve(engine.detect_batch_async(pools[0]))  # warmup
+        t0 = time.perf_counter()
+        handles = [engine.detect_batch_async(pools[i % 2]) for i in range(runs)]
+        for h in handles:
+            engine.detect_resolve(h)
+        return (time.perf_counter() - t0) / runs
     fn = engine.detect_batch if use_detect and hasattr(engine, "detect_batch") else engine.run_batch
     fn(images)  # warmup / compile
     t0 = time.perf_counter()

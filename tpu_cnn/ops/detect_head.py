@@ -83,24 +83,65 @@ def cam_bbox(
     (mean > 250) masked out, ReLU + max-normalise, threshold at
     max(percentile70, 0.25), extremal rows/cols scaled by S->img_size.
     """
+    return cam_bbox_f32(
+        features.astype(jnp.float32), class_idx, fc_weight, img_size
+    )
+
+
+def cam_bbox_f32(
+    features: jax.Array,  # (B, C, S*S) float32 (integer-valued, 0..255)
+    class_idx: jax.Array,  # (B,) int32
+    fc_weight: jax.Array,  # (num_classes, C*16) float32 — bins head only
+    img_size: int = 128,
+) -> jax.Array:
+    """CAM bbox core on f32 features — the PRODUCTION formulation.
+
+    Two TPU-specific choices, each measured on hardware
+    (scripts/profile_head.py, scripts/probe_cam.py):
+
+    * The channel reduction runs as a batched MXU matmul producing one CAM
+      per BIN column — ``camfull[b, j, p] = sum_c w[b, c, j] * fm[b, c, p]``
+      — then a constant per-lane bin mask selects ``j = bin(p)``. An XLA
+      middle-axis reduce of (B, 64, 256) costs ~0.8 us/img on the VPU;
+      the matmul form costs ~0.09 (234k -> 287k FPS end-to-end).
+    * The features arrive as the megakernel's in-kernel f32 twin
+      (``with_f32``), sparing the u8->f32 feature relayout.
+
+    Same products, same reduction set as the reference CAM
+    (``software/realtime_detect.py:85-116``) — only the evaluation order
+    differs (f32 round-off at ulp scale; bbox-parity vs the host twin is
+    asserted on real test images by bench.py's gate)."""
     b, c, ss = features.shape
     s = int(round(ss**0.5))
     grid = 4
     npx = s // grid
-    scale = img_size // s
 
-    fm = features.astype(jnp.float32).reshape(b, c, s, s)
-    w = fc_weight[class_idx].reshape(b, c, grid, grid)  # (B, C, 4, 4)
-    # Broadcast each bin weight over its npx x npx pixels.
-    w_exp = jnp.repeat(jnp.repeat(w, npx, axis=2), npx, axis=3)  # (B, C, s, s)
-
-    ch_means = fm.mean(axis=(2, 3))  # (B, C)
-    valid = (ch_means <= SATURATION_MEAN).astype(jnp.float32)
-    cam = (w_exp * fm * valid[:, :, None, None]).sum(axis=1)  # (B, s, s)
+    valid = (features.mean(axis=2) <= SATURATION_MEAN).astype(jnp.float32)
+    w = fc_weight[class_idx].reshape(b, c, grid * grid) * valid[:, :, None]
+    wT = jnp.transpose(w, (0, 2, 1))  # (B, J, C)
+    camfull = jax.lax.dot_general(
+        wT, features, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, J, S*S)
+    p = jnp.arange(ss)
+    binof = (p // s // npx) * grid + (p % s) // npx  # (S*S,)
+    sel = (binof[None, :] == jnp.arange(grid * grid)[:, None]).astype(
+        jnp.float32
+    )  # (J, S*S)
+    cam = (camfull * sel[None]).sum(axis=1)  # (B, S*S)
     cam = jnp.maximum(cam, 0.0)
-    cam_max = cam.max(axis=(1, 2), keepdims=True)
+    cam_max = cam.max(axis=1, keepdims=True)
     cam = jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
+    return _bbox_from_cam(cam.reshape(b, s, s), img_size)
 
+
+def _bbox_from_cam(cam: jax.Array, img_size: int) -> jax.Array:
+    """(B, s, s) normalised CAM -> (B, 4) int32 boxes: percentile-70
+    threshold with the 0.25 floor, extremal rows/cols, grid->image scaling
+    (``software/realtime_detect.py:104-116``)."""
+    b, s, _ = cam.shape
+    ss = s * s
+    scale = img_size // s
     thr = jnp.percentile(cam.reshape(b, ss), CAM_PERCENTILE, axis=1)
     thr = jnp.maximum(thr, CAM_THRESHOLD_FLOOR)  # (B,)
     mask = cam > thr[:, None, None]  # (B, s, s)
@@ -133,14 +174,19 @@ def detect_with_pooled(
     fc_weight: jax.Array,
     fc_bias: jax.Array,
     img_size: int = 128,
+    features_f32: jax.Array | None = None,  # kernel-emitted f32 twin
 ):
     """Fused classify + bbox when the bin pooling already happened inside
-    the conv megakernel (``pallas_poly`` with_bins)."""
+    the conv megakernel (``pallas_poly`` with_bins). Pass the kernel's f32
+    feature twin (``with_f32``) to skip the u8->f32 relayout in the CAM."""
     logits = _fc_logits(pooled, fc_weight, fc_bias)
     probs = jax.nn.softmax(logits, axis=-1)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
-    bbox = cam_bbox(features, pred, fc_weight, img_size)
+    if features_f32 is not None:
+        bbox = cam_bbox_f32(features_f32, pred, fc_weight, img_size)
+    else:
+        bbox = cam_bbox(features, pred, fc_weight, img_size)
     return pred, conf, probs, bbox
 
 

@@ -189,15 +189,19 @@ def _pool_blocks(act_i32, g, t, rows):
     return blocks
 
 
-def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins):
+def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
+               with_f32=False):
     n_layers = len(layer_params)
     k_refs = rest[:n_layers]
     corr_refs = rest[n_layers : 2 * n_layers]
     out_ref = rest[2 * n_layers]
     off = 2 * n_layers + 1
-    bins_ref = None
+    bins_ref = f32_ref = None
     if with_bins:
         bins_ref = rest[off]
+        off += 1
+    if with_f32:
+        f32_ref = rest[off]
         off += 1
     xs_refs = rest[off : off + n_layers]
     act_refs = rest[off + n_layers :]  # inter-layer phase rows (u8)
@@ -220,6 +224,11 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins):
         target = out_ref if li == n_layers - 1 else act_refs[li]
         for d, b in enumerate(blocks):
             target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
+        if with_f32 and li == n_layers - 1:
+            # f32 twin of the final features, written while they are still
+            # i32 in VMEM: spares the head's CAM the (slow) XLA u8->f32
+            # relayout of the feature map
+            f32_ref[:] = blocks[0].astype(jnp.float32)
         if with_bins and li == n_layers - 1:
             # fused head pooling: 4x4 spatial-bin means of the final 16x16
             # map, via a selection matmul (exact integer sums, then the same
@@ -257,7 +266,7 @@ def phase_split_batch(images: jax.Array, g: int) -> jax.Array:
     return v.reshape(b, 1, g * g * t * t)
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_bins"))
+@partial(jax.jit, static_argnames=("interpret", "with_bins", "with_f32"))
 def cnn_forward_polyphase_pallas(
     images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
     kernels: Sequence[jax.Array],
@@ -265,12 +274,16 @@ def cnn_forward_polyphase_pallas(
     *,
     interpret: bool | None = None,
     with_bins: bool = False,
+    with_f32: bool = False,
 ) -> jax.Array:
     """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
     same layout contract as ``ops.quant.cnn_forward`` (the final single
     phase's flat (Y, X) order IS the feature layout). With ``with_bins``,
     additionally returns the fused-head spatial-bin pooling
-    (B, oc_last*16) f32 (matching ``detect_head.bin_pool``)."""
+    (B, oc_last*16) f32 (matching ``detect_head.bin_pool``). With
+    ``with_f32``, additionally returns an f32 twin of the features (same
+    values, written in-kernel) so the head's CAM skips XLA's slow u8->f32
+    feature relayout."""
     if images.ndim == 4:
         images = images[..., 0]
     b, s, _ = images.shape
@@ -335,11 +348,18 @@ def cnn_forward_polyphase_pallas(
             pl.BlockSpec((tb * oc_last, 16), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
         )
+    if with_f32:
+        out_shapes.append(jax.ShapeDtypeStruct((pb * oc_last, m), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((tb * oc_last, m), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
 
+    multi = with_bins or with_f32
     res = pl.pallas_call(
         partial(_mega_body, layer_params=layer_params, tb=tb, t=t,
-                with_bins=with_bins),
-        out_shape=tuple(out_shapes) if with_bins else out_shapes[0],
+                with_bins=with_bins, with_f32=with_f32),
+        out_shape=tuple(out_shapes) if multi else out_shapes[0],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shifts vector in SMEM
             grid=(pb // tb,),
@@ -348,7 +368,7 @@ def cnn_forward_polyphase_pallas(
                              memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_layers)],
             ],
-            out_specs=tuple(out_specs) if with_bins else out_specs[0],
+            out_specs=tuple(out_specs) if multi else out_specs[0],
             scratch_shapes=scratch,
         ),
         cost_estimate=pl.CostEstimate(
@@ -358,10 +378,13 @@ def cnn_forward_polyphase_pallas(
         ),
         interpret=interpret,
     )(shifts.astype(jnp.int32), x_rows, *kmats, *corrs)
-    if with_bins:
-        out, bins = res
-        return (
-            out.reshape(pb, oc_last, m)[:b],
-            bins.reshape(pb, oc_last * 16)[:b],
-        )
+    if multi:
+        parts = list(res)
+        out = parts.pop(0).reshape(pb, oc_last, m)[:b]
+        ret = [out]
+        if with_bins:
+            ret.append(parts.pop(0).reshape(pb, oc_last * 16)[:b])
+        if with_f32:
+            ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
+        return tuple(ret)
     return res.reshape(pb, oc_last, m)[:b]

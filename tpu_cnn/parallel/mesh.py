@@ -143,11 +143,11 @@ def sharded_detect_mega(
 
     def per_shard(images, shifts):
         if head_mode == "bins":
-            feats, pooled = pallas_poly.cnn_forward_polyphase_pallas(
-                images, kernels, shifts, with_bins=True
+            feats, pooled, feats_f32 = pallas_poly.cnn_forward_polyphase_pallas(
+                images, kernels, shifts, with_bins=True, with_f32=True
             )
             return detect_head.detect_with_pooled(
-                feats, pooled, fc_w, fc_b, img_size
+                feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32
             )
         feats = pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
         return detect_head.detect(feats, fc_w, fc_b, head_mode, img_size)
@@ -245,14 +245,25 @@ class MeshEngine:
     def detect_batch(self, images: np.ndarray):
         return self.detect_resolve(self.detect_batch_async(images))
 
-    def detect_batch_async(self, images: np.ndarray):
+    def stage_batch(self, images: np.ndarray) -> tuple:
+        """Pad + shard a batch onto the mesh ahead of dispatch (same
+        contract as TPUEngine.stage_batch)."""
+        images, b = self._pad(np.asarray(images, np.uint8))
+        dev = shard_batch(self.mesh, images, self._all_axes)
+        jax.block_until_ready(dev)
+        return ("staged", dev, b)
+
+    def detect_batch_async(self, images):
         """Dispatch without blocking (several batches may be in flight on
         the mesh); resolve with :meth:`detect_resolve` — the same async
-        pipeline contract as TPUEngine."""
-        images, b = self._pad(np.asarray(images, np.uint8))
-        pred, conf, probs, bbox = self._detect(
-            shard_batch(self.mesh, images, self._all_axes), self._shifts
-        )
+        pipeline contract as TPUEngine. Accepts a raw uint8 array or a
+        :meth:`stage_batch` handle."""
+        if isinstance(images, tuple) and len(images) == 3 and images[0] == "staged":
+            dev, b = images[1], images[2]
+        else:
+            images, b = self._pad(np.asarray(images, np.uint8))
+            dev = shard_batch(self.mesh, images, self._all_axes)
+        pred, conf, probs, bbox = self._detect(dev, self._shifts)
         for a in (pred, conf, probs, bbox):
             a.copy_to_host_async()
         return (pred, conf, probs, bbox, b)

@@ -62,6 +62,49 @@ def block_with_timeout(
     return values
 
 
+def get_with_timeout(
+    values: Any,
+    timeout_s: float,
+    diagnostics: Callable[[], str] | None = None,
+) -> Any:
+    """``jax.device_get`` with a deadline — the bounded-wait used on result
+    fetches. Unlike block-then-get, this issues no extra synchronous
+    round-trips: behind a high-latency link (this harness's ~30 ms relay),
+    ``block_until_ready`` costs a fresh round-trip per buffer, while
+    ``device_get`` of buffers whose ``copy_to_host_async`` was already
+    issued completes from the in-flight copy (measured 55k vs 225k FPS on
+    the async detect pipeline)."""
+    import jax
+
+    done = threading.Event()
+    out: list[Any] = []
+    err: list[BaseException] = []
+
+    def fetch():
+        try:
+            out.append(jax.device_get(values))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=fetch, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        try:
+            dev = jax.devices()[0]
+            info = f"platform={dev.platform} device={dev}"
+        except Exception:
+            info = "device info unavailable"
+        extra = f" | {diagnostics()}" if diagnostics else ""
+        raise DeviceTimeout(
+            f"device fetch not ready after {timeout_s}s ({info}{extra})"
+        )
+    if err:
+        raise err[0]
+    return out[0]
+
+
 class Watchdog:
     """Progress watchdog: call :meth:`kick` on progress; a monitor callback
     fires if no progress lands within ``stall_s`` (camera-reset analogue)."""
