@@ -149,3 +149,51 @@ def test_run_batch_pooled_matches_host(bins_model, images):
     want = bin_pool_np(feats)
     assert pooled.shape == (5, 1024)
     np.testing.assert_allclose(pooled, want, rtol=1e-6, atol=1e-6)
+
+
+def test_centroid_bbox_matches_host(bins_model, images):
+    """Device centroid-profile box == host twin (f32 reduction-order may
+    shift a floor by one pixel; allow 1 px)."""
+    eng = TPUEngine(bins_model, backend="xla", box_mode="centroid")
+    feats = eng.run_batch(images)
+    res = eng.detect_batch(images)
+    for b in range(len(images)):
+        want = host_cam.cam_bbox_centroid(
+            feats[b], int(res.pred[b]), bins_model.fc_weight
+        )
+        assert np.abs(np.asarray(res.bbox[b]) - np.asarray(want)).max() <= 1
+
+
+def test_centroid_bbox_localises():
+    """Point-mass CAM -> small box around the mass; zero CAM -> full frame."""
+    feats = np.zeros((2, 64, 256), np.uint8)
+    feats[0, 1].reshape(16, 16)[6:8, 9:11] = 200  # compact blob
+    fc_w = np.zeros((6, 1024), np.float32)
+    fc_w[2, 16:32] = 1.0
+    boxes = np.asarray(detect_head.cam_bbox(
+        jnp.asarray(feats), jnp.asarray([2, 2]), jnp.asarray(fc_w),
+        box_mode="centroid",
+    ))
+    x1, y1, x2, y2 = boxes[0]
+    assert 60 <= x1 and x2 <= 100 and 36 <= y1 and y2 <= 76  # around (9..11, 6..8)*8
+    assert (x2 - x1) < 48 and (y2 - y1) < 48
+    np.testing.assert_array_equal(boxes[1], [0, 0, 127, 127])  # zero CAM
+    host = host_cam.cam_bbox_centroid(feats[0], 2, fc_w)
+    assert np.abs(boxes[0] - np.asarray(host)).max() <= 1
+
+
+def test_centroid_bbox_beats_reference_iou():
+    """The tuned centroid profile must beat the reference threshold box on
+    the held-out synthetic eval (the round-1 weak-spot metric)."""
+    from tpu_cnn.apps.eval_detection import evaluate
+    from tpu_cnn.utils import artifacts as art
+    from tpu_cnn.utils.paths import default_artifacts
+
+    bundle = art.load_bundle(default_artifacts())
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+    ref = evaluate(model, mode="xla", n_per_class=10, verbose=False, box="ref")
+    cen = evaluate(model, mode="xla", n_per_class=10, verbose=False,
+                   box="centroid")
+    assert cen["mean_iou"] > ref["mean_iou"]
+    assert cen["iou_gain"] > 0

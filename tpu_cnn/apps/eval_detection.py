@@ -36,15 +36,18 @@ def iou(a, b) -> float:
 
 
 def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
-             seed: int = 123, verbose: bool = True):
-    """Returns dict(accuracy, mean_iou, full_frame_iou, per_class)."""
+             seed: int = 123, verbose: bool = True, box: str = "ref"):
+    """Returns dict(accuracy, mean_iou, full_frame_iou, per_class).
+
+    ``box``: "ref" scores the reference CAM threshold box; "centroid" the
+    tuned centroid profile (``detect_head.CAM_CENTROID_K``)."""
     from tpu_cnn.apps.infer import make_engine
 
     ds = SyntheticShapes(n_per_class=n_per_class, seed=seed)
     imgs, labels, gt_boxes = ds.arrays_with_boxes()
     u8 = np.round(imgs * 255).astype(np.uint8)
 
-    engine = make_engine(model, mode)
+    engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "detect_batch"):
         res = engine.detect_batch(u8)
         preds, boxes = res.pred, res.bbox
@@ -52,10 +55,12 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
         from tpu_cnn.head import cam as cam_host
         from tpu_cnn.head.classify import classify_np
 
+        box_fn = (cam_host.cam_bbox_centroid if box == "centroid"
+                  else cam_host.cam_bbox_fast)
         feats = engine.run_batch(u8)
         preds, _, _ = classify_np(feats, model.fc_weight, model.fc_bias)
         boxes = np.asarray([
-            cam_host.cam_bbox_fast(feats[i], int(preds[i]), model.fc_weight)
+            box_fn(feats[i], int(preds[i]), model.fc_weight)
             for i in range(len(u8))
         ])
 
@@ -87,6 +92,8 @@ def main(argv=None):
     p.add_argument("--mode", default="auto",
                    choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--n-per-class", type=int, default=30)
+    p.add_argument("--box", default="ref", choices=["ref", "centroid"],
+                   help="CAM box profile: reference threshold or tuned centroid")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -98,7 +105,7 @@ def main(argv=None):
     bundle = art.load_bundle(args.artifacts)
     model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
                     bundle.class_names, shifts=DEFAULT_SHIFTS)
-    evaluate(model, mode=args.mode, n_per_class=args.n_per_class)
+    evaluate(model, mode=args.mode, n_per_class=args.n_per_class, box=args.box)
 
 
 if __name__ == "__main__":

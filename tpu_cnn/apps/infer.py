@@ -27,10 +27,13 @@ from tpu_cnn.models.cnn import DEFAULT_SHIFTS, FpgaCNN
 from tpu_cnn.utils import artifacts as art
 
 
-def make_engine(model: FpgaCNN, mode: str):
+def make_engine(model: FpgaCNN, mode: str, box_mode: str = "ref"):
     """The engine swap (reference --mode fpga|arm, realtime_detect.py:556):
     cpu = host oracle, mesh = all local chips data-parallel, otherwise
-    TPUEngine with the named compute backend."""
+    TPUEngine with the named compute backend. ``box_mode`` picks the fused
+    CAM box profile ("ref" = reference threshold semantics, "centroid" =
+    tuned sort-free profile); the CPU oracle engine has no fused head, its
+    callers pick the host twin themselves."""
     if mode == "cpu":
         from tpu_cnn.engine.cpu_ref import CPURefEngine
 
@@ -38,10 +41,14 @@ def make_engine(model: FpgaCNN, mode: str):
     if mode == "mesh":
         from tpu_cnn.parallel.mesh import MeshEngine
 
-        return MeshEngine(model)
+        return MeshEngine(model, box_mode=box_mode)
     from tpu_cnn.engine.tpu import TPUEngine
 
-    return TPUEngine(model, backend=mode if mode in ("xla", "pallas", "hybrid", "mega") else "auto")
+    return TPUEngine(
+        model,
+        backend=mode if mode in ("xla", "pallas", "hybrid", "mega") else "auto",
+        box_mode=box_mode,
+    )
 
 
 def annotate_and_save(image_flat, bbox, label, out_path, img_size=128):

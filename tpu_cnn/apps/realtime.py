@@ -384,6 +384,8 @@ def main(argv=None):
     ap.add_argument("--res", type=str, default="640x480")
     ap.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
     ap.add_argument("--no-serve", action="store_true", help="skip the MJPEG server")
+    ap.add_argument("--box", default="ref", choices=["ref", "centroid"],
+                    help="CAM box profile (centroid = tuned, higher IoU)")
     from tpu_cnn.apps.common import add_variant_arg
 
     add_variant_arg(ap)
@@ -405,7 +407,7 @@ def main(argv=None):
 
     from tpu_cnn.apps.infer import make_engine
 
-    engine = make_engine(model, args.mode)
+    engine = make_engine(model, args.mode, box_mode=args.box)
     mode_lbl = f"{type(engine).__name__}:{getattr(engine, 'backend', '?')}"
     print(f"Engine: {mode_lbl}")
     if hasattr(engine, "warmup"):
@@ -445,7 +447,9 @@ def main(argv=None):
                 feat, model.fc_weight, model.fc_bias, names
             )
             if model.head_mode == "bins":
-                bbox = cam_host.cam_bbox_fast(feat, idx, model.fc_weight, img_size)
+                box_fn = (cam_host.cam_bbox_centroid if args.box == "centroid"
+                          else cam_host.cam_bbox_fast)
+                bbox = box_fn(feat, idx, model.fc_weight, img_size)
             else:
                 bbox = (0, 0, img_size - 1, img_size - 1)
 

@@ -64,11 +64,13 @@ class TPUEngine:
         compute_dtype: str = "float32",
         max_batch: int = 4096,
         timeout_s: float | None = 300.0,  # first call includes XLA compile
+        box_mode: str = "ref",  # "ref" (reference CAM threshold) | "centroid"
     ):
         self.model = model
         self.compute_dtype = compute_dtype
         self.max_batch = max_batch
         self.timeout_s = timeout_s
+        self.box_mode = box_mode
         self._kernels_dev = [jnp.asarray(k) for k in model.kernels]
         self._fc_w_dev = jnp.asarray(model.fc_weight)
         self._fc_b_dev = jnp.asarray(model.fc_bias)
@@ -141,6 +143,7 @@ class TPUEngine:
         features_fn = self._features_fn()
         head_mode = self.model.head_mode
         img_size = self.model.config.img_size
+        box_mode = self.box_mode
         fuse_bins = self.backend == "mega" and head_mode == "bins"
 
         @jax.jit
@@ -159,12 +162,13 @@ class TPUEngine:
                 )
                 pred, conf, probs, bbox = detect_head.detect_with_pooled(
                     feats, pooled, self._fc_w_dev, self._fc_b_dev, img_size,
-                    features_f32=feats_f32,
+                    features_f32=feats_f32, box_mode=box_mode,
                 )
             else:
                 feats = features_fn(images, self._kernels_dev, shifts)
                 pred, conf, probs, bbox = detect_head.detect(
-                    feats, self._fc_w_dev, self._fc_b_dev, head_mode, img_size
+                    feats, self._fc_w_dev, self._fc_b_dev, head_mode, img_size,
+                    box_mode=box_mode,
                 )
             return pred, conf, probs, bbox
 

@@ -19,6 +19,11 @@ import jax.numpy as jnp
 SATURATION_MEAN = 250.0  # channels with mean > 250 carry no spatial info
 CAM_THRESHOLD_FLOOR = 0.25  # software/realtime_detect.py:109
 CAM_PERCENTILE = 70.0
+# Centroid box profile (box_mode="centroid"): box = CAM mass centroid
+# +- K * mass stddev. Calibrated on a synthetic calibration split
+# (scripts/probe_boxes.py, seed 77) and validated held-out: mean IoU 0.407
+# vs 0.355 for the reference threshold box (full-frame trivial 0.308).
+CAM_CENTROID_K = 1.25
 
 
 def _fc_logits(pooled: jax.Array, fc_weight: jax.Array, fc_bias: jax.Array):
@@ -75,16 +80,20 @@ def cam_bbox(
     class_idx: jax.Array,  # (B,) int32
     fc_weight: jax.Array,  # (num_classes, C*16) float32 — bins head only
     img_size: int = 128,
+    box_mode: str = "ref",
 ) -> jax.Array:
     """Batched CAM bounding boxes, (B, 4) int32 as (x1, y1, x2, y2) in image px.
 
-    Matches the vectorised reference head ``software/realtime_detect.py:85-116``:
-    per-bin class weights broadcast over each 4x4 bin, saturated channels
-    (mean > 250) masked out, ReLU + max-normalise, threshold at
-    max(percentile70, 0.25), extremal rows/cols scaled by S->img_size.
+    box_mode="ref" matches the vectorised reference head
+    ``software/realtime_detect.py:85-116``: per-bin class weights broadcast
+    over each 4x4 bin, saturated channels (mean > 250) masked out, ReLU +
+    max-normalise, threshold at max(percentile70, 0.25), extremal rows/cols
+    scaled by S->img_size. box_mode="centroid" is the tuned profile
+    (see CAM_CENTROID_K).
     """
     return cam_bbox_f32(
-        features.astype(jnp.float32), class_idx, fc_weight, img_size
+        features.astype(jnp.float32), class_idx, fc_weight, img_size,
+        box_mode=box_mode,
     )
 
 
@@ -93,6 +102,7 @@ def cam_bbox_f32(
     class_idx: jax.Array,  # (B,) int32
     fc_weight: jax.Array,  # (num_classes, C*16) float32 — bins head only
     img_size: int = 128,
+    box_mode: str = "ref",
 ) -> jax.Array:
     """CAM bbox core on f32 features — the PRODUCTION formulation.
 
@@ -132,6 +142,8 @@ def cam_bbox_f32(
     cam = jnp.maximum(cam, 0.0)
     cam_max = cam.max(axis=1, keepdims=True)
     cam = jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
+    if box_mode == "centroid":
+        return _bbox_from_cam_centroid(cam.reshape(b, s, s), img_size)
     return _bbox_from_cam(cam.reshape(b, s, s), img_size)
 
 
@@ -168,6 +180,43 @@ def _bbox_from_cam(cam: jax.Array, img_size: int) -> jax.Array:
     return jnp.where(any_mask[:, None], bbox, full[None, :]).astype(jnp.int32)
 
 
+def _bbox_from_cam_centroid(
+    cam: jax.Array, img_size: int, k: float = CAM_CENTROID_K
+) -> jax.Array:
+    """(B, s, s) CAM -> (B, 4) int32 boxes as mass centroid +- k*stddev.
+
+    Sort-free alternative to the percentile threshold: treat the ReLU'd CAM
+    as a mass distribution, box = [centroid - k*sigma, centroid + k*sigma]
+    per axis, scaled to image pixels. Scale-invariant in the CAM, so it
+    shares the normalised CAM with the reference path. Falls back to the
+    full frame when the CAM is all-zero (the reference's no-mask fallback,
+    ``software/realtime_detect.py:106-107``).
+    """
+    b, s, _ = cam.shape
+    scale = img_size // s
+    coords = jnp.arange(s, dtype=jnp.float32)
+    tot = cam.sum(axis=(1, 2))  # (B,)
+    safe_tot = jnp.maximum(tot, 1e-9)
+    row_mass = cam.sum(axis=2)  # (B, s) — mass per y
+    col_mass = cam.sum(axis=1)  # (B, s) — mass per x
+    cy = (row_mass * coords).sum(axis=1) / safe_tot
+    cx = (col_mass * coords).sum(axis=1) / safe_tot
+    vy = (row_mass * (coords[None, :] - cy[:, None]) ** 2).sum(axis=1) / safe_tot
+    vx = (col_mass * (coords[None, :] - cx[:, None]) ** 2).sum(axis=1) / safe_tot
+    sy, sx = jnp.sqrt(vy), jnp.sqrt(vx)
+
+    eps = 1e-6
+    x1 = jnp.floor(jnp.maximum(0.0, cx - k * sx) * scale)
+    y1 = jnp.floor(jnp.maximum(0.0, cy - k * sy) * scale)
+    x2 = jnp.floor(jnp.minimum(s - eps, cx + k * sx + 1.0) * scale)
+    y2 = jnp.floor(jnp.minimum(s - eps, cy + k * sy + 1.0) * scale)
+    x2 = jnp.minimum(img_size - 1, x2)
+    y2 = jnp.minimum(img_size - 1, y2)
+    bbox = jnp.stack([x1, y1, x2, y2], axis=1).astype(jnp.int32)
+    full = jnp.array([0, 0, img_size - 1, img_size - 1], dtype=jnp.int32)
+    return jnp.where((tot > 0)[:, None], bbox, full[None, :])
+
+
 def detect_with_pooled(
     features: jax.Array,  # (B, C, S*S) uint8 (for the CAM)
     pooled: jax.Array,  # (B, C*16) f32 — kernel-fused bin pooling
@@ -175,6 +224,7 @@ def detect_with_pooled(
     fc_bias: jax.Array,
     img_size: int = 128,
     features_f32: jax.Array | None = None,  # kernel-emitted f32 twin
+    box_mode: str = "ref",
 ):
     """Fused classify + bbox when the bin pooling already happened inside
     the conv megakernel (``pallas_poly`` with_bins). Pass the kernel's f32
@@ -184,9 +234,11 @@ def detect_with_pooled(
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
     if features_f32 is not None:
-        bbox = cam_bbox_f32(features_f32, pred, fc_weight, img_size)
+        bbox = cam_bbox_f32(features_f32, pred, fc_weight, img_size,
+                            box_mode=box_mode)
     else:
-        bbox = cam_bbox(features, pred, fc_weight, img_size)
+        bbox = cam_bbox(features, pred, fc_weight, img_size,
+                        box_mode=box_mode)
     return pred, conf, probs, bbox
 
 
@@ -196,16 +248,19 @@ def detect(
     fc_bias: jax.Array,
     head_mode: str = "bins",
     img_size: int = 128,
+    box_mode: str = "ref",
 ):
     """Fused classify + bbox. Returns (pred, conf, probs, bbox)."""
     pred, conf, probs = classify(features, fc_weight, fc_bias, head_mode)
     if head_mode == "bins":
-        bbox = cam_bbox(features, pred, fc_weight, img_size)
+        bbox = cam_bbox(features, pred, fc_weight, img_size,
+                        box_mode=box_mode)
     else:
         # The 64-d GAP head has no spatial weights; CAM falls back to the
         # unweighted activation map (valid-channel mean).
         b = features.shape[0]
         c = features.shape[1]
         uniform_w = jnp.ones((fc_weight.shape[0], c * 16), dtype=jnp.float32)
-        bbox = cam_bbox(features, pred, uniform_w, img_size)
+        bbox = cam_bbox(features, pred, uniform_w, img_size,
+                        box_mode=box_mode)
     return pred, conf, probs, bbox

@@ -130,6 +130,7 @@ def sharded_detect_mega(
     fc_bias: jax.Array,
     head_mode: str = "bins",
     img_size: int = 128,
+    box_mode: str = "ref",
 ):
     """Fused megakernel CNN + head under the mesh (shard_map over all
     devices). With the bins head, the head's pooling stays fused in the
@@ -147,10 +148,12 @@ def sharded_detect_mega(
                 images, kernels, shifts, with_bins=True, with_f32=True
             )
             return detect_head.detect_with_pooled(
-                feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32
+                feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
+                box_mode=box_mode,
             )
         feats = pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
-        return detect_head.detect(feats, fc_w, fc_b, head_mode, img_size)
+        return detect_head.detect(feats, fc_w, fc_b, head_mode, img_size,
+                                  box_mode=box_mode)
 
     fn = jax.shard_map(
         per_shard,
@@ -172,10 +175,11 @@ class MeshEngine:
     apps' ``--mode`` swap at multi-chip scale."""
 
     def __init__(self, model, mesh: Mesh | None = None, model_axis: int = 1,
-                 backend: str = "auto"):
+                 backend: str = "auto", box_mode: str = "ref"):
         import jax.numpy as jnp
 
         self.model = model
+        self.box_mode = box_mode
         self.mesh = mesh or make_mesh(model_axis=model_axis)
         kernels = [jnp.asarray(k) for k in model.kernels]
         self._shifts = jnp.asarray(model.shifts, jnp.int32)
@@ -197,13 +201,13 @@ class MeshEngine:
             self._forward = sharded_forward_mega(self.mesh, kernels)
             self._detect = sharded_detect_mega(
                 self.mesh, kernels, fc_w, fc_b,
-                model.head_mode, model.config.img_size,
+                model.head_mode, model.config.img_size, box_mode=box_mode,
             )
         else:
             self._forward = sharded_forward(self.mesh, kernels)
             self._detect = sharded_detect(
                 self.mesh, kernels, fc_w, fc_b,
-                model.head_mode, model.config.img_size,
+                model.head_mode, model.config.img_size, box_mode=box_mode,
             )
         self.backend = f"mesh[{self.mesh.devices.shape}]:{backend}"
         # per-shard megakernel batch tile is 4; pad global batches so every
@@ -293,6 +297,7 @@ def sharded_detect(
     fc_bias: jax.Array,
     head_mode: str = "bins",
     img_size: int = 128,
+    box_mode: str = "ref",
     *,
     compute_dtype: str = "float32",
 ):
@@ -307,7 +312,7 @@ def sharded_detect(
     def detect(images, shifts):
         feats = forward(images, shifts)
         pred, conf, probs, bbox = detect_head.detect(
-            feats, fc_w, fc_b, head_mode, img_size
+            feats, fc_w, fc_b, head_mode, img_size, box_mode=box_mode
         )
         return (
             _constrain(mesh, pred, P("data")),
