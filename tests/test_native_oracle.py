@@ -55,3 +55,72 @@ def test_native_shift_variation(oracle, stock_kernels, ramp_image):
     np.testing.assert_array_equal(
         b, numpy_cnn_forward(ramp_image, stock_kernels, shifts=(1, 3, 5))
     )
+
+
+# ── native batched preprocess parity ─────────────────────────────────
+
+
+def _jit_preprocess(frames, out_size, order="bgr"):
+    import jax.numpy as jnp
+
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    return np.asarray(
+        preprocess_frames(jnp.asarray(frames), out_size, channel_order=order)
+    )
+
+
+def test_native_preprocess_color_divisible(rng):
+    """(B, 480, 640, 3) BGR -> 128²: crop + BT.601 + exact area mean must be
+    bit-identical to the on-device jit twin AND the realtime numpy twin."""
+    from tpu_cnn.apps.realtime import preprocess as np_preprocess
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+
+    frames = rng.randint(0, 256, size=(3, 256, 320, 3)).astype(np.uint8)
+    got = preprocess_frames_native(frames, 128)
+    np.testing.assert_array_equal(got, _jit_preprocess(frames, 128))
+    for b in range(len(frames)):
+        np.testing.assert_array_equal(got[b], np_preprocess(frames[b], 128))
+
+
+def test_native_preprocess_rgb_order(rng):
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+
+    frames = rng.randint(0, 256, size=(2, 256, 256, 3)).astype(np.uint8)
+    got = preprocess_frames_native(frames, 128, channel_order="rgb")
+    np.testing.assert_array_equal(got, _jit_preprocess(frames, 128, "rgb"))
+    assert not np.array_equal(got, preprocess_frames_native(frames, 128))
+
+
+def test_native_preprocess_gray_and_nondivisible(rng):
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+
+    gray = rng.randint(0, 256, size=(2, 200, 300)).astype(np.uint8)  # 200 % 128 != 0
+    got = preprocess_frames_native(gray, 128)
+    np.testing.assert_array_equal(got, _jit_preprocess(gray, 128))
+
+
+def test_native_preprocess_single_frame(rng):
+    """Single color / single gray frames squeeze back to (out, out)."""
+    from tpu_cnn.apps.realtime import preprocess as np_preprocess
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+
+    color = rng.randint(0, 256, size=(480, 640, 3)).astype(np.uint8)
+    got = preprocess_frames_native(color, 128)
+    assert got.shape == (128, 128)
+    np.testing.assert_array_equal(got, np_preprocess(color, 128))
+    gray = rng.randint(0, 256, size=(256, 256)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        preprocess_frames_native(gray, 128), np_preprocess(gray, 128)
+    )
+
+
+def test_native_preprocess_tall_frame(rng):
+    """Portrait frames crop vertically (h > w)."""
+    from tpu_cnn.apps.realtime import preprocess as np_preprocess
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+
+    tall = rng.randint(0, 256, size=(640, 256, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        preprocess_frames_native(tall, 128), np_preprocess(tall, 128)
+    )

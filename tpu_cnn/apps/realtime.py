@@ -198,6 +198,20 @@ class CameraThread:
 # ── Preprocess + overlay (numpy, no cv2 dependency) ─────────────────
 
 
+def resolve_preprocess():
+    """Pick the fastest available host preprocess: the native C++ batched
+    one (OpenMP, bit-identical — tests/test_native_oracle.py) when it
+    builds, this module's numpy twin otherwise."""
+    try:
+        from tpu_cnn.native.preprocess import preprocess_frames_native
+
+        probe = np.zeros((8, 8, 3), np.uint8)
+        preprocess_frames_native(probe, 4)
+        return preprocess_frames_native, "native-c++"
+    except Exception:
+        return preprocess, "numpy"
+
+
 def preprocess(frame: np.ndarray, out_size: int = IMG_SIZE) -> np.ndarray:
     """Center-crop to square, BT.601 grayscale (cv2.COLOR_BGR2GRAY-exact),
     area-resize to the model input size (``realtime_detect.py:584-591``)."""
@@ -410,6 +424,8 @@ def main(argv=None):
     engine = make_engine(model, args.mode, box_mode=args.box)
     mode_lbl = f"{type(engine).__name__}:{getattr(engine, 'backend', '?')}"
     print(f"Engine: {mode_lbl}")
+    preprocess_fn, pp_name = resolve_preprocess()
+    print(f"Host preprocess: {pp_name}")
     if hasattr(engine, "warmup"):
         engine.warmup()
 
@@ -440,7 +456,7 @@ def main(argv=None):
             if frame is None:
                 time.sleep(0.005)
                 continue
-            small = preprocess(frame, img_size)
+            small = preprocess_fn(frame, img_size)
 
             feat, conv_ms, read_ms = engine.run(small)
             idx, name, conf, probs = classify_host.classify_np(
