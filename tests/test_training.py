@@ -247,3 +247,30 @@ def test_train_cli_on_coco_format(tmp_path):
     bundle = art.load_bundle(out, layer_configs=(
         (1, 16, 32), (16, 32, 16), (32, 64, 8)))
     assert bundle.fc_weight.shape[0] == 6
+
+
+def test_bin_folder_dataset(tmp_path):
+    """BinFolderDataset reads the reference's *_class<C>.bin export format
+    (the real-photo set's on-disk form) with filename labels + adjacent
+    classes.json names."""
+    import json
+
+    from tpu_cnn.train.data import BinFolderDataset
+
+    root = str(tmp_path / "bins")
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        rs.randint(0, 256, 128 * 128).astype(np.uint8).tofile(
+            os.path.join(root, f"test_image_{i}_class{i % 2}.bin")
+        )
+    with open(os.path.join(root, "classes.json"), "w") as f:
+        json.dump(["alpha", "beta"], f)
+    ds = BinFolderDataset(root)
+    imgs, labels = ds.arrays()
+    assert imgs.shape == (4, 128, 128) and imgs.dtype == np.float32
+    assert imgs.max() <= 1.0
+    assert sorted(labels.tolist()) == [0, 0, 1, 1]
+    assert ds.class_names == ["alpha", "beta"]
+    ds2 = BinFolderDataset(root, max_per_class=1)
+    assert len(ds2) == 2

@@ -68,7 +68,8 @@ def annotate_and_save(image_flat, bbox, label, out_path, img_size=128):
     img.save(out_path, quality=95)
 
 
-def run_inference(engine, model, image_path, verbose=True, save_output=True):
+def run_inference(engine, model, image_path, verbose=True, save_output=True,
+                  box: str = "ref"):
     size = model.config.img_size
     image = art.load_image_any(image_path, img_size=size)
     feat, conv_ms, read_ms = engine.run(image)
@@ -76,11 +77,14 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True):
     idx, name, conf, probs = classify_host.classify_np(
         feat, model.fc_weight, model.fc_bias, model.class_names
     )
-    if model.head_mode == "bins":
-        _, bbox = cam_host.cam_bbox_hires(feat, idx, model.fc_weight,
+    if model.head_mode != "bins":
+        bbox = (0, 0, size - 1, size - 1)
+    elif box == "centroid":
+        bbox = cam_host.cam_bbox_centroid(feat, idx, model.fc_weight,
                                           img_size=size)
     else:
-        bbox = (0, 0, size - 1, size - 1)
+        _, bbox = cam_host.cam_bbox_hires(feat, idx, model.fc_weight,
+                                          img_size=size)
 
     if verbose:
         base = os.path.basename(image_path)
@@ -123,6 +127,8 @@ def main(argv=None):
     p.add_argument("--dump-features", action="store_true")
     p.add_argument("--variant", default="lyr3-std",
                    help="model geometry from models.registry")
+    p.add_argument("--box", default="ref", choices=["ref", "centroid"],
+                   help="CAM box profile (centroid = tuned, higher IoU)")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -150,7 +156,8 @@ def main(argv=None):
           f"[{model.head_mode} head]")
 
     if args.image:
-        run_inference(engine, model, args.image, save_output=not args.no_save)
+        run_inference(engine, model, args.image, save_output=not args.no_save,
+                      box=args.box)
         if args.dump_features:
             feat, *_ = engine.run(art.load_image_any(args.image))
             out = os.path.splitext(args.image)[0] + "_features.npy"
@@ -170,7 +177,8 @@ def main(argv=None):
     t0 = time.time()
     for path in images:
         idx, name, conf = run_inference(engine, model, path,
-                                        save_output=not args.no_save)
+                                        save_output=not args.no_save,
+                                        box=args.box)
         true = art.label_from_filename(path)
         if true >= 0:
             total += 1

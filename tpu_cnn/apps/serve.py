@@ -229,17 +229,18 @@ def make_handler(batcher: DynamicBatcher, backend: str):
 
 def build_service(artifacts_dir: str, mode: str = "auto",
                   max_batch: int = 256, max_wait_ms: float = 5.0,
-                  variant: str = "lyr3-std", head_prefix: str = ""):
+                  variant: str = "lyr3-std", head_prefix: str = "",
+                  box: str = "ref"):
     from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
 
     model = load_model(artifacts_dir, variant, head_prefix)
-    engine = make_engine(model, mode)
+    engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "warmup"):
         engine.warmup(batch=max_batch)  # compile the single serving shape
     if not hasattr(engine, "detect_batch"):
         # CPU oracle engine: adapt via host head
-        engine = _HostDetectAdapter(engine, model)
+        engine = _HostDetectAdapter(engine, model, box=box)
     batcher = DynamicBatcher(engine, model.class_names,
                              max_batch=max_batch, max_wait_ms=max_wait_ms,
                              img_size=model.config.img_size)
@@ -249,9 +250,10 @@ def build_service(artifacts_dir: str, mode: str = "auto",
 class _HostDetectAdapter:
     """Gives the CPU oracle engine the detect_batch interface."""
 
-    def __init__(self, engine, model):
+    def __init__(self, engine, model, box: str = "ref"):
         self.engine = engine
         self.model = model
+        self.box = box
         self.backend = f"host:{engine.backend}"
 
     def detect_batch(self, images):
@@ -262,11 +264,13 @@ class _HostDetectAdapter:
         feats = self.engine.run_batch(images)
         idx, conf, probs = classify_np(feats, self.model.fc_weight, self.model.fc_bias)
         s = self.model.config.img_size
+        box_fn = (cam_host.cam_bbox_centroid if self.box == "centroid"
+                  else cam_host.cam_bbox_fast)
         boxes = []
         for i in range(len(images)):
             if self.model.head_mode == "bins":
-                boxes.append(cam_host.cam_bbox_fast(feats[i], int(idx[i]),
-                                                    self.model.fc_weight, s))
+                boxes.append(box_fn(feats[i], int(idx[i]),
+                                    self.model.fc_weight, s))
             else:
                 boxes.append((0, 0, s - 1, s - 1))
         return DetectResult(idx.astype(np.int32), conf.astype(np.float32),
@@ -285,6 +289,8 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--head-prefix", default="")
+    p.add_argument("--box", default="ref", choices=["ref", "centroid"],
+                   help="CAM box profile (centroid = tuned, higher IoU)")
     from tpu_cnn.apps.common import add_variant_arg
 
     add_variant_arg(p)
@@ -296,7 +302,8 @@ def main(argv=None):
     batcher, backend = build_service(args.artifacts, args.mode,
                                      args.max_batch, args.max_wait_ms,
                                      variant=args.variant,
-                                     head_prefix=args.head_prefix)
+                                     head_prefix=args.head_prefix,
+                                     box=args.box)
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(batcher, backend))
     print(f"serving on {args.host}:{args.port} (backend {backend}, "

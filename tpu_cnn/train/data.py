@@ -159,6 +159,64 @@ class ImageFolderDataset:
         return np.stack(imgs), np.asarray(labels, np.int32)
 
 
+class BinFolderDataset:
+    """Flat directory of raw ``*_class<C>.bin`` images — the reference's own
+    test-image export format (``training/train_cnn.py:199-216``), and the
+    format of this repo's real-photo validation set
+    (``artifacts/realphoto/{train,val}_bins``). Labels come from the
+    filename; class names from an adjacent ``classes.json`` when present.
+    """
+
+    def __init__(self, root: str, class_names: list[str] | None = None,
+                 img_size: int = IMG_SIZE, max_per_class: int = 0):
+        import json
+        import re
+
+        self.img_size = img_size
+        pat = re.compile(r"_class(\d+)\.bin$")
+        samples = []
+        for f in sorted(os.listdir(root)):
+            m = pat.search(f)
+            if m:
+                samples.append((os.path.join(root, f), int(m.group(1))))
+        if not samples:
+            raise ValueError(f"no *_class<C>.bin files under {root}")
+        if max_per_class:
+            counts: dict[int, int] = {}
+            kept = []
+            for path, ci in samples:
+                if counts.get(ci, 0) < max_per_class:
+                    counts[ci] = counts.get(ci, 0) + 1
+                    kept.append((path, ci))
+            samples = kept
+        self.samples = samples
+        n_classes = max(ci for _, ci in samples) + 1
+        if class_names is None:
+            cj = os.path.join(root, "classes.json")
+            if not os.path.exists(cj):
+                cj = os.path.join(os.path.dirname(root.rstrip("/")), "classes.json")
+            if os.path.exists(cj):
+                with open(cj) as fh:
+                    class_names = list(json.load(fh))
+        self.class_names = class_names or [f"class{c}" for c in range(n_classes)]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        s = self.img_size
+        imgs, labels = [], []
+        for path, ci in self.samples:
+            raw = np.fromfile(path, np.uint8)
+            if raw.size != s * s:
+                raise ValueError(
+                    f"{path}: {raw.size} bytes, expected {s * s} ({s}x{s})"
+                )
+            imgs.append(raw.reshape(s, s).astype(np.float32) / 255.0)
+            labels.append(ci)
+        return np.stack(imgs), np.asarray(labels, np.int32)
+
+
 class _MiniCoco:
     """Minimal pure-JSON reader for COCO detection annotation files,
     implementing the two queries the protocol needs (getImgIds by category,

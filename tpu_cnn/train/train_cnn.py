@@ -330,6 +330,12 @@ def main(argv=None):
                    help="train on the procedural shapes dataset")
     p.add_argument("--image-folder", default=None,
                    help="<root>/<class>/* image-folder dataset")
+    p.add_argument("--bin-folder", default=None,
+                   help="flat dir of raw *_class<C>.bin images "
+                        "(the reference's test-image format)")
+    p.add_argument("--val-bin-folder", default=None,
+                   help="held-out bin dir (with --bin-folder); otherwise a "
+                        "1/6 split of the training set is held out")
     p.add_argument("--train-images", default=None, help="COCO train image dir")
     p.add_argument("--train-ann", default=None, help="COCO train annotations")
     p.add_argument("--val-images", default=None)
@@ -357,7 +363,17 @@ def main(argv=None):
     from tpu_cnn.train import data as D
 
     img_size = cfg.layer_configs[0][2]
-    if args.image_folder:
+    explicit_val = None
+    if args.bin_folder:
+        ds = D.BinFolderDataset(args.bin_folder, img_size=img_size,
+                                max_per_class=args.max_per_class)
+        imgs, labels = ds.arrays()
+        names = ds.class_names
+        if args.val_bin_folder:
+            vds = D.BinFolderDataset(args.val_bin_folder, class_names=names,
+                                     img_size=img_size)
+            explicit_val = vds.arrays()
+    elif args.image_folder:
         ds = D.ImageFolderDataset(args.image_folder, img_size=img_size,
                                   max_per_class=args.max_per_class)
         imgs, labels = ds.arrays()
@@ -376,8 +392,13 @@ def main(argv=None):
         imgs, labels = ds.arrays()
         names = ds.class_names
 
-    n_val = max(len(imgs) // 6, cfg.num_classes)
-    train(cfg, (imgs[n_val:], labels[n_val:]), (imgs[:n_val], labels[:n_val]),
+    if explicit_val is not None:
+        train_split, val_split = (imgs, labels), explicit_val
+    else:
+        n_val = max(len(imgs) // 6, cfg.num_classes)
+        train_split = (imgs[n_val:], labels[n_val:])
+        val_split = (imgs[:n_val], labels[:n_val])
+    train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
           checkpoint_path=args.checkpoint, resume=args.resume)
 
