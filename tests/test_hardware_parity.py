@@ -97,3 +97,33 @@ def test_variant_parity_on_hardware(variant, rng):
         np.testing.assert_array_equal(
             got[b], numpy_cnn_forward(imgs[b], kernels, sh)
         )
+
+
+def test_fused_head_boxes_on_hardware(stock_kernels, rng):
+    """The fused device head (f32 twin + MXU CAM) must reproduce the host
+    CAM twins on the chip, in BOTH box profiles — the exact path
+    bench.py/TPUEngine ship."""
+    from tpu_cnn.head import cam as host_cam
+    from tpu_cnn.head.classify import classify_np
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.1
+    fc_b = rng.randn(6).astype(np.float32) * 0.01
+    model = FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES)
+    imgs = _stimuli(rng, 128, n=8)
+    want_feats = np.stack([numpy_cnn_forward(im, stock_kernels) for im in imgs])
+    widx, _, _ = classify_np(want_feats, fc_w, fc_b)
+
+    for box_mode, host_fn, tol in (
+        ("ref", host_cam.cam_bbox_fast, 0),
+        ("centroid", host_cam.cam_bbox_centroid, 1),
+    ):
+        eng = TPUEngine(model, backend="mega", box_mode=box_mode)
+        res = eng.detect_batch(imgs)
+        np.testing.assert_array_equal(res.pred, widx)
+        for b in range(len(imgs)):
+            want = np.asarray(host_fn(want_feats[b], int(widx[b]), fc_w))
+            assert np.abs(np.asarray(res.bbox[b]) - want).max() <= tol, (
+                f"{box_mode} box mismatch at image {b}: {res.bbox[b]} vs {want}"
+            )
