@@ -134,10 +134,6 @@ def main():
           f"eval {score(ev_cams, ev_gt, lambda c: box_thr_masked_centroid(c, pct, 0.1, k)):.3f}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def probe_power():
     bundle = art.load_bundle(default_artifacts())
     model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
@@ -158,5 +154,7 @@ def probe_power():
           f"eval {score(ev_cams, ev_gt, lambda c: box_centroid(c ** p, k)):.3f}")
 
 
-if __name__ == "__main__" and __import__("sys").argv[-1] == "power":
-    probe_power()
+if __name__ == "__main__":
+    import sys
+
+    probe_power() if "power" in sys.argv[1:] else main()

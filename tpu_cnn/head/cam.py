@@ -16,6 +16,10 @@ from __future__ import annotations
 import numpy as np
 
 SATURATION_MEAN = 250.0
+# Centroid box profile: box = CAM mass centroid +- K * mass stddev,
+# calibrated on a disjoint synthetic split (scripts/probe_boxes.py).
+# ops.detect_head imports this as the single source of truth.
+CAM_CENTROID_K = 1.25
 
 
 def _build_cam(features: np.ndarray, class_weights: np.ndarray, grid: int = 4):
@@ -65,7 +69,7 @@ def cam_bbox_centroid(
     class_idx: int,
     fc_weight: np.ndarray,  # (num_classes, C*16)
     img_size: int = 128,
-    k: float = 1.25,
+    k: float = CAM_CENTROID_K,
 ) -> tuple[int, int, int, int]:
     """Centroid-profile CAM bbox — host twin of
     ``ops.detect_head._bbox_from_cam_centroid`` (f32 math to match device).

@@ -23,7 +23,8 @@ CAM_PERCENTILE = 70.0
 # +- K * mass stddev. Calibrated on a synthetic calibration split
 # (scripts/probe_boxes.py, seed 77) and validated held-out: mean IoU 0.407
 # vs 0.355 for the reference threshold box (full-frame trivial 0.308).
-CAM_CENTROID_K = 1.25
+# The host twin (head/cam.py) owns the constant.
+from tpu_cnn.head.cam import CAM_CENTROID_K  # noqa: E402
 
 
 def _fc_logits(pooled: jax.Array, fc_weight: jax.Array, fc_bias: jax.Array):
