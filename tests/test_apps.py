@@ -370,3 +370,23 @@ def test_camera_recovery_ladder(monkeypatch):
         assert cam.read() is not None
     finally:
         cam.release()
+
+
+def test_train_bbox_cli(tmp_path, artifact_dir):
+    """train_bbox fits + saves a usable regression head, and the bundle
+    loader round-trips it."""
+    import shutil
+
+    from tpu_cnn.apps import train_bbox
+    from tpu_cnn.utils import artifacts as art
+
+    train_bbox.main([
+        "--artifacts", artifact_dir, "--output-dir", str(tmp_path),
+        "--mode", "cpu", "--n-per-class", "12",
+    ])
+    w = np.load(tmp_path / "bbox_weight.npy")
+    assert w.shape == (1025, 4) and w.dtype == np.float32
+    for f in ("weights.bin", "fc_weight.npy", "fc_bias.npy", "classes.json"):
+        shutil.copy(os.path.join(artifact_dir, f), tmp_path / f)
+    bundle = art.load_bundle(str(tmp_path))
+    assert bundle.bbox_weight is not None and bundle.bbox_weight.shape == (1025, 4)

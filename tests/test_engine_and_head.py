@@ -197,3 +197,43 @@ def test_centroid_bbox_beats_reference_iou():
                    box="centroid")
     assert cen["mean_iou"] > ref["mean_iou"]
     assert cen["iou_gain"] > 0
+
+
+def test_reg_bbox_matches_host(bins_model, images, stock_kernels):
+    """Device regression box == host twin (within 1 px of floor jitter)."""
+    from tpu_cnn.head.bbox import bbox_regress_np
+    from tpu_cnn.head.classify import bin_pool_np
+    from tpu_cnn.models.cnn import CLASS_NAMES
+
+    rs = np.random.RandomState(3)
+    bbox_w = rs.randn(1025, 4).astype(np.float32) * 0.02
+    model = FpgaCNN(stock_kernels, bins_model.fc_weight, bins_model.fc_bias,
+                    CLASS_NAMES, bbox_weight=bbox_w)
+    eng = TPUEngine(model, backend="xla", box_mode="reg")
+    res = eng.detect_batch(images)
+    feats = eng.run_batch(images)
+    want = bbox_regress_np(bin_pool_np(feats), bbox_w)
+    assert np.abs(res.bbox.astype(np.int64) - want.astype(np.int64)).max() <= 1
+
+
+def test_reg_bbox_requires_weights(bins_model):
+    with pytest.raises(ValueError, match="train_bbox"):
+        TPUEngine(bins_model, backend="xla", box_mode="reg")
+
+
+def test_reg_bbox_beats_cam_iou():
+    """The shipped regression head must beat both CAM box profiles on the
+    held-out synthetic eval."""
+    from tpu_cnn.apps.eval_detection import evaluate
+    from tpu_cnn.utils import artifacts as art
+    from tpu_cnn.utils.paths import default_artifacts
+
+    bundle = art.load_bundle(default_artifacts())
+    if bundle.bbox_weight is None:
+        pytest.skip("no bbox_weight.npy in the default bundle")
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names, bbox_weight=bundle.bbox_weight)
+    ref = evaluate(model, mode="xla", n_per_class=10, verbose=False, box="ref")
+    reg = evaluate(model, mode="xla", n_per_class=10, verbose=False, box="reg")
+    assert reg["mean_iou"] > ref["mean_iou"] + 0.15
+    assert reg["mean_iou"] > 0.5

@@ -127,3 +127,23 @@ def test_fused_head_boxes_on_hardware(stock_kernels, rng):
             assert np.abs(np.asarray(res.bbox[b]) - want).max() <= tol, (
                 f"{box_mode} box mismatch at image {b}: {res.bbox[b]} vs {want}"
             )
+
+
+def test_reg_box_on_hardware(stock_kernels, rng):
+    """Learned regression box, fused in the mega detect path on the chip,
+    vs the host twin."""
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.head.bbox import bbox_regress_np
+    from tpu_cnn.head.classify import bin_pool_np
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.1
+    fc_b = rng.randn(6).astype(np.float32) * 0.01
+    bbox_w = rng.randn(1025, 4).astype(np.float32) * 0.02
+    model = FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES, bbox_weight=bbox_w)
+    imgs = _stimuli(rng, 128, n=8)
+    eng = TPUEngine(model, backend="mega", box_mode="reg")
+    res = eng.detect_batch(imgs)
+    want_feats = np.stack([numpy_cnn_forward(im, stock_kernels) for im in imgs])
+    want = bbox_regress_np(bin_pool_np(want_feats), bbox_w)
+    assert np.abs(res.bbox.astype(np.int64) - want.astype(np.int64)).max() <= 1

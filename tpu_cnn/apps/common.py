@@ -37,4 +37,5 @@ def load_model(
     bundle = art.load_bundle(artifacts_dir, prefix=head_prefix,
                              layer_configs=config.layer_configs)
     return FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                   bundle.class_names, shifts=shifts, config=config)
+                   bundle.class_names, shifts=shifts, config=config,
+                   bbox_weight=bundle.bbox_weight)

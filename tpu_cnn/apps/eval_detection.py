@@ -40,7 +40,8 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
     """Returns dict(accuracy, mean_iou, full_frame_iou, per_class).
 
     ``box``: "ref" scores the reference CAM threshold box; "centroid" the
-    tuned centroid profile (``detect_head.CAM_CENTROID_K``)."""
+    tuned centroid profile (``detect_head.CAM_CENTROID_K``); "reg" the
+    learned regression head (needs bbox_weight.npy — apps.train_bbox)."""
     from tpu_cnn.apps.infer import make_engine
 
     ds = SyntheticShapes(n_per_class=n_per_class, seed=seed)
@@ -53,16 +54,22 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
         preds, boxes = res.pred, res.bbox
     else:
         from tpu_cnn.head import cam as cam_host
-        from tpu_cnn.head.classify import classify_np
+        from tpu_cnn.head.classify import bin_pool_np, classify_np
 
-        box_fn = (cam_host.cam_bbox_centroid if box == "centroid"
-                  else cam_host.cam_bbox_fast)
         feats = engine.run_batch(u8)
         preds, _, _ = classify_np(feats, model.fc_weight, model.fc_bias)
-        boxes = np.asarray([
-            box_fn(feats[i], int(preds[i]), model.fc_weight)
-            for i in range(len(u8))
-        ])
+        if box == "reg":
+            from tpu_cnn.head.bbox import bbox_regress_np
+
+            boxes = bbox_regress_np(bin_pool_np(feats), model.bbox_weight,
+                                    model.config.img_size)
+        else:
+            box_fn = (cam_host.cam_bbox_centroid if box == "centroid"
+                      else cam_host.cam_bbox_fast)
+            boxes = np.asarray([
+                box_fn(feats[i], int(preds[i]), model.fc_weight)
+                for i in range(len(u8))
+            ])
 
     ious = np.asarray([iou(boxes[i], gt_boxes[i]) for i in range(len(u8))])
     full = (0, 0, IMG_SIZE - 1, IMG_SIZE - 1)
@@ -92,8 +99,9 @@ def main(argv=None):
     p.add_argument("--mode", default="auto",
                    choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--n-per-class", type=int, default=30)
-    p.add_argument("--box", default="ref", choices=["ref", "centroid"],
-                   help="CAM box profile: reference threshold or tuned centroid")
+    p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
+                   help="box head: reference CAM threshold, tuned centroid, "
+                        "or learned regression (bbox_weight.npy)")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -104,7 +112,8 @@ def main(argv=None):
     print("=" * 60)
     bundle = art.load_bundle(args.artifacts)
     model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+                    bundle.class_names, shifts=DEFAULT_SHIFTS,
+                    bbox_weight=bundle.bbox_weight)
     evaluate(model, mode=args.mode, n_per_class=args.n_per_class, box=args.box)
 
 

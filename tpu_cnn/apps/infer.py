@@ -77,7 +77,11 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
     idx, name, conf, probs = classify_host.classify_np(
         feat, model.fc_weight, model.fc_bias, model.class_names
     )
-    if model.head_mode != "bins":
+    if box == "reg":
+        from tpu_cnn.head.bbox import bbox_regress_features_np
+
+        bbox = bbox_regress_features_np(feat, model.bbox_weight, img_size=size)
+    elif model.head_mode != "bins":
         bbox = (0, 0, size - 1, size - 1)
     elif box == "centroid":
         bbox = cam_host.cam_bbox_centroid(feat, idx, model.fc_weight,
@@ -127,8 +131,9 @@ def main(argv=None):
     p.add_argument("--dump-features", action="store_true")
     p.add_argument("--variant", default="lyr3-std",
                    help="model geometry from models.registry")
-    p.add_argument("--box", default="ref", choices=["ref", "centroid"],
-                   help="CAM box profile (centroid = tuned, higher IoU)")
+    p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
+                   help="box head: reference CAM, tuned centroid, or learned "
+                        "regression (needs bbox_weight.npy)")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -149,7 +154,11 @@ def main(argv=None):
     bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix,
                              layer_configs=config.layer_configs)
     model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=shifts, config=config)
+                    bundle.class_names, shifts=shifts, config=config,
+                    bbox_weight=bundle.bbox_weight)
+    if args.box == "reg" and model.bbox_weight is None:
+        p.error("--box reg needs bbox_weight.npy in the bundle "
+                "(train one: python -m tpu_cnn.apps.train_bbox)")
     engine = make_engine(model, args.mode)
     print(f"Engine: {type(engine).__name__} ({getattr(engine, 'backend', '?')})")
     print(f"Classifier: {len(model.class_names)} classes — {model.class_names} "

@@ -398,8 +398,9 @@ def main(argv=None):
     ap.add_argument("--res", type=str, default="640x480")
     ap.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
     ap.add_argument("--no-serve", action="store_true", help="skip the MJPEG server")
-    ap.add_argument("--box", default="ref", choices=["ref", "centroid"],
-                    help="CAM box profile (centroid = tuned, higher IoU)")
+    ap.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
+                    help="box head: reference CAM, tuned centroid, or learned "
+                         "regression (needs bbox_weight.npy)")
     from tpu_cnn.apps.common import add_variant_arg
 
     add_variant_arg(ap)
@@ -415,6 +416,9 @@ def main(argv=None):
     from tpu_cnn.apps.common import load_model
 
     model = load_model(args.artifacts, args.variant, args.head_prefix)
+    if args.box == "reg" and model.bbox_weight is None:
+        ap.error("--box reg needs bbox_weight.npy in the bundle "
+                 "(train one: python -m tpu_cnn.apps.train_bbox)")
     img_size = model.config.img_size
     names = model.class_names
     print(f"Classes: {names}")
@@ -462,7 +466,12 @@ def main(argv=None):
             idx, name, conf, probs = classify_host.classify_np(
                 feat, model.fc_weight, model.fc_bias, names
             )
-            if model.head_mode == "bins":
+            if args.box == "reg":
+                from tpu_cnn.head.bbox import bbox_regress_features_np
+
+                bbox = bbox_regress_features_np(feat, model.bbox_weight,
+                                                img_size)
+            elif model.head_mode == "bins":
                 box_fn = (cam_host.cam_bbox_centroid if args.box == "centroid"
                           else cam_host.cam_bbox_fast)
                 bbox = box_fn(feat, idx, model.fc_weight, img_size)

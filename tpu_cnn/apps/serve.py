@@ -235,6 +235,9 @@ def build_service(artifacts_dir: str, mode: str = "auto",
     from tpu_cnn.apps.infer import make_engine
 
     model = load_model(artifacts_dir, variant, head_prefix)
+    if box == "reg" and model.bbox_weight is None:
+        raise ValueError("--box reg needs bbox_weight.npy in the bundle "
+                         "(train one: python -m tpu_cnn.apps.train_bbox)")
     engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "warmup"):
         engine.warmup(batch=max_batch)  # compile the single serving shape
@@ -264,6 +267,15 @@ class _HostDetectAdapter:
         feats = self.engine.run_batch(images)
         idx, conf, probs = classify_np(feats, self.model.fc_weight, self.model.fc_bias)
         s = self.model.config.img_size
+        if self.box == "reg":
+            from tpu_cnn.head.bbox import bbox_regress_np
+            from tpu_cnn.head.classify import bin_pool_np
+
+            boxes = bbox_regress_np(bin_pool_np(feats),
+                                    self.model.bbox_weight, s)
+            return DetectResult(idx.astype(np.int32), conf.astype(np.float32),
+                                probs.astype(np.float32),
+                                np.asarray(boxes, np.int32))
         box_fn = (cam_host.cam_bbox_centroid if self.box == "centroid"
                   else cam_host.cam_bbox_fast)
         boxes = []
@@ -289,8 +301,9 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--head-prefix", default="")
-    p.add_argument("--box", default="ref", choices=["ref", "centroid"],
-                   help="CAM box profile (centroid = tuned, higher IoU)")
+    p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
+                   help="box head: reference CAM, tuned centroid, or learned "
+                        "regression (needs bbox_weight.npy)")
     from tpu_cnn.apps.common import add_variant_arg
 
     add_variant_arg(p)

@@ -64,13 +64,22 @@ class TPUEngine:
         compute_dtype: str = "float32",
         max_batch: int = 4096,
         timeout_s: float | None = 300.0,  # first call includes XLA compile
-        box_mode: str = "ref",  # "ref" (reference CAM threshold) | "centroid"
+        box_mode: str = "ref",  # reference CAM | "centroid" | "reg" (learned)
     ):
         self.model = model
         self.compute_dtype = compute_dtype
         self.max_batch = max_batch
         self.timeout_s = timeout_s
         self.box_mode = box_mode
+        if box_mode == "reg" and model.bbox_weight is None:
+            raise ValueError(
+                "box_mode='reg' needs a bbox_weight.npy in the artifact "
+                "bundle — train one with: python -m tpu_cnn.apps.train_bbox"
+            )
+        self._bbox_w_dev = (
+            jnp.asarray(model.bbox_weight) if model.bbox_weight is not None
+            else None
+        )
         self._kernels_dev = [jnp.asarray(k) for k in model.kernels]
         self._fc_w_dev = jnp.asarray(model.fc_weight)
         self._fc_b_dev = jnp.asarray(model.fc_bias)
@@ -163,12 +172,13 @@ class TPUEngine:
                 pred, conf, probs, bbox = detect_head.detect_with_pooled(
                     feats, pooled, self._fc_w_dev, self._fc_b_dev, img_size,
                     features_f32=feats_f32, box_mode=box_mode,
+                    bbox_weight=self._bbox_w_dev,
                 )
             else:
                 feats = features_fn(images, self._kernels_dev, shifts)
                 pred, conf, probs, bbox = detect_head.detect(
                     feats, self._fc_w_dev, self._fc_b_dev, head_mode, img_size,
-                    box_mode=box_mode,
+                    box_mode=box_mode, bbox_weight=self._bbox_w_dev,
                 )
             return pred, conf, probs, bbox
 

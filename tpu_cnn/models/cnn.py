@@ -117,6 +117,7 @@ class FpgaCNN:
         class_names: Sequence[str] | None = None,
         shifts: Sequence[int] = DEFAULT_SHIFTS,
         config: CNNConfig = CNNConfig(),
+        bbox_weight: np.ndarray | None = None,  # (D+1, 4) regression head
     ):
         self.config = config
         expected = [(oc, ic, 3, 3) for ic, oc, _ in config.layer_configs]
@@ -132,6 +133,17 @@ class FpgaCNN:
         self.shifts = np.asarray(list(shifts), dtype=np.int32)
         if self.shifts.shape != (len(config.layer_configs),):
             raise ValueError("one shift per layer required")
+        self.bbox_weight = (
+            np.asarray(bbox_weight, np.float32) if bbox_weight is not None
+            else None
+        )
+        if self.bbox_weight is not None and self.bbox_weight.shape != (
+            config.feature_dim_bins + 1, 4
+        ):
+            raise ValueError(
+                f"bbox_weight shape {self.bbox_weight.shape} != "
+                f"({config.feature_dim_bins + 1}, 4)"
+            )
 
     @property
     def head_mode(self) -> str:
@@ -160,5 +172,6 @@ class FpgaCNN:
             fc_weight=bundle.fc_weight,
             fc_bias=bundle.fc_bias,
             class_names=bundle.class_names,
+            bbox_weight=bundle.bbox_weight,
             **kw,
         )

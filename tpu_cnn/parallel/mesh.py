@@ -131,6 +131,7 @@ def sharded_detect_mega(
     head_mode: str = "bins",
     img_size: int = 128,
     box_mode: str = "ref",
+    bbox_weight=None,
 ):
     """Fused megakernel CNN + head under the mesh (shard_map over all
     devices). With the bins head, the head's pooling stays fused in the
@@ -141,6 +142,7 @@ def sharded_detect_mega(
     kernels = [jnp.asarray(k) for k in kernels]
     fc_w = jnp.asarray(fc_weight)
     fc_b = jnp.asarray(fc_bias)
+    bbox_w = jnp.asarray(bbox_weight) if bbox_weight is not None else None
 
     def per_shard(images, shifts):
         if head_mode == "bins":
@@ -149,11 +151,11 @@ def sharded_detect_mega(
             )
             return detect_head.detect_with_pooled(
                 feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
-                box_mode=box_mode,
+                box_mode=box_mode, bbox_weight=bbox_w,
             )
         feats = pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
         return detect_head.detect(feats, fc_w, fc_b, head_mode, img_size,
-                                  box_mode=box_mode)
+                                  box_mode=box_mode, bbox_weight=bbox_w)
 
     fn = jax.shard_map(
         per_shard,
@@ -180,6 +182,11 @@ class MeshEngine:
 
         self.model = model
         self.box_mode = box_mode
+        if box_mode == "reg" and model.bbox_weight is None:
+            raise ValueError(
+                "box_mode='reg' needs a bbox_weight.npy in the artifact "
+                "bundle — train one with: python -m tpu_cnn.apps.train_bbox"
+            )
         self.mesh = mesh or make_mesh(model_axis=model_axis)
         kernels = [jnp.asarray(k) for k in model.kernels]
         self._shifts = jnp.asarray(model.shifts, jnp.int32)
@@ -202,12 +209,14 @@ class MeshEngine:
             self._detect = sharded_detect_mega(
                 self.mesh, kernels, fc_w, fc_b,
                 model.head_mode, model.config.img_size, box_mode=box_mode,
+                bbox_weight=model.bbox_weight,
             )
         else:
             self._forward = sharded_forward(self.mesh, kernels)
             self._detect = sharded_detect(
                 self.mesh, kernels, fc_w, fc_b,
                 model.head_mode, model.config.img_size, box_mode=box_mode,
+                bbox_weight=model.bbox_weight,
             )
         self.backend = f"mesh[{self.mesh.devices.shape}]:{backend}"
         # per-shard megakernel batch tile is 4; pad global batches so every
@@ -298,6 +307,7 @@ def sharded_detect(
     head_mode: str = "bins",
     img_size: int = 128,
     box_mode: str = "ref",
+    bbox_weight=None,
     *,
     compute_dtype: str = "float32",
 ):
@@ -307,12 +317,17 @@ def sharded_detect(
     forward = sharded_forward(mesh, kernels, compute_dtype=compute_dtype)
     fc_w = jax.device_put(fc_weight, NamedSharding(mesh, P(None, "model")))
     fc_b = jax.device_put(fc_bias, NamedSharding(mesh, P()))
+    bbox_w = (
+        jax.device_put(jnp.asarray(bbox_weight), NamedSharding(mesh, P()))
+        if bbox_weight is not None else None
+    )
 
     @jax.jit
     def detect(images, shifts):
         feats = forward(images, shifts)
         pred, conf, probs, bbox = detect_head.detect(
-            feats, fc_w, fc_b, head_mode, img_size, box_mode=box_mode
+            feats, fc_w, fc_b, head_mode, img_size, box_mode=box_mode,
+            bbox_weight=bbox_w,
         )
         return (
             _constrain(mesh, pred, P("data")),

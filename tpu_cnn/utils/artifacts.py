@@ -28,12 +28,16 @@ class ArtifactBundle:
     fc_weight: np.ndarray  # (num_classes, D) float32
     fc_bias: np.ndarray  # (num_classes,) float32
     class_names: list[str]
+    # optional learned box-regression head (D+1, 4) f32, last row = bias —
+    # beyond-reference: produced by apps.train_bbox, consumed by --box reg
+    bbox_weight: np.ndarray | None = None
 
 
 WEIGHTS_BIN = "weights.bin"
 FC_WEIGHT = "fc_weight.npy"
 FC_BIAS = "fc_bias.npy"
 CLASSES = "classes.json"
+BBOX_WEIGHT = "bbox_weight.npy"
 
 
 def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
@@ -60,7 +64,12 @@ def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
             class_names = json.load(f)
     else:
         class_names = [str(i) for i in range(fc_w.shape[0])]
-    return ArtifactBundle(kernels, fc_w, fc_b, class_names)
+    bbox_path = os.path.join(d, prefix + BBOX_WEIGHT)
+    bbox_w = (
+        np.load(bbox_path).astype(np.float32)
+        if os.path.exists(bbox_path) else None
+    )
+    return ArtifactBundle(kernels, fc_w, fc_b, class_names, bbox_weight=bbox_w)
 
 
 def save_bundle(
@@ -73,6 +82,9 @@ def save_bundle(
     weights_codec.save_weights_bin(os.path.join(d, WEIGHTS_BIN), bundle.kernels)
     np.save(os.path.join(d, prefix + FC_WEIGHT), bundle.fc_weight.astype(np.float32))
     np.save(os.path.join(d, prefix + FC_BIAS), bundle.fc_bias.astype(np.float32))
+    if bundle.bbox_weight is not None:
+        np.save(os.path.join(d, prefix + BBOX_WEIGHT),
+                bundle.bbox_weight.astype(np.float32))
     with open(os.path.join(d, CLASSES), "w") as f:
         json.dump(list(bundle.class_names), f)
 
