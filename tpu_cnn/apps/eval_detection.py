@@ -17,9 +17,8 @@ import argparse
 
 import numpy as np
 
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, IMG_SIZE, FpgaCNN
+from tpu_cnn.models.cnn import FpgaCNN
 from tpu_cnn.train.data import SyntheticShapes
-from tpu_cnn.utils import artifacts as art
 from tpu_cnn.utils.metrics import accuracy_report
 
 
@@ -44,7 +43,9 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
     learned regression head (needs bbox_weight.npy — apps.train_bbox)."""
     from tpu_cnn.apps.infer import make_engine
 
-    ds = SyntheticShapes(n_per_class=n_per_class, seed=seed)
+    img_size = model.config.img_size
+    ds = SyntheticShapes(n_per_class=n_per_class, seed=seed,
+                         img_size=img_size)
     imgs, labels, gt_boxes = ds.arrays_with_boxes()
     u8 = np.round(imgs * 255).astype(np.uint8)
 
@@ -67,12 +68,13 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
             box_fn = (cam_host.cam_bbox_centroid if box == "centroid"
                       else cam_host.cam_bbox_fast)
             boxes = np.asarray([
-                box_fn(feats[i], int(preds[i]), model.fc_weight)
+                box_fn(feats[i], int(preds[i]), model.fc_weight,
+                       img_size=img_size)
                 for i in range(len(u8))
             ])
 
     ious = np.asarray([iou(boxes[i], gt_boxes[i]) for i in range(len(u8))])
-    full = (0, 0, IMG_SIZE - 1, IMG_SIZE - 1)
+    full = (0, 0, img_size - 1, img_size - 1)
     base_ious = np.asarray([iou(full, gt_boxes[i]) for i in range(len(u8))])
     rep = accuracy_report(np.asarray(preds), labels, ds.class_names)
     out = {
@@ -102,6 +104,9 @@ def main(argv=None):
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                    help="box head: reference CAM threshold, tuned centroid, "
                         "or learned regression (bbox_weight.npy)")
+    from tpu_cnn.apps.common import add_variant_arg, load_model
+
+    add_variant_arg(p)
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -110,10 +115,7 @@ def main(argv=None):
     print("=" * 60)
     print("  DETECTION QUALITY EVALUATION")
     print("=" * 60)
-    bundle = art.load_bundle(args.artifacts)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=DEFAULT_SHIFTS,
-                    bbox_weight=bundle.bbox_weight)
+    model = load_model(args.artifacts, args.variant)
     evaluate(model, mode=args.mode, n_per_class=args.n_per_class, box=args.box)
 
 
