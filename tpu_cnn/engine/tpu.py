@@ -165,10 +165,15 @@ class TPUEngine:
             if fuse_bins:
                 from tpu_cnn.ops import pallas_poly
 
-                feats, pooled, feats_f32 = pallas_poly.cnn_forward_polyphase_pallas(
+                # the f32 feature twin only feeds the CAM; the regression
+                # head reads the pooled bins, so skip the extra kernel store
+                with_f32 = box_mode != "reg"
+                out = pallas_poly.cnn_forward_polyphase_pallas(
                     images, self._kernels_dev, shifts,
-                    with_bins=True, with_f32=True
+                    with_bins=True, with_f32=with_f32
                 )
+                feats, pooled = out[0], out[1]
+                feats_f32 = out[2] if with_f32 else None
                 pred, conf, probs, bbox = detect_head.detect_with_pooled(
                     feats, pooled, self._fc_w_dev, self._fc_b_dev, img_size,
                     features_f32=feats_f32, box_mode=box_mode,
