@@ -124,3 +124,17 @@ def test_native_preprocess_tall_frame(rng):
     np.testing.assert_array_equal(
         preprocess_frames_native(tall, 128), np_preprocess(tall, 128)
     )
+
+
+def test_native_preprocess_upsample(rng):
+    """Crops SMALLER than out_size upsample via the nearest-index path,
+    matching the numpy twin — a camera delivering frames below the model
+    input size (e.g. 320x240 into a 256^2 variant) must not error."""
+    from tpu_cnn.apps.realtime import preprocess as np_preprocess
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+
+    small = rng.randint(0, 256, size=(3, 240, 320, 3)).astype(np.uint8)
+    got = preprocess_frames_native(small, 256)
+    assert got.shape == (3, 256, 256)
+    for b in range(3):
+        np.testing.assert_array_equal(got[b], np_preprocess(small[b], 256))

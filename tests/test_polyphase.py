@@ -80,3 +80,29 @@ def test_full_forward_polyphase_random(rng):
     got = pp.cnn_forward_polyphase(img, kernels, shifts=(1, 3, 5))
     want = numpy_cnn_forward(img, kernels, shifts=(1, 3, 5))
     np.testing.assert_array_equal(got, want)
+
+
+def test_vmem_estimate_counts_every_output_block():
+    """The VMEM gate must model the EXACT kernel configuration the engine
+    requests: the fused bins and the f32 feature twin are extra
+    double-buffered output blocks, so each must strictly grow the estimate,
+    and the flagship geometry must fit with all of them counted."""
+    from tpu_cnn.models.cnn import LAYER_CONFIGS
+    from tpu_cnn.ops.pallas_poly import (
+        POLY_VMEM_BUDGET,
+        _poly_layer_params,
+        poly_vmem_estimate,
+        polyphase_supported,
+    )
+
+    lp, t = _poly_layer_params(LAYER_CONFIGS)
+    base = poly_vmem_estimate(lp, t)
+    bins = poly_vmem_estimate(lp, t, with_bins=True)
+    full = poly_vmem_estimate(lp, t, with_bins=True, with_f32=True)
+    assert base < bins < full
+    # f32 twin of the (tb, oc, m) features, double-buffered
+    tb = 4
+    oc, m = lp[-1][1], t * t
+    assert full - bins == 2 * tb * oc * m * 4
+    assert full <= POLY_VMEM_BUDGET
+    assert polyphase_supported(LAYER_CONFIGS, with_bins=True, with_f32=True)

@@ -43,6 +43,11 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
     learned regression head (needs bbox_weight.npy — apps.train_bbox)."""
     from tpu_cnn.apps.infer import make_engine
 
+    if box == "reg" and model.bbox_weight is None:
+        raise ValueError(
+            "--box reg needs bbox_weight.npy in the artifact bundle — "
+            "train one with: python -m tpu_cnn.apps.train_bbox"
+        )
     img_size = model.config.img_size
     ds = SyntheticShapes(n_per_class=n_per_class, seed=seed,
                          img_size=img_size)

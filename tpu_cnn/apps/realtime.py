@@ -22,7 +22,7 @@ import argparse
 import os
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
@@ -65,18 +65,36 @@ class SyntheticSource:
 
 
 def _free_video_device(idx: int) -> bool:
-    """Recovery rung 2: terminate other processes holding /dev/videoN (the
-    usual cause of a capture that reopens but never delivers frames)."""
+    """Recovery rung 2: terminate OTHER processes holding /dev/videoN (the
+    usual cause of a capture that reopens but never delivers frames).
+    Lists holders with ``fuser`` and signals each PID individually, never
+    this process — a blanket ``fuser -k`` would SIGKILL us too whenever our
+    own release() failed and we still hold the device."""
+    import signal
     import subprocess
 
     dev = f"/dev/video{idx}"
     if not os.path.exists(dev):
         return False
     try:
-        r = subprocess.run(["fuser", "-k", dev], capture_output=True, timeout=5)
-        return r.returncode == 0
+        r = subprocess.run(["fuser", dev], capture_output=True, timeout=5)
     except (OSError, subprocess.SubprocessError):
         return False
+    me = os.getpid()
+    killed = False
+    for tok in r.stdout.split():
+        try:
+            pid = int(tok)
+        except ValueError:
+            continue
+        if pid == me:
+            continue
+        try:
+            os.kill(pid, signal.SIGKILL)
+            killed = True
+        except OSError:
+            pass
+    return killed
 
 
 def _usb_reset_video_device(idx: int) -> bool:
@@ -225,8 +243,9 @@ def preprocess(frame: np.ndarray, out_size: int = IMG_SIZE) -> np.ndarray:
     else:
         crop = frame
     if crop.ndim == 3:  # BGR, OpenCV's fixed-point BT.601 luma
-        c = crop.astype(np.uint32)
-        gray = (4899 * c[..., 2] + 9617 * c[..., 1] + 1868 * c[..., 0] + 8192) >> 14
+        from tpu_cnn.ops.luma import bt601_gray_np
+
+        gray = bt601_gray_np(crop).astype(np.uint32)
     else:
         gray = crop
     s = gray.shape[0]
@@ -243,10 +262,13 @@ def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
                  mode, names, img_size: int = IMG_SIZE):
     """In-place overlay: bbox rectangle + header + probability bars."""
     h, w = frame.shape[:2]
+    # undo the center-crop: offsets mirror preprocess() for both landscape
+    # (horizontal crop) and portrait (vertical crop) frames
     xo = (w - h) // 2 if w > h else 0
+    yo = (h - w) // 2 if h > w else 0
     s = min(w, h) / float(img_size)
-    x1, y1 = int(xo + bbox[0] * s), int(bbox[1] * s)
-    x2, y2 = int(xo + bbox[2] * s), int(bbox[3] * s)
+    x1, y1 = int(xo + bbox[0] * s), int(yo + bbox[1] * s)
+    x2, y2 = int(xo + bbox[2] * s), int(yo + bbox[3] * s)
     c = COLORS[idx % len(COLORS)]
     th = 2
     frame[max(y1, 0) : y1 + th, max(x1, 0) : x2] = c
@@ -393,6 +415,9 @@ def main(argv=None):
     ap.add_argument("--artifacts", default=None)
     ap.add_argument("--head-prefix", default="")
     ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="MJPEG bind address. The stream has no auth — "
+                         "expose beyond localhost deliberately (0.0.0.0).")
     ap.add_argument("--source", choices=["camera", "synthetic"], default="camera")
     ap.add_argument("--camera", type=int, default=0)
     ap.add_argument("--res", type=str, default="640x480")
@@ -446,10 +471,14 @@ def main(argv=None):
     if not args.no_serve:
         import socket
 
-        srv = HTTPServer(("0.0.0.0", args.port), Stream)
+        # Threading server: each /stream viewer holds its connection open
+        # for the session, so a per-request thread is required for the
+        # publisher's multi-subscriber design (and for / to answer while a
+        # stream is live). daemon_threads=True is the class default.
+        srv = ThreadingHTTPServer((args.host, args.port), Stream)
         srv.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        print(f"Stream: http://0.0.0.0:{args.port}")
+        print(f"Stream: http://{args.host}:{args.port}")
     print("Ctrl+C to stop.\n")
 
     ema = EmaFps()

@@ -119,9 +119,14 @@ class TPUEngine:
     def _mega_fits(self) -> bool:
         from tpu_cnn.ops import pallas_poly
 
+        # Budget the EXACT kernel configuration _make_detect will request:
+        # the f32 feature twin (CAM box modes) is an extra double-buffered
+        # output block the VMEM model must count.
+        with_bins = self.model.head_mode == "bins"
         return pallas_poly.polyphase_supported(
             self.model.config.layer_configs,
-            with_bins=self.model.head_mode == "bins",
+            with_bins=with_bins,
+            with_f32=with_bins and self.box_mode != "reg",
         )
 
     def _features_fn(self):
@@ -283,8 +288,6 @@ class TPUEngine:
         harness the relay is ~30 MB/s, three orders below a production
         PCIe host)."""
         dev, b = self._pad_batch(np.asarray(images, np.uint8))
-        import jax
-
         jax.block_until_ready(dev)
         return ("staged", dev, b)
 

@@ -154,8 +154,9 @@ int tcnn_preprocess(const uint8_t* frames, int batch, int H, int W,
                     int channels, int bgr, int out_size, uint8_t* out) {
   if (batch <= 0 || H <= 0 || W <= 0 || out_size <= 0) return -1;
   if (channels != 1 && channels != 3) return -2;
+  // crops smaller than out_size upsample through the nearest-index path
+  // below — same behaviour as the numpy twin (apps/realtime.preprocess)
   const int s = H < W ? H : W;
-  if (s < out_size) return -3;
   const int y0 = (H - s) / 2, x0 = (W - s) / 2;
   const int f = s / out_size;
   const bool exact = (s % out_size) == 0;

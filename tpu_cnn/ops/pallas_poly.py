@@ -53,7 +53,8 @@ def _poly_layer_params(layer_configs):
 
 
 def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
-                       with_bins: bool = False) -> int:
+                       with_bins: bool = False,
+                       with_f32: bool = False) -> int:
     """Peak-VMEM model (bytes) for the megakernel at batch tile ``tb``.
 
     Persistent across the kernel body: the per-layer int8 tap scratches,
@@ -69,7 +70,8 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
     refs = sum(tb * oc * (g // 2) ** 2 * m for ic, oc, g in layer_params[:-1])
     in_blk = 2 * tb * layer_params[0][2] ** 2 * m
     oc_last = layer_params[-1][1]
-    out_blk = 2 * (tb * oc_last * m + (tb * oc_last * 16 * 4 if with_bins else 0))
+    out_blk = 2 * (tb * oc_last * m + (tb * oc_last * 16 * 4 if with_bins else 0)
+                   + (tb * oc_last * m * 4 if with_f32 else 0))
     kmats = sum(tb * oc * 9 * tb * ic + 4 * tb * oc for ic, oc, g in layer_params)
     # transient peak: widened i32 input + i32 accumulator + one i32 pool temp
     peak = max(
@@ -79,13 +81,16 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
     return xs + refs + in_blk + out_blk + kmats + peak
 
 
-def polyphase_supported(layer_configs, with_bins: bool = True) -> bool:
+def polyphase_supported(layer_configs, with_bins: bool = True,
+                        with_f32: bool = False) -> bool:
     """True when the megakernel's working set fits VMEM for this geometry
-    (e.g. lyr4-wide's tap scratches alone exceed it -> use hybrid)."""
+    (e.g. lyr4-wide's tap scratches alone exceed it -> use hybrid). Pass
+    the SAME with_bins/with_f32 the production call will use — the f32
+    feature twin is a double-buffered output block the model must count."""
     layer_params, t = _poly_layer_params(layer_configs)
     if t < 2:
         return False
-    est = poly_vmem_estimate(layer_params, t, POLY_TB, with_bins)
+    est = poly_vmem_estimate(layer_params, t, POLY_TB, with_bins, with_f32)
     return est <= POLY_VMEM_BUDGET
 
 
@@ -311,7 +316,7 @@ def cnn_forward_polyphase_pallas(
     oc_last = layer_params[-1][1]
 
     tb = POLY_TB
-    est = poly_vmem_estimate(layer_params, t, tb, with_bins)
+    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32)
     if not interpret and est > POLY_VMEM_BUDGET:
         raise ValueError(
             f"polyphase megakernel working set ~{est / 2**20:.1f} MiB exceeds "

@@ -20,8 +20,15 @@ import jax
 import jax.numpy as jnp
 
 # cv2's BGR2GRAY fixed-point BT.601 coefficients (R, G, B), >> 14 with
-# round-half-up bias — bit-identical to OpenCV's integer path.
-_LUMA_R, _LUMA_G, _LUMA_B, _LUMA_BIAS, _LUMA_SHIFT = 4899, 9617, 1868, 8192, 14
+# round-half-up bias — bit-identical to OpenCV's integer path. Canonical
+# values live in ops/luma.py (numpy-only) so host tools share them.
+from tpu_cnn.ops.luma import (  # noqa: E402
+    LUMA_B as _LUMA_B,
+    LUMA_BIAS as _LUMA_BIAS,
+    LUMA_G as _LUMA_G,
+    LUMA_R as _LUMA_R,
+    LUMA_SHIFT as _LUMA_SHIFT,
+)
 
 
 def bt601_gray(frames: jax.Array, channel_order: str = "bgr") -> jax.Array:

@@ -144,11 +144,18 @@ def sharded_detect_mega(
     fc_b = jnp.asarray(fc_bias)
     bbox_w = jnp.asarray(bbox_weight) if bbox_weight is not None else None
 
+    # the f32 feature twin only feeds the CAM box modes; the regression
+    # head reads the pooled bins, so skip the extra kernel store (same
+    # rule as TPUEngine._make_detect)
+    with_f32 = box_mode != "reg"
+
     def per_shard(images, shifts):
         if head_mode == "bins":
-            feats, pooled, feats_f32 = pallas_poly.cnn_forward_polyphase_pallas(
-                images, kernels, shifts, with_bins=True, with_f32=True
+            out = pallas_poly.cnn_forward_polyphase_pallas(
+                images, kernels, shifts, with_bins=True, with_f32=with_f32
             )
+            feats, pooled = out[0], out[1]
+            feats_f32 = out[2] if with_f32 else None
             return detect_head.detect_with_pooled(
                 feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
                 box_mode=box_mode, bbox_weight=bbox_w,
@@ -199,6 +206,7 @@ class MeshEngine:
                 if pallas_poly.polyphase_supported(
                     model.config.layer_configs,
                     with_bins=model.head_mode == "bins",
+                    with_f32=model.head_mode == "bins" and box_mode != "reg",
                 )
                 else "xla"
             )
