@@ -274,3 +274,22 @@ def test_bin_folder_dataset(tmp_path):
     assert ds.class_names == ["alpha", "beta"]
     ds2 = BinFolderDataset(root, max_per_class=1)
     assert len(ds2) == 2
+
+
+def test_train_cli_mesh(tmp_path):
+    """--mesh DxM trains over a (data, model) device mesh from the CLI —
+    the user-facing form of the distributed train step dryrun_multichip
+    validates (batch over 'data', conv oc + fc feature dim over 'model')."""
+    from tpu_cnn.train import train_cnn
+    from tpu_cnn.utils import artifacts as art
+
+    out = str(tmp_path / "out")
+    train_cnn.main([
+        "--synthetic", "--variant", "lyr3-tiny", "--epochs", "1",
+        "--batch-size", "16", "--max-per-class", "100",
+        "--mesh", "4x2", "--output-dir", out,
+    ])
+    bundle = art.load_bundle(out, layer_configs=(
+        (1, 16, 32), (16, 32, 16), (32, 64, 8)))
+    assert bundle.fc_weight.shape[0] == 6
+    assert all(np.isfinite(k).all() for k in bundle.kernels)

@@ -350,6 +350,12 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--variant", default="lyr3-std",
                    help="model variant from models.registry (geometry)")
+    p.add_argument("--mesh", default=None, metavar="DxM",
+                   help="train over a device mesh: 'DATAxMODEL' device "
+                        "counts (e.g. '4x2': batch sharded over 4, conv "
+                        "oc + fc feature dim over 2) or a plain count for "
+                        "pure data parallelism. Uses the first DATA*MODEL "
+                        "of jax.devices().")
     args = p.parse_args(argv)
 
     from tpu_cnn.models.registry import default_shifts, get_config
@@ -398,9 +404,23 @@ def main(argv=None):
         n_val = max(len(imgs) // 6, cfg.num_classes)
         train_split = (imgs[n_val:], labels[n_val:])
         val_split = (imgs[:n_val], labels[:n_val])
+    mesh = None
+    if args.mesh:
+        from tpu_cnn.parallel.mesh import make_mesh
+
+        if "x" in args.mesh:
+            d, m = (int(v) for v in args.mesh.lower().split("x"))
+        else:
+            d, m = int(args.mesh), 1
+        mesh = make_mesh(d * m, model_axis=m)
+        if cfg.batch_size % d:
+            p.error(f"--batch-size {cfg.batch_size} must be a multiple of "
+                    f"the data axis ({d})")
+        print(f"Mesh: {d} data x {m} model over {d * m} devices")
+
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
-          checkpoint_path=args.checkpoint, resume=args.resume)
+          checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh)
 
 
 if __name__ == "__main__":
