@@ -151,6 +151,12 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
 
         # base (carry-free) variant: one full roll + one full store.
         # Blocks belonging to other variants get overwritten below.
+        # (Probed and REJECTED on hardware, docs/ROADMAP.md: (a) replacing
+        # the roll with two vreg-aligned slice stores — wrapped lanes are
+        # provably overwritten by the corrective stores — 3.52 vs 3.30
+        # us/img; (b) skipping the roll+select for the center tap, 3.44
+        # vs 3.30. Mosaic lowers this uniform roll+select+store shape
+        # better than either "optimisation".)
         r0 = ay * g * m + ax * m
         base = jnp.where(valid, _roll(x_i32, r0, lanes), 0)
         xs_ref[i * rows : (i + 1) * rows, :] = cvt(base)
