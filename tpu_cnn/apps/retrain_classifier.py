@@ -155,7 +155,11 @@ def main(argv=None):
     p.add_argument("--output-dir", default="artifacts/generated")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--epochs", type=int, default=1500)
-    p.add_argument("--classes", default="/root/reference/weights/classes.json")
+    from tpu_cnn.utils.paths import default_artifacts
+
+    p.add_argument("--classes",
+                   default=os.path.join(default_artifacts(), "classes.json"),
+                   help="class-name override when the feature dump has none")
     p.add_argument("--prefix", default="", help="e.g. 'arm_' -> arm_fc_weight.npy")
     args = p.parse_args(argv)
 
