@@ -147,3 +147,23 @@ def test_reg_box_on_hardware(stock_kernels, rng):
     want_feats = np.stack([numpy_cnn_forward(im, stock_kernels) for im in imgs])
     want = bbox_regress_np(bin_pool_np(want_feats), bbox_w)
     assert np.abs(res.bbox.astype(np.int64) - want.astype(np.int64)).max() <= 1
+
+
+def test_device_preprocess_parity_on_hardware(rng):
+    """On-device preprocess (both the 3-channel and the packed BGRX layout,
+    both resize paths) vs the host numpy twin, on the real chip — covers
+    the XLA bitcast/one-hot-matmul lowerings the CPU tests can't."""
+    from tpu_cnn.apps.realtime import preprocess as np_pp
+    from tpu_cnn.ops.luma import pack_bgrx
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    for h, w in ((512, 640), (480, 640)):
+        f3 = rng.randint(0, 256, size=(4, h, w, 3)).astype(np.uint8)
+        got3 = np.asarray(preprocess_frames(jnp.asarray(f3), 128))
+        got_packed = np.asarray(
+            preprocess_frames(jnp.asarray(pack_bgrx(f3)), 128)
+        )
+        np.testing.assert_array_equal(got3, got_packed)
+        if (min(h, w) % 128) != 0:  # nearest path: exact vs host twin
+            for b in range(4):
+                np.testing.assert_array_equal(got3[b], np_pp(f3[b], 128))

@@ -40,6 +40,31 @@ def test_device_preprocess_matches_host():
         assert np.abs(dev[b].astype(int) - host.astype(int)).max() <= 1
 
 
+def test_device_preprocess_packed_bgrx():
+    """The 4-channel BGRX fast path (u8x4 -> u32 bitcast demux) is
+    bit-identical to the 3-channel path with the pad byte ignored, for both
+    channel orders and both resize paths (divisible 512^2, nearest 480^2)."""
+    from tpu_cnn.ops.luma import pack_bgrx
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    rs = np.random.RandomState(2)
+    for h, w in ((512, 640), (480, 640)):
+        f3 = rs.randint(0, 256, size=(3, h, w, 3)).astype(np.uint8)
+        pad = rs.randint(0, 256, size=(3, h, w, 1)).astype(np.uint8)
+        f4 = np.concatenate([f3, pad], axis=-1)
+        w32 = pack_bgrx(f4)
+        assert w32.shape == (3, h, w) and w32.dtype == np.uint32
+        np.testing.assert_array_equal(w32, pack_bgrx(f3) | (f4[..., 3].astype(np.uint32) << 24))
+        for order in ("bgr", "rgb"):
+            ref = np.asarray(preprocess_frames(f3, 128, channel_order=order))
+            np.testing.assert_array_equal(
+                np.asarray(preprocess_frames(f4, 128, channel_order=order)), ref
+            )
+            np.testing.assert_array_equal(
+                np.asarray(preprocess_frames(w32, 128, channel_order=order)), ref
+            )
+
+
 def test_device_preprocess_grayscale_passthrough():
     from tpu_cnn.ops.preprocess import preprocess_frames
 

@@ -124,43 +124,46 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
 
 
 def bench_camera_pipeline(model: FpgaCNN, mode: str, batch: int, runs: int,
-                          cam_w: int, cam_h: int):
-    """Raw (B, H, W, 3) camera frames -> boxes, everything on device: fused
-    preprocess (center-crop/gray/area-resize) + CNN + head. Frames staged in
-    HBM; async-pipelined like bench.py."""
+                          cam_w: int, cam_h: int, channels: int = 4):
+    """Raw camera frames -> boxes, everything on device: fused preprocess
+    (center-crop/gray/area-resize) + CNN + head. Frames staged in HBM;
+    async-pipelined like bench.py. channels=4 measures the packed-BGRX
+    ingest (one u32 word per pixel — the production layout; a free
+    ``.view`` on the host, ``ops.luma.pack_bgrx``); channels=3 the plain
+    (B, H, W, 3) u8 layout a naive port would use."""
     import jax
     import jax.numpy as jnp
 
-    from tpu_cnn.ops import detect_head, pallas_int8, quant
+    from tpu_cnn.engine.tpu import TPUEngine
     from tpu_cnn.ops.preprocess import preprocess_frames
 
-    kernels = [jnp.asarray(k) for k in model.kernels]
+    # the engine's fused detect IS the production path (megakernel with
+    # in-kernel head pooling under 'auto'/'mega'); jit-of-jit inlines it
+    # after the on-device preprocess so raw frames -> boxes is one program
+    engine = TPUEngine(model, backend=mode)
     shifts = jnp.asarray(model.shifts, jnp.int32)
-    fc_w = jnp.asarray(model.fc_weight)
-    fc_b = jnp.asarray(model.fc_bias)
-    fwd = (pallas_int8.cnn_forward_hybrid if mode in ("auto", "hybrid")
-           else pallas_int8.cnn_forward_pallas if mode == "pallas"
-           else quant.cnn_forward)
-
-    chunk = min(512, batch)
 
     @jax.jit
     def pipeline(frames):
-        small = preprocess_frames(frames)
-        xs = small.reshape(small.shape[0] // chunk, chunk, 128, 128)
-        feats = jax.lax.map(lambda c: fwd(c, kernels, shifts), xs).reshape(
-            small.shape[0], model.config.out_channels, -1
-        )
-        pred, conf, probs, bbox = detect_head.detect(
-            feats, fc_w, fc_b, model.head_mode, model.config.img_size
-        )
+        small = preprocess_frames(frames, model.config.img_size)
+        pred, conf, probs, bbox = engine._detect(small, shifts)
         return pred, conf, bbox
 
     rng = np.random.RandomState(0)
-    pools = [
-        jnp.asarray(rng.randint(0, 256, (batch, cam_h, cam_w, 3), dtype=np.uint8))
-        for _ in range(2)
-    ]
+    if channels == 4:  # packed u32 BGRX words (random bytes incl. pad)
+        pools = [
+            jnp.asarray(
+                rng.randint(0, 2**32, (batch, cam_h, cam_w), dtype=np.uint32)
+            )
+            for _ in range(2)
+        ]
+    else:
+        pools = [
+            jnp.asarray(
+                rng.randint(0, 256, (batch, cam_h, cam_w, 3), dtype=np.uint8)
+            )
+            for _ in range(2)
+        ]
     jax.block_until_ready(pools)
     jax.block_until_ready(pipeline(pools[0]))
     t0 = time.perf_counter()
@@ -186,6 +189,9 @@ def main(argv=None):
                         "(B, H, W, 3) preprocess (crop/gray/resize) fused "
                         "with detect — raw frames to boxes")
     p.add_argument("--cam-res", default="640x480")
+    p.add_argument("--cam-channels", type=int, default=4, choices=(3, 4),
+                   help="camera pixel format: 4 = BGRX packed fast path, "
+                        "3 = plain BGR")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the measured loop")
     args = p.parse_args(argv)
@@ -233,14 +239,17 @@ def main(argv=None):
 
     if args.camera_pipeline:
         cam_w, cam_h = (int(v) for v in args.cam_res.split("x"))
-        mode = args.modes.split(",")[0].strip()
+        # default to the production backend unless modes were given
+        mode = ("auto" if args.modes == p.get_default("modes")
+                else args.modes.split(",")[0].strip())
         from tpu_cnn.utils.profiling import jax_trace
 
         with jax_trace(args.trace_dir):
             dt = bench_camera_pipeline(model, mode, args.batch, args.runs,
-                                       cam_w, cam_h)
+                                       cam_w, cam_h, args.cam_channels)
         fps = args.batch / dt
-        print(f"\n  camera pipeline ({cam_w}x{cam_h}x3 -> boxes, {mode}): "
+        print(f"\n  camera pipeline ({cam_w}x{cam_h}x{args.cam_channels} "
+              f"-> boxes, {mode}): "
               f"{dt * 1e3:9.3f} ms/batch{args.batch}  {fps:12,.0f} FPS  "
               f"({fps / FPGA_FPS:,.0f}x reference)")
         return {"camera_pipeline": fps}

@@ -18,6 +18,23 @@ LUMA_R, LUMA_G, LUMA_B = 4899, 9617, 1868
 LUMA_BIAS, LUMA_SHIFT = 8192, 14
 
 
+def pack_bgrx(frames: np.ndarray) -> np.ndarray:
+    """(..., H, W, 3|4) uint8 -> (..., H, W) uint32 packed pixels.
+
+    Host-side packing for the device preprocess fast path
+    (``ops.preprocess.bt601_gray_packed``): little-endian word, byte 0 =
+    channel 0. For 4-channel input this is a free reinterpret; 3-channel
+    input pays one pad copy."""
+    frames = np.asarray(frames, np.uint8)
+    if frames.shape[-1] == 3:
+        frames = np.concatenate(
+            [frames, np.zeros((*frames.shape[:-1], 1), np.uint8)], axis=-1
+        )
+    elif frames.shape[-1] != 4:
+        raise ValueError(f"expected 3 or 4 channels, got {frames.shape[-1]}")
+    return np.ascontiguousarray(frames).view(np.uint32)[..., 0]
+
+
 def bt601_gray_np(frame: np.ndarray, channel_order: str = "bgr") -> np.ndarray:
     """(..., 3) uint8 -> (...) uint8 luma, cv2's fixed-point rounding."""
     c = frame.astype(np.uint32)
