@@ -1,0 +1,124 @@
+"""Isolate the CAM percentile's cost in the production path and compare
+threshold formulations: full sort (jnp.percentile), top_k order statistics,
+and a fixed threshold (lower bound)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+    from tpu_cnn.ops import detect_head, pallas_poly
+    from tpu_cnn.utils import artifacts as art
+    from tpu_cnn.utils.paths import default_artifacts
+
+    bundle = art.load_bundle(default_artifacts())
+    kernels = [jnp.asarray(k) for k in bundle.kernels]
+    fc_w = jnp.asarray(bundle.fc_weight)
+    fc_b = jnp.asarray(bundle.fc_bias)
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    batch, rounds = 1536, 52
+
+    def bbox_core(cam, thr, img_size=128):
+        b, s, _ = cam.shape
+        mask = cam > thr[:, None, None]
+        rows = mask.any(axis=2)
+        cols = mask.any(axis=1)
+        any_mask = rows.any(axis=1)
+        scale = img_size // s
+        r1 = jnp.argmax(rows, axis=1).astype(jnp.int32)
+        r2 = (s - 1 - jnp.argmax(rows[:, ::-1], axis=1)).astype(jnp.int32)
+        c1 = jnp.argmax(cols, axis=1).astype(jnp.int32)
+        c2 = (s - 1 - jnp.argmax(cols[:, ::-1], axis=1)).astype(jnp.int32)
+        bbox = jnp.stack(
+            [c1 * scale, r1 * scale,
+             jnp.minimum(img_size - 1, (c2 + 1) * scale),
+             jnp.minimum(img_size - 1, (r2 + 1) * scale)], axis=1)
+        full = jnp.array([0, 0, img_size - 1, img_size - 1], jnp.int32)
+        return jnp.where(any_mask[:, None], bbox, full[None, :])
+
+    def make_detect(thr_kind):
+        @jax.jit
+        def detect(images):
+            feats, pooled, f32 = pallas_poly.cnn_forward_polyphase_pallas(
+                images, kernels, shifts, with_bins=True, with_f32=True
+            )
+            logits = detect_head._fc_logits(pooled, fc_w, fc_b)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            b, c, ss = f32.shape
+            s = int(round(ss**0.5))
+            valid = (f32.mean(axis=2) <= 250.0).astype(jnp.float32)
+            w = fc_w[pred].reshape(b, c, 16) * valid[:, :, None]
+            wT = jnp.transpose(w, (0, 2, 1))
+            camfull = jax.lax.dot_general(
+                wT, f32, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            p = jnp.arange(ss)
+            binof = (p // s // 4) * 4 + (p % s) // 4
+            sel = (binof[None, :] == jnp.arange(16)[:, None]).astype(jnp.float32)
+            cam = (camfull * sel[None]).sum(axis=1)
+            cam = jnp.maximum(cam, 0.0)
+            cam_max = cam.max(axis=1, keepdims=True)
+            cam = jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
+            if thr_kind == "percentile":
+                thr = jnp.percentile(cam, 70.0, axis=1)
+            elif thr_kind == "topk":
+                n = ss
+                q = 70.0 / 100.0 * (n - 1)  # 178.5
+                lo, hi = int(np.floor(q)), int(np.ceil(q))
+                frac = q - lo
+                tk = jax.lax.top_k(cam, n - lo)[0]  # descending, len 78
+                a_lo = tk[:, n - 1 - lo]
+                a_hi = tk[:, n - 1 - hi]
+                thr = a_lo + (a_hi - a_lo) * frac
+            else:
+                thr = jnp.full((cam.shape[0],), 0.25, jnp.float32)
+            thr = jnp.maximum(thr, 0.25)
+            bbox = bbox_core(cam.reshape(b, s, s), thr)
+            return pred, conf, bbox
+
+        return detect
+
+    rs = np.random.RandomState(0)
+    pools = [jnp.asarray(rs.randint(0, 256, (batch, 128, 128), dtype=np.uint8))
+             for _ in range(4)]
+    jax.block_until_ready(pools)
+
+    results = {}
+    for kind in ("percentile", "topk", "fixed"):
+        detect = make_detect(kind)
+        out0 = detect(pools[0])
+        jax.block_until_ready(out0)
+        if kind != "fixed":
+            results[kind] = np.asarray(out0[2])
+
+        def measure():
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(rounds):
+                out = detect(pools[i % 4])
+                for a in out:
+                    a.copy_to_host_async()
+                outs.append(out)
+            res = [(np.asarray(p), np.asarray(b)) for p, c, b in outs]
+            dt = time.perf_counter() - t0
+            assert len(res) == rounds
+            return rounds * batch / dt
+
+        fps = max(measure() for _ in range(2))
+        print(f"  {kind:10s}: {fps:12,.0f} FPS  ({1e6 / fps:.3f} us/img)")
+
+    same = np.array_equal(results["percentile"], results["topk"])
+    print(f"  topk bbox == percentile bbox: {same}")
+
+
+if __name__ == "__main__":
+    main()

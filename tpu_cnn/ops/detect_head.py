@@ -13,6 +13,8 @@ All functions are batched and jittable.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -148,6 +150,23 @@ def cam_bbox_f32(
     return _bbox_from_cam(cam.reshape(b, s, s), img_size)
 
 
+def _percentile_topk(x: jax.Array, q_pct: float) -> jax.Array:
+    """Exact ``np.percentile(x, q_pct, axis=-1)`` (linear interpolation) via
+    the two order statistics it needs, from ``lax.top_k`` instead of a full
+    sort. For the CAM's (B, 256) rows on TPU this is measurably cheaper than
+    ``jnp.percentile``'s sort (+2.7% end-to-end, scripts/probe_percentile.py)
+    and bit-identical: same two elements, same interpolation arithmetic."""
+    n = x.shape[-1]
+    q = q_pct / 100.0 * (n - 1)
+    lo, hi = math.floor(q), math.ceil(q)
+    tk = jax.lax.top_k(x, n - lo)[0]  # descending top (n - lo) values
+    a_lo = tk[..., n - 1 - lo]  # ascending order statistic [lo]
+    if hi == lo:
+        return a_lo
+    a_hi = tk[..., n - 1 - hi]
+    return a_lo + (a_hi - a_lo) * jnp.float32(q - lo)
+
+
 def _bbox_from_cam(cam: jax.Array, img_size: int) -> jax.Array:
     """(B, s, s) normalised CAM -> (B, 4) int32 boxes: percentile-70
     threshold with the 0.25 floor, extremal rows/cols, grid->image scaling
@@ -155,7 +174,7 @@ def _bbox_from_cam(cam: jax.Array, img_size: int) -> jax.Array:
     b, s, _ = cam.shape
     ss = s * s
     scale = img_size // s
-    thr = jnp.percentile(cam.reshape(b, ss), CAM_PERCENTILE, axis=1)
+    thr = _percentile_topk(cam.reshape(b, ss), CAM_PERCENTILE)
     thr = jnp.maximum(thr, CAM_THRESHOLD_FLOOR)  # (B,)
     mask = cam > thr[:, None, None]  # (B, s, s)
 
