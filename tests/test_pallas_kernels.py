@@ -157,3 +157,51 @@ def test_megakernel_f32_twin(stock_kernels, rng):
                                         features_f32=f32)
     np.testing.assert_array_equal(np.asarray(pu[0]), np.asarray(pf[0]))
     np.testing.assert_array_equal(np.asarray(pu[3]), np.asarray(pf[3]))
+
+
+def test_megakernel_no_feats_output(stock_kernels, rng):
+    """with_feats=False (the production detect mode): dropping the u8
+    feature output must not change the bins or the f32 twin, and the
+    features-or-f32 guard in detect_with_pooled must hold."""
+    import pytest
+
+    from tpu_cnn.ops import detect_head
+    from tpu_cnn.ops.pallas_poly import cnn_forward_polyphase_pallas
+
+    imgs = rng.randint(0, 256, size=(4, 128, 128)).astype(np.uint8)
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    feats, bins, f32 = cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts, interpret=True,
+        with_bins=True, with_f32=True,
+    )
+    bins2, f32_2 = cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts, interpret=True,
+        with_bins=True, with_f32=True, with_feats=False,
+    )
+    np.testing.assert_array_equal(np.asarray(bins2), np.asarray(bins))
+    np.testing.assert_array_equal(np.asarray(f32_2), np.asarray(f32))
+    np.testing.assert_array_equal(
+        np.asarray(f32_2), np.asarray(feats).astype(np.float32)
+    )
+    # bins-only (reg-box detect mode) returns a bare array
+    bins3 = cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts, interpret=True,
+        with_bins=True, with_feats=False,
+    )
+    np.testing.assert_array_equal(np.asarray(bins3), np.asarray(bins))
+
+    rs = np.random.RandomState(5)
+    fc_w = jnp.asarray(rs.randn(6, 1024).astype(np.float32) * 0.1)
+    fc_b = jnp.asarray(np.zeros(6, np.float32))
+    pf = detect_head.detect_with_pooled(None, bins2, fc_w, fc_b, 128,
+                                        features_f32=f32_2)
+    pu = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128)
+    np.testing.assert_array_equal(np.asarray(pu[0]), np.asarray(pf[0]))
+    np.testing.assert_array_equal(np.asarray(pu[3]), np.asarray(pf[3]))
+    with pytest.raises(ValueError):
+        detect_head.detect_with_pooled(None, bins2, fc_w, fc_b, 128)
+    with pytest.raises(ValueError):
+        cnn_forward_polyphase_pallas(
+            jnp.asarray(imgs), kj, shifts, interpret=True, with_feats=False
+        )

@@ -171,16 +171,20 @@ class TPUEngine:
                 from tpu_cnn.ops import pallas_poly
 
                 # the f32 feature twin only feeds the CAM; the regression
-                # head reads the pooled bins, so skip the extra kernel store
+                # head reads the pooled bins, so skip the extra kernel
+                # store. The u8 feature map is dead in detect mode either
+                # way, but A/B on hardware (docs/ROADMAP.md) shows dropping
+                # it only pays in reg mode (+1%); next to the f32 twin the
+                # 3-output grid pipelines better WITH it (-1%) — so the u8
+                # store tracks with_f32.
                 with_f32 = box_mode != "reg"
                 out = pallas_poly.cnn_forward_polyphase_pallas(
                     images, self._kernels_dev, shifts,
-                    with_bins=True, with_f32=with_f32
+                    with_bins=True, with_f32=with_f32, with_feats=with_f32
                 )
-                feats, pooled = out[0], out[1]
-                feats_f32 = out[2] if with_f32 else None
+                pooled, feats_f32 = (out[1], out[2]) if with_f32 else (out, None)
                 pred, conf, probs, bbox = detect_head.detect_with_pooled(
-                    feats, pooled, self._fc_w_dev, self._fc_b_dev, img_size,
+                    None, pooled, self._fc_w_dev, self._fc_b_dev, img_size,
                     features_f32=feats_f32, box_mode=box_mode,
                     bbox_weight=self._bbox_w_dev,
                 )

@@ -260,7 +260,8 @@ def bbox_regress(
 
 
 def detect_with_pooled(
-    features: jax.Array,  # (B, C, S*S) uint8 (for the CAM)
+    features: jax.Array | None,  # (B, C, S*S) uint8 (CAM fallback); may be
+    #                              None when features_f32 is given or reg box
     pooled: jax.Array,  # (B, C*16) f32 — kernel-fused bin pooling
     fc_weight: jax.Array,
     fc_bias: jax.Array,
@@ -271,7 +272,9 @@ def detect_with_pooled(
 ):
     """Fused classify + bbox when the bin pooling already happened inside
     the conv megakernel (``pallas_poly`` with_bins). Pass the kernel's f32
-    feature twin (``with_f32``) to skip the u8->f32 relayout in the CAM."""
+    feature twin (``with_f32``) to skip the u8->f32 relayout in the CAM;
+    the u8 ``features`` may then be omitted entirely (the megakernel's
+    ``with_feats=False`` detect mode)."""
     logits = _fc_logits(pooled, fc_weight, fc_bias)
     probs = jax.nn.softmax(logits, axis=-1)
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -281,9 +284,11 @@ def detect_with_pooled(
     elif features_f32 is not None:
         bbox = cam_bbox_f32(features_f32, pred, fc_weight, img_size,
                             box_mode=box_mode)
-    else:
+    elif features is not None:
         bbox = cam_bbox(features, pred, fc_weight, img_size,
                         box_mode=box_mode)
+    else:
+        raise ValueError("CAM box modes need features or features_f32")
     return pred, conf, probs, bbox
 
 

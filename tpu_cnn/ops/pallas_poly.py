@@ -54,7 +54,8 @@ def _poly_layer_params(layer_configs):
 
 def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
                        with_bins: bool = False,
-                       with_f32: bool = False) -> int:
+                       with_f32: bool = False,
+                       with_feats: bool = True) -> int:
     """Peak-VMEM model (bytes) for the megakernel at batch tile ``tb``.
 
     Persistent across the kernel body: the per-layer int8 tap scratches,
@@ -70,7 +71,8 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
     refs = sum(tb * oc * (g // 2) ** 2 * m for ic, oc, g in layer_params[:-1])
     in_blk = 2 * tb * layer_params[0][2] ** 2 * m
     oc_last = layer_params[-1][1]
-    out_blk = 2 * (tb * oc_last * m + (tb * oc_last * 16 * 4 if with_bins else 0)
+    out_blk = 2 * ((tb * oc_last * m if with_feats else 0)
+                   + (tb * oc_last * 16 * 4 if with_bins else 0)
                    + (tb * oc_last * m * 4 if with_f32 else 0))
     kmats = sum(tb * oc * 9 * tb * ic + 4 * tb * oc for ic, oc, g in layer_params)
     # transient peak: widened i32 input + i32 accumulator + one i32 pool temp
@@ -82,15 +84,18 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
 
 
 def polyphase_supported(layer_configs, with_bins: bool = True,
-                        with_f32: bool = False) -> bool:
+                        with_f32: bool = False,
+                        with_feats: bool = True) -> bool:
     """True when the megakernel's working set fits VMEM for this geometry
     (e.g. lyr4-wide's tap scratches alone exceed it -> use hybrid). Pass
-    the SAME with_bins/with_f32 the production call will use — the f32
-    feature twin is a double-buffered output block the model must count."""
+    the SAME with_bins/with_f32/with_feats the production call will use —
+    the f32 feature twin is a double-buffered output block the model must
+    count (and a dropped u8 feature output frees one)."""
     layer_params, t = _poly_layer_params(layer_configs)
     if t < 2:
         return False
-    est = poly_vmem_estimate(layer_params, t, POLY_TB, with_bins, with_f32)
+    est = poly_vmem_estimate(layer_params, t, POLY_TB, with_bins, with_f32,
+                             with_feats)
     return est <= POLY_VMEM_BUDGET
 
 
@@ -208,13 +213,15 @@ def _pool_blocks(act_i32, g, t, rows):
 
 
 def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
-               with_f32=False):
+               with_f32=False, with_feats=True):
     n_layers = len(layer_params)
     k_refs = rest[:n_layers]
     corr_refs = rest[n_layers : 2 * n_layers]
-    out_ref = rest[2 * n_layers]
-    off = 2 * n_layers + 1
-    bins_ref = f32_ref = None
+    off = 2 * n_layers
+    out_ref = bins_ref = f32_ref = None
+    if with_feats:
+        out_ref = rest[off]
+        off += 1
     if with_bins:
         bins_ref = rest[off]
         off += 1
@@ -239,9 +246,14 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
         acc = acc + corr_refs[li][:]
         act = jnp.clip(jnp.right_shift(acc, shift_ref[li]), 0, 255)
         blocks = _pool_blocks(act, g, t, tb * oc)  # i32 blocks
-        target = out_ref if li == n_layers - 1 else act_refs[li]
-        for d, b in enumerate(blocks):
-            target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
+        # In detect mode (with_feats=False) the u8 feature map is dead —
+        # the CAM reads the f32 twin and the classifier the fused bins —
+        # so the final layer's u8 store (16 KB/img of HBM writes + a
+        # double-buffered VMEM output block) is skipped entirely.
+        target = (out_ref if li == n_layers - 1 else act_refs[li])
+        if target is not None:
+            for d, b in enumerate(blocks):
+                target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
         if with_f32 and li == n_layers - 1:
             # f32 twin of the final features, written while they are still
             # i32 in VMEM: spares the head's CAM the (slow) XLA u8->f32
@@ -284,7 +296,8 @@ def phase_split_batch(images: jax.Array, g: int) -> jax.Array:
     return v.reshape(b, 1, g * g * t * t)
 
 
-@partial(jax.jit, static_argnames=("interpret", "with_bins", "with_f32"))
+@partial(jax.jit,
+         static_argnames=("interpret", "with_bins", "with_f32", "with_feats"))
 def cnn_forward_polyphase_pallas(
     images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
     kernels: Sequence[jax.Array],
@@ -293,6 +306,7 @@ def cnn_forward_polyphase_pallas(
     interpret: bool | None = None,
     with_bins: bool = False,
     with_f32: bool = False,
+    with_feats: bool = True,
 ) -> jax.Array:
     """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
     same layout contract as ``ops.quant.cnn_forward`` (the final single
@@ -301,7 +315,13 @@ def cnn_forward_polyphase_pallas(
     (B, oc_last*16) f32 (matching ``detect_head.bin_pool``). With
     ``with_f32``, additionally returns an f32 twin of the features (same
     values, written in-kernel) so the head's CAM skips XLA's slow u8->f32
-    feature relayout."""
+    feature relayout. ``with_feats=False`` drops the u8 feature output
+    entirely (detect mode: the head consumes only bins/f32 twin, and XLA
+    cannot dead-code-eliminate a Pallas output buffer). Outputs come back
+    in (feats, bins, f32) order, a bare array when only one is requested."""
+    if not (with_feats or with_bins or with_f32):
+        raise ValueError("at least one of with_feats/with_bins/with_f32 "
+                         "must be requested")
     if images.ndim == 4:
         images = images[..., 0]
     b, s, _ = images.shape
@@ -322,7 +342,8 @@ def cnn_forward_polyphase_pallas(
     oc_last = layer_params[-1][1]
 
     tb = POLY_TB
-    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32)
+    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32,
+                             with_feats)
     if not interpret and est > POLY_VMEM_BUDGET:
         raise ValueError(
             f"polyphase megakernel working set ~{est / 2**20:.1f} MiB exceeds "
@@ -355,11 +376,13 @@ def cnn_forward_polyphase_pallas(
     ]
     total_macs = sum(oc * 9 * ic * g * g * m for ic, oc, g in layer_params)
 
-    out_shapes = [jax.ShapeDtypeStruct((pb * oc_last, m), jnp.uint8)]
-    out_specs = [
-        pl.BlockSpec((tb * oc_last, m), lambda i, *_: (i, 0),
-                     memory_space=pltpu.VMEM)
-    ]
+    out_shapes, out_specs = [], []
+    if with_feats:
+        out_shapes.append(jax.ShapeDtypeStruct((pb * oc_last, m), jnp.uint8))
+        out_specs.append(
+            pl.BlockSpec((tb * oc_last, m), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
     if with_bins:
         out_shapes.append(jax.ShapeDtypeStruct((pb * oc_last, 16), jnp.float32))
         out_specs.append(
@@ -373,10 +396,11 @@ def cnn_forward_polyphase_pallas(
                          memory_space=pltpu.VMEM)
         )
 
-    multi = with_bins or with_f32
+    multi = len(out_shapes) > 1
     res = pl.pallas_call(
         partial(_mega_body, layer_params=layer_params, tb=tb, t=t,
-                with_bins=with_bins, with_f32=with_f32),
+                with_bins=with_bins, with_f32=with_f32,
+                with_feats=with_feats),
         out_shape=tuple(out_shapes) if multi else out_shapes[0],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shifts vector in SMEM
@@ -396,13 +420,12 @@ def cnn_forward_polyphase_pallas(
         ),
         interpret=interpret,
     )(shifts.astype(jnp.int32), x_rows, *kmats, *corrs)
-    if multi:
-        parts = list(res)
-        out = parts.pop(0).reshape(pb, oc_last, m)[:b]
-        ret = [out]
-        if with_bins:
-            ret.append(parts.pop(0).reshape(pb, oc_last * 16)[:b])
-        if with_f32:
-            ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
-        return tuple(ret)
-    return res.reshape(pb, oc_last, m)[:b]
+    parts = list(res) if multi else [res]
+    ret = []
+    if with_feats:
+        ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
+    if with_bins:
+        ret.append(parts.pop(0).reshape(pb, oc_last * 16)[:b])
+    if with_f32:
+        ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
+    return tuple(ret) if multi else ret[0]

@@ -151,13 +151,15 @@ def sharded_detect_mega(
 
     def per_shard(images, shifts):
         if head_mode == "bins":
+            # with_feats follows with_f32 — the same A/B-measured rule as
+            # TPUEngine._make_detect
             out = pallas_poly.cnn_forward_polyphase_pallas(
-                images, kernels, shifts, with_bins=True, with_f32=with_f32
+                images, kernels, shifts, with_bins=True, with_f32=with_f32,
+                with_feats=with_f32,
             )
-            feats, pooled = out[0], out[1]
-            feats_f32 = out[2] if with_f32 else None
+            pooled, feats_f32 = (out[1], out[2]) if with_f32 else (out, None)
             return detect_head.detect_with_pooled(
-                feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
+                None, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
                 box_mode=box_mode, bbox_weight=bbox_w,
             )
         feats = pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
