@@ -118,6 +118,32 @@ def test_realtime_synthetic_smoke(artifact_dir, capsys):
     assert "FPS" in out  # periodic status line printed at frame 20
 
 
+def test_realtime_fused_head_smoke(artifact_dir, capsys):
+    """--fused: the whole head runs in the engine's jitted detect; the
+    loop consumes DetectResult fields instead of host-twin outputs."""
+    from tpu_cnn.apps import realtime
+
+    realtime.main([
+        "--artifacts", artifact_dir, "--mode", "xla",
+        "--source", "synthetic", "--frames", "3", "--no-serve", "--fused",
+    ])
+    out = capsys.readouterr().out
+    assert ":fused" in out
+    assert "Done. 3 frames." in out
+
+
+def test_realtime_fused_falls_back_on_host_engine(artifact_dir, capsys):
+    from tpu_cnn.apps import realtime
+
+    realtime.main([
+        "--artifacts", artifact_dir, "--mode", "cpu",
+        "--source", "synthetic", "--frames", "2", "--no-serve", "--fused",
+    ])
+    out = capsys.readouterr().out
+    assert "no fused detect" in out
+    assert "Done. 2 frames." in out
+
+
 def test_realtime_mjpeg_stream_endpoints():
     """Drive the MJPEG server end-to-end: index page + one multipart frame
     delivered through a real socket (publisher/subscriber wakeup path)."""

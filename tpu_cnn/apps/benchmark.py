@@ -138,12 +138,15 @@ def bench_camera_pipeline(model: FpgaCNN, mode: str, batch: int, runs: int,
     from tpu_cnn.ops.preprocess import preprocess_frames
 
     # the engine's fused detect IS the production path (megakernel with
-    # in-kernel head pooling under 'auto'/'mega'); jit-of-jit inlines it
-    # after the on-device preprocess so raw frames -> boxes is one program
+    # in-kernel head pooling under 'auto'/'mega'). Deliberately TWO device
+    # programs chained on device-resident arrays, not one outer jit: XLA
+    # schedules the inlined preprocess+megakernel program ~3x slower
+    # (14.5 vs 5.3 us/img at 480^2, scripts/profile_preprocess.py notes;
+    # an optimization_barrier does not help, so it is scheduling/layout,
+    # not fusion). Both are jitted; dispatches pipeline asynchronously.
     engine = TPUEngine(model, backend=mode)
     shifts = jnp.asarray(model.shifts, jnp.int32)
 
-    @jax.jit
     def pipeline(frames):
         small = preprocess_frames(frames, model.config.img_size)
         pred, conf, probs, bbox = engine._detect(small, shifts)
@@ -177,10 +180,18 @@ def main(argv=None):
     p.add_argument("--artifacts", default=None)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--runs", type=int, default=20)
-    p.add_argument("--modes", default="xla,pallas",
-                   help="comma list of: xla, pallas, hybrid, cpu")
-    p.add_argument("--detect", action="store_true",
-                   help="benchmark the fused detect pipeline (default: features)")
+    p.add_argument("--modes", default="auto",
+                   help="comma list of: auto, mega, hybrid, pallas, xla, "
+                        "mesh, cpu (auto = production backend)")
+    p.add_argument("--detect", dest="detect", action="store_true",
+                   default=True,
+                   help="benchmark the fused detect pipeline (the default: "
+                        "only pred/conf/probs/boxes cross back to host)")
+    p.add_argument("--features", dest="detect", action="store_false",
+                   help="benchmark raw feature extraction instead — NOTE: "
+                        "transfers the full (B, C, S'*S') feature map to "
+                        "host, so behind a slow host link this measures "
+                        "the link, not the chip")
     p.add_argument("--per-layer", action="store_true",
                    help="per-layer device timings + MFU (arm_benchmark's "
                         "per-layer table, reproduced on TPU)")

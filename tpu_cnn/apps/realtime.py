@@ -426,6 +426,12 @@ def main(argv=None):
     ap.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                     help="box head: reference CAM, tuned centroid, or learned "
                          "regression (needs bbox_weight.npy)")
+    ap.add_argument("--fused", action="store_true",
+                    help="run the whole head on device (one fused jit per "
+                         "frame; only pred/conf/probs/box cross back — "
+                         "~100 B instead of the 16 KB feature map). Default "
+                         "is the reference protocol: engine.run() features "
+                         "+ host classify/CAM twins.")
     from tpu_cnn.apps.common import add_variant_arg
 
     add_variant_arg(ap)
@@ -451,7 +457,12 @@ def main(argv=None):
     from tpu_cnn.apps.infer import make_engine
 
     engine = make_engine(model, args.mode, box_mode=args.box)
-    mode_lbl = f"{type(engine).__name__}:{getattr(engine, 'backend', '?')}"
+    use_fused = args.fused and hasattr(engine, "detect_batch")
+    if args.fused and not use_fused:
+        print(f"note: {type(engine).__name__} has no fused detect; "
+              "using the host-head protocol")
+    mode_lbl = (f"{type(engine).__name__}:{getattr(engine, 'backend', '?')}"
+                + (":fused" if use_fused else ""))
     print(f"Engine: {mode_lbl}")
     preprocess_fn, pp_name = resolve_preprocess()
     print(f"Host preprocess: {pp_name}")
@@ -491,21 +502,36 @@ def main(argv=None):
                 continue
             small = preprocess_fn(frame, img_size)
 
-            feat, conv_ms, read_ms = engine.run(small)
-            idx, name, conf, probs = classify_host.classify_np(
-                feat, model.fc_weight, model.fc_bias, names
-            )
-            if args.box == "reg":
-                from tpu_cnn.head.bbox import bbox_regress_features_np
-
-                bbox = bbox_regress_features_np(feat, model.bbox_weight,
-                                                img_size)
-            elif model.head_mode == "bins":
-                box_fn = (cam_host.cam_bbox_centroid if args.box == "centroid"
-                          else cam_host.cam_bbox_fast)
-                bbox = box_fn(feat, idx, model.fc_weight, img_size)
+            if use_fused:
+                # fused on-device head: the engine's jitted detect honours
+                # --box (box_mode passed at construction); only the few
+                # result bytes cross back
+                t0 = time.perf_counter()
+                res = engine.detect_batch(small[None])
+                conv_ms = (time.perf_counter() - t0) * 1e3
+                read_ms = 0.0
+                idx = int(res.pred[0])
+                name = names[idx]
+                conf = float(res.conf[0])
+                probs = res.probs[0]
+                bbox = tuple(int(v) for v in res.bbox[0])
             else:
-                bbox = (0, 0, img_size - 1, img_size - 1)
+                feat, conv_ms, read_ms = engine.run(small)
+                idx, name, conf, probs = classify_host.classify_np(
+                    feat, model.fc_weight, model.fc_bias, names
+                )
+                if args.box == "reg":
+                    from tpu_cnn.head.bbox import bbox_regress_features_np
+
+                    bbox = bbox_regress_features_np(feat, model.bbox_weight,
+                                                    img_size)
+                elif model.head_mode == "bins":
+                    box_fn = (cam_host.cam_bbox_centroid
+                              if args.box == "centroid"
+                              else cam_host.cam_bbox_fast)
+                    bbox = box_fn(feat, idx, model.fc_weight, img_size)
+                else:
+                    bbox = (0, 0, img_size - 1, img_size - 1)
 
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)

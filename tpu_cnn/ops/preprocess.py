@@ -84,18 +84,28 @@ def preprocess_frames(
     a trailing 3/4-wide channel dim wastes most of each 128-lane register
     on TPU, while packed words demux with plain shifts.
     """
-    if frames.ndim == 3 and frames.dtype == jnp.uint32:
-        gray = bt601_gray_packed(frames, channel_order)
-    elif frames.ndim == 4 and frames.shape[-1] == 4:
-        gray = bt601_gray_packed(frames, channel_order)
-    elif frames.ndim == 4:
-        gray = bt601_gray(frames, channel_order)
-    else:
-        gray = frames.astype(jnp.uint16)
-    b, h, w = gray.shape
+    # Crop FIRST (static lax.slice on the raw input), then demux: the luma
+    # only runs on the kept square, and the static slice fuses into the
+    # elementwise demux. The original gray-then-dynamic_slice formulation
+    # measured 13.9 us/img at 480^2 vs 2.1 for this one
+    # (scripts/profile_preprocess.py) — lax.dynamic_slice lowers as a real
+    # dynamic op on TPU even with constant start indices, materialising the
+    # full-frame gray and blocking fusion.
+    b, h, w = frames.shape[:3]
     s = min(h, w)
     y0, x0 = (h - s) // 2, (w - s) // 2
-    crop = jax.lax.dynamic_slice(gray, (0, y0, x0), (b, s, s))
+    cropped = jax.lax.slice(
+        frames, (0, y0, x0) + (0,) * (frames.ndim - 3),
+        (b, y0 + s, x0 + s) + tuple(frames.shape[3:]),
+    )
+    if frames.ndim == 3 and frames.dtype == jnp.uint32:
+        crop = bt601_gray_packed(cropped, channel_order)
+    elif frames.ndim == 4 and frames.shape[-1] == 4:
+        crop = bt601_gray_packed(cropped, channel_order)
+    elif frames.ndim == 4:
+        crop = bt601_gray(cropped, channel_order)
+    else:
+        crop = cropped.astype(jnp.uint16)
 
     if s % out_size == 0:
         f = s // out_size
