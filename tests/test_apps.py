@@ -296,6 +296,12 @@ def test_tune_shifts_smoke(artifact_dir):
     best, results = tune(model, mode="cpu", n_per_class=6, radius=0,
                          head_epochs=50, verbose=False)
     assert best == (2, 4, 6) and len(results) == 1
+    # real-data mode: the artifact dir's own test_image_*_class*.bin files
+    # are a valid BinFolder
+    best2, results2 = tune(model, mode="cpu", n_per_class=4, radius=0,
+                           head_epochs=50, verbose=False,
+                           image_dir=artifact_dir)
+    assert best2 == (2, 4, 6) and len(results2) == 1
 
 
 def test_image_decode_paths(tmp_path):

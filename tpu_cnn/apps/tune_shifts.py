@@ -10,6 +10,9 @@ validation accuracy. Also reports each candidate's feature-utilisation stats
 
 Usage:
   python -m tpu_cnn.apps.tune_shifts [--radius 1] [--n-per-class 40]
+  # real data (e.g. the real-photo set):
+  python -m tpu_cnn.apps.tune_shifts --artifacts artifacts/realphoto/bundle-qat \
+      --image-dir artifacts/realphoto/train_bins --n-per-class 120
 """
 
 from __future__ import annotations
@@ -32,13 +35,16 @@ def candidate_grid(center=DEFAULT_SHIFTS, radius=1, lo=0, hi=12):
     return list(itertools.product(*axes))
 
 
-def score_shifts(engine_factory, model, images_u8, labels, shifts,
+def score_shifts(engine, images_u8, labels, shifts,
                  head_epochs=300, seed=0):
-    """Accuracy of a quick-fit head on features produced with ``shifts``."""
+    """Accuracy of a quick-fit head on features produced with ``shifts``.
+
+    Uses ``engine.set_shifts`` — the runtime shift register — so the whole
+    grid runs on ONE engine with zero recompiles (the knob the reference
+    exposes as an AXI register, ``pynq_inference.py:226-229``)."""
     from tpu_cnn.apps.retrain_classifier import train_linear_classifier
 
-    model.shifts = np.asarray(shifts, np.int32)
-    engine = engine_factory(model)
+    engine.set_shifts(*shifts)
     feats = engine.run_batch(images_u8)
     pooled = bin_pool_np(feats)
 
@@ -59,19 +65,30 @@ def score_shifts(engine_factory, model, images_u8, labels, shifts,
 
 
 def tune(model: FpgaCNN, mode: str = "cpu", n_per_class: int = 40,
-         radius: int = 1, head_epochs: int = 300, verbose: bool = True):
+         radius: int = 1, head_epochs: int = 300, verbose: bool = True,
+         image_dir: str | None = None):
+    """Sweep the shift grid. ``image_dir`` points at a ``*_class<C>.bin``
+    folder (e.g. the real-photo set ``artifacts/realphoto/train_bins``) to
+    tune on real data; default is the synthetic-shapes set."""
     from tpu_cnn.apps.infer import make_engine
-    from tpu_cnn.train.data import SyntheticShapes
 
-    ds = SyntheticShapes(n_per_class=n_per_class, seed=31,
-                         img_size=model.config.img_size)
+    if image_dir:
+        from tpu_cnn.train.data import BinFolderDataset
+
+        ds = BinFolderDataset(image_dir, img_size=model.config.img_size,
+                              max_per_class=n_per_class)
+    else:
+        from tpu_cnn.train.data import SyntheticShapes
+
+        ds = SyntheticShapes(n_per_class=n_per_class, seed=31,
+                             img_size=model.config.img_size)
     imgs, labels = ds.arrays()
     u8 = np.round(imgs * 255).astype(np.uint8)
 
-    factory = lambda m: make_engine(m, mode)
+    engine = make_engine(model, mode)
     results = []
     for cand in candidate_grid(tuple(model.shifts.tolist()), radius):
-        acc, stats = score_shifts(factory, model, u8, labels, cand,
+        acc, stats = score_shifts(engine, u8, labels, cand,
                                   head_epochs=head_epochs)
         results.append((cand, acc, stats))
         if verbose:
@@ -93,6 +110,10 @@ def main(argv=None):
     p.add_argument("--radius", type=int, default=1)
     p.add_argument("--n-per-class", type=int, default=40)
     p.add_argument("--head-epochs", type=int, default=300)
+    p.add_argument("--image-dir", default=None,
+                   help="tune on a *_class<C>.bin folder (e.g. the "
+                        "real-photo set artifacts/realphoto/train_bins) "
+                        "instead of synthetic shapes")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -106,7 +127,8 @@ def main(argv=None):
     print("=" * 60)
     model = load_model(args.artifacts, args.variant)
     tune(model, mode=args.mode, n_per_class=args.n_per_class,
-         radius=args.radius, head_epochs=args.head_epochs)
+         radius=args.radius, head_epochs=args.head_epochs,
+         image_dir=args.image_dir)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,11 @@ class CPURefEngine:
     def backend(self) -> str:
         return "native-c++" if self._native is not None else "numpy"
 
+    def set_shifts(self, *shifts: int) -> None:
+        """Runtime shift update — same register semantics as
+        TPUEngine.set_shifts (reference ``pynq_inference.py:226-229``)."""
+        self.shifts = [int(s) for s in shifts]
+
     def run(self, gray128: np.ndarray):
         t0 = time.perf_counter()
         img = np.asarray(gray128, dtype=np.uint8).reshape(-1)
