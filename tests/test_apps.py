@@ -304,6 +304,38 @@ def test_tune_shifts_smoke(artifact_dir):
     assert best2 == (2, 4, 6) and len(results2) == 1
 
 
+def test_bundle_persisted_shifts(tmp_path, stock_kernels):
+    """shifts.json round-trips through save/load_bundle, load_model picks
+    it up by default, and an explicit shifts argument still overrides."""
+    import json
+
+    from tpu_cnn.apps.common import load_model
+
+    rs = np.random.RandomState(3)
+    bundle = art.ArtifactBundle(
+        kernels=stock_kernels,
+        fc_weight=rs.randn(6, 1024).astype(np.float32) * 0.05,
+        fc_bias=np.zeros(6, np.float32),
+        class_names=list(CLASS_NAMES),
+        shifts=[1, 5, 7],
+    )
+    art.save_bundle(tmp_path, bundle)
+    with open(tmp_path / "shifts.json") as f:
+        assert json.load(f) == [1, 5, 7]
+    loaded = art.load_bundle(tmp_path)
+    assert loaded.shifts == [1, 5, 7]
+
+    m = load_model(str(tmp_path))
+    assert list(m.shifts) == [1, 5, 7]
+    m2 = load_model(str(tmp_path), shifts=[2, 4, 6])
+    assert list(m2.shifts) == [2, 4, 6]
+    # wrong-length shifts.json is ignored (variant mismatch safety)
+    with open(tmp_path / "shifts.json", "w") as f:
+        json.dump([1, 2], f)
+    m3 = load_model(str(tmp_path))
+    assert list(m3.shifts) == [2, 4, 6]
+
+
 def test_image_decode_paths(tmp_path):
     """PIL decode branches: load_image_any on .png, serve.decode_image on
     encoded bytes, infer CLI on a non-.bin image."""

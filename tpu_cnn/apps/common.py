@@ -31,11 +31,19 @@ def load_model(
     from tpu_cnn.models.registry import default_shifts, get_config
 
     config = get_config(variant)
-    if shifts is None:
-        shifts = (list(DEFAULT_SHIFTS) if variant == "lyr3-std"
-                  else default_shifts(config))
     bundle = art.load_bundle(artifacts_dir, prefix=head_prefix,
                              layer_configs=config.layer_configs)
+    if shifts is None:
+        # priority: explicit CLI --shifts > the bundle's persisted tuned
+        # shifts (shifts.json, written by tune_shifts --save — the head
+        # ships with the register setting it was trained at) > the
+        # variant's default ladder
+        if (bundle.shifts is not None
+                and len(bundle.shifts) == len(config.layer_configs)):
+            shifts = list(bundle.shifts)
+        else:
+            shifts = (list(DEFAULT_SHIFTS) if variant == "lyr3-std"
+                      else default_shifts(config))
     return FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
                    bundle.class_names, shifts=shifts, config=config,
                    bbox_weight=bundle.bbox_weight)

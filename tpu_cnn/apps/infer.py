@@ -23,7 +23,7 @@ import numpy as np
 
 from tpu_cnn.head import cam as cam_host
 from tpu_cnn.head import classify as classify_host
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, FpgaCNN
+from tpu_cnn.models.cnn import FpgaCNN
 from tpu_cnn.utils import artifacts as art
 
 
@@ -127,7 +127,9 @@ def main(argv=None):
     p.add_argument("--image-dir", default=None, help="directory of test_image_*.bin")
     p.add_argument("--mode", default="auto", choices=["auto", "xla", "pallas", "hybrid", "mega", "mesh", "cpu"])
     p.add_argument("--no-save", action="store_true")
-    p.add_argument("--shifts", default=",".join(map(str, DEFAULT_SHIFTS)))
+    p.add_argument("--shifts", default=None,
+                   help="comma list, one per layer (default: the bundle's "
+                        "shifts.json if present, else the variant ladder)")
     p.add_argument("--dump-features", action="store_true")
     p.add_argument("--variant", default="lyr3-std",
                    help="model geometry from models.registry")
@@ -139,23 +141,16 @@ def main(argv=None):
 
     args.artifacts = args.artifacts or default_artifacts()
 
-    from tpu_cnn.models.registry import default_shifts, get_config
-
-    config = get_config(args.variant)
-    if args.shifts == ",".join(map(str, DEFAULT_SHIFTS)) and args.variant != "lyr3-std":
-        shifts = default_shifts(config)
-    else:
-        shifts = [int(s) for s in args.shifts.split(",")]
-    assert len(shifts) == len(config.layer_configs)
+    shifts = ([int(s) for s in args.shifts.split(",")]
+              if args.shifts is not None else None)
 
     print("=" * 60)
     print("  TPU CNN — INFERENCE")
     print("=" * 60)
-    bundle = art.load_bundle(args.artifacts, prefix=args.head_prefix,
-                             layer_configs=config.layer_configs)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=shifts, config=config,
-                    bbox_weight=bundle.bbox_weight)
+    from tpu_cnn.apps.common import load_model
+
+    model = load_model(args.artifacts, args.variant, args.head_prefix,
+                       shifts=shifts)
     if args.box == "reg" and model.bbox_weight is None:
         p.error("--box reg needs bbox_weight.npy in the bundle "
                 "(train one: python -m tpu_cnn.apps.train_bbox)")

@@ -114,6 +114,11 @@ def main(argv=None):
                    help="tune on a *_class<C>.bin folder (e.g. the "
                         "real-photo set artifacts/realphoto/train_bins) "
                         "instead of synthetic shapes")
+    p.add_argument("--save", action="store_true",
+                   help="persist the best shifts to <artifacts>/shifts.json "
+                        "— every CLI then defaults to them. Re-run the "
+                        "dump->retrain loop at these shifts so the shipped "
+                        "head matches.")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -126,9 +131,19 @@ def main(argv=None):
     print("  RELU SHIFT AUTO-TUNING")
     print("=" * 60)
     model = load_model(args.artifacts, args.variant)
-    tune(model, mode=args.mode, n_per_class=args.n_per_class,
-         radius=args.radius, head_epochs=args.head_epochs,
-         image_dir=args.image_dir)
+    best, _ = tune(model, mode=args.mode, n_per_class=args.n_per_class,
+                   radius=args.radius, head_epochs=args.head_epochs,
+                   image_dir=args.image_dir)
+    if args.save:
+        import json
+        import os
+
+        path = os.path.join(args.artifacts, "shifts.json")
+        with open(path, "w") as f:
+            json.dump([int(s) for s in best], f)
+        print(f"\n  saved {path} — re-run dump_features + "
+              f"retrain_classifier at these shifts so the bundle head "
+              f"matches")
 
 
 if __name__ == "__main__":

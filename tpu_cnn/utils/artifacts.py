@@ -31,6 +31,11 @@ class ArtifactBundle:
     # optional learned box-regression head (D+1, 4) f32, last row = bias —
     # beyond-reference: produced by apps.train_bbox, consumed by --box reg
     bbox_weight: np.ndarray | None = None
+    # optional per-layer ReLU shifts the bundle's head was trained at
+    # (apps.tune_shifts --save). The runtime register analogue of the
+    # reference baking 2/4/6 into its scripts: CLI --shifts overrides,
+    # absent file falls back to the variant's default ladder.
+    shifts: list[int] | None = None
 
 
 WEIGHTS_BIN = "weights.bin"
@@ -38,6 +43,7 @@ FC_WEIGHT = "fc_weight.npy"
 FC_BIAS = "fc_bias.npy"
 CLASSES = "classes.json"
 BBOX_WEIGHT = "bbox_weight.npy"
+SHIFTS_JSON = "shifts.json"
 
 
 def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
@@ -69,7 +75,13 @@ def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
         np.load(bbox_path).astype(np.float32)
         if os.path.exists(bbox_path) else None
     )
-    return ArtifactBundle(kernels, fc_w, fc_b, class_names, bbox_weight=bbox_w)
+    shifts_path = os.path.join(d, SHIFTS_JSON)
+    shifts = None
+    if os.path.exists(shifts_path):
+        with open(shifts_path) as f:
+            shifts = [int(s) for s in json.load(f)]
+    return ArtifactBundle(kernels, fc_w, fc_b, class_names,
+                          bbox_weight=bbox_w, shifts=shifts)
 
 
 def save_bundle(
@@ -85,6 +97,9 @@ def save_bundle(
     if bundle.bbox_weight is not None:
         np.save(os.path.join(d, prefix + BBOX_WEIGHT),
                 bundle.bbox_weight.astype(np.float32))
+    if bundle.shifts is not None:
+        with open(os.path.join(d, SHIFTS_JSON), "w") as f:
+            json.dump([int(s) for s in bundle.shifts], f)
     with open(os.path.join(d, CLASSES), "w") as f:
         json.dump(list(bundle.class_names), f)
 
