@@ -360,6 +360,17 @@ def test_image_decode_paths(tmp_path):
     raw = decode_image(arr[:128, :128].tobytes())
     np.testing.assert_array_equal(raw, arr[:128, :128])
 
+    # encoded COLOR images go through the same cv2-exact preprocess twin as
+    # the camera pipeline (not PIL's convert("L")+resize)
+    from tpu_cnn.apps.realtime import preprocess as host_preprocess
+
+    rgb = rs.randint(0, 256, (192, 256, 3), dtype=np.uint8)
+    png_c = str(tmp_path / "c.png")
+    Image.fromarray(rgb).save(png_c)
+    with open(png_c, "rb") as f:
+        got = decode_image(f.read())
+    np.testing.assert_array_equal(got, host_preprocess(rgb[..., ::-1], 128))
+
 
 def test_infer_cli_png(artifact_dir, tmp_path, capsys):
     from PIL import Image

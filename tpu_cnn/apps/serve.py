@@ -10,7 +10,9 @@ same async device pipeline as bench.py; latency is bounded by
 
 Endpoints:
   POST /detect        body: 16384 raw bytes (128x128 uint8) or any
-                      PIL-decodable image; returns JSON
+                      PIL-decodable image (preprocessed with the same
+                      center-crop/BT.601/area-resize as the camera
+                      pipeline); returns JSON
                       {pred, name, conf, probs, bbox}
   GET  /healthz       liveness + engine backend
   GET  /stats         request/batch counters and latency EMA
@@ -175,8 +177,15 @@ def decode_image(body: bytes, img_size: int = IMG_SIZE) -> np.ndarray:
         return np.frombuffer(body, np.uint8).reshape(img_size, img_size).copy()
     from PIL import Image
 
-    img = Image.open(io.BytesIO(body)).convert("L").resize((img_size, img_size))
-    return np.asarray(img, np.uint8)
+    from tpu_cnn.apps.realtime import preprocess as host_preprocess
+
+    # Decode, then run the SAME preprocess as every other ingest path
+    # (center-crop, cv2-exact BT.601 luma, area/nearest resize) — PIL's
+    # convert("L")+resize uses different luma rounding and interpolation,
+    # which would make the service classify differently from the camera
+    # pipeline on identical pixels.
+    img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"), np.uint8)
+    return host_preprocess(img[..., ::-1], img_size)  # twin expects BGR
 
 
 # Reject request bodies above this size before reading them: the server
