@@ -94,3 +94,35 @@ def test_fuzz_extreme_shifts(stock_kernels, ramp_image):
         )
     )[0]
     np.testing.assert_array_equal(got_hot, hot)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_preprocess_resolutions(seed):
+    """Device preprocess vs the host numpy twin across random camera
+    resolutions — divisible (area) path, nearest path, and upsampling —
+    for all three ingest layouts (3-ch u8, 4-ch u8, packed u32)."""
+    from tpu_cnn.apps.realtime import preprocess as np_pp
+    from tpu_cnn.ops.luma import pack_bgrx
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    rs = np.random.RandomState(400 + seed)
+    h = int(rs.randint(60, 700))
+    w = int(rs.randint(60, 700))
+    f3 = rs.randint(0, 256, size=(2, h, w, 3)).astype(np.uint8)
+    got = np.asarray(preprocess_frames(jnp.asarray(f3), 128))
+
+    s = min(h, w)
+    tol = 0 if s % 128 else 1  # area path: exact ints; twin uses float mean
+    for b in range(2):
+        want = np_pp(f3[b], 128)
+        assert np.abs(got[b].astype(int) - want.astype(int)).max() <= tol
+
+    # packed/4-channel layouts agree bit-exactly with the 3-channel path
+    pad = rs.randint(0, 256, size=(2, h, w, 1)).astype(np.uint8)
+    f4 = np.concatenate([f3, pad], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(preprocess_frames(jnp.asarray(f4), 128)), got
+    )
+    np.testing.assert_array_equal(
+        np.asarray(preprocess_frames(jnp.asarray(pack_bgrx(f4)), 128)), got
+    )
