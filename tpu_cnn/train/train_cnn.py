@@ -313,7 +313,10 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     )
 
     q_kernels, scale = quantized_kernels(params, cfg)
-    bundle = art.ArtifactBundle(q_kernels, fc_w, fc_b, class_names)
+    # persist the training shifts: the QAT features (and so the exported
+    # head) are only valid at the register setting they were trained at
+    bundle = art.ArtifactBundle(q_kernels, fc_w, fc_b, class_names,
+                                shifts=[int(s) for s in cfg.shifts])
     art.save_bundle(out_dir, bundle)
     n_exp = export_test_images(imgs_v, labels_v, out_dir,
                                num_per_class=10, num_classes=cfg.num_classes)
@@ -350,6 +353,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--variant", default="lyr3-std",
                    help="model variant from models.registry (geometry)")
+    p.add_argument("--shifts", default=None,
+                   help="comma list of per-layer ReLU shifts to train the "
+                        "QAT phase at (default: the variant ladder). "
+                        "Exported to the bundle's shifts.json.")
     p.add_argument("--mesh", default=None, metavar="DxM",
                    help="train over a device mesh: 'DATAxMODEL' device "
                         "counts (e.g. '4x2': batch sharded over 4, conv "
@@ -361,9 +368,13 @@ def main(argv=None):
     from tpu_cnn.models.registry import default_shifts, get_config
 
     vcfg = get_config(args.variant)
+    train_shifts = (tuple(int(s) for s in args.shifts.split(","))
+                    if args.shifts else tuple(default_shifts(vcfg)))
+    if len(train_shifts) != len(vcfg.layer_configs):
+        p.error(f"--shifts needs {len(vcfg.layer_configs)} values")
     cfg = TrainConfig(
         layer_configs=vcfg.layer_configs,
-        shifts=tuple(default_shifts(vcfg)),
+        shifts=train_shifts,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
     )
     from tpu_cnn.train import data as D
