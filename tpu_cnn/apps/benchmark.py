@@ -17,8 +17,7 @@ import time
 
 import numpy as np
 
-from tpu_cnn.models.cnn import DEFAULT_SHIFTS, LAYER_CONFIGS, FpgaCNN
-from tpu_cnn.utils import artifacts as art
+from tpu_cnn.models.cnn import LAYER_CONFIGS, FpgaCNN
 
 FPGA_FPS = 22.0  # reference README.md:11
 FPGA_CONV_MS = 6.8  # reference README.md:12
@@ -213,9 +212,12 @@ def main(argv=None):
     print("=" * 64)
     print("  TPU CNN BENCHMARK")
     print("=" * 64)
-    bundle = art.load_bundle(args.artifacts)
-    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
-                    bundle.class_names, shifts=DEFAULT_SHIFTS)
+    from tpu_cnn.apps.common import load_model
+
+    # shared loader: honours the bundle's persisted shifts.json — the
+    # correctness side of this benchmark must classify with the shifts
+    # the shipped head was trained at
+    model = load_model(args.artifacts)
 
     total_macs = macs_per_image()
     for i, (ic, oc, size) in enumerate(LAYER_CONFIGS):
@@ -250,9 +252,10 @@ def main(argv=None):
 
     if args.camera_pipeline:
         cam_w, cam_h = (int(v) for v in args.cam_res.split("x"))
-        # default to the production backend unless modes were given
-        mode = ("auto" if args.modes == p.get_default("modes")
-                else args.modes.split(",")[0].strip())
+        mode = args.modes.split(",")[0].strip()
+        if mode not in ("auto", "mega", "hybrid", "pallas", "xla"):
+            p.error(f"--camera-pipeline runs on a TPUEngine backend "
+                    f"(auto/mega/hybrid/pallas/xla), not {mode!r}")
         from tpu_cnn.utils.profiling import jax_trace
 
         with jax_trace(args.trace_dir):

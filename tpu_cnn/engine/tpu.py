@@ -119,14 +119,19 @@ class TPUEngine:
     def _mega_fits(self) -> bool:
         from tpu_cnn.ops import pallas_poly
 
-        # Budget the EXACT kernel configuration _make_detect will request:
-        # the f32 feature twin (CAM box modes) is an extra double-buffered
-        # output block the VMEM model must count.
+        # Budget BOTH kernel configurations this engine can launch: the
+        # features path (_make_forward: u8 output only) and the detect
+        # path (_make_detect: bins + f32 twin + u8 feats in CAM modes;
+        # bins alone in reg mode). One backend serves both, so it must
+        # fit the larger working set.
+        cfgs = self.model.config.layer_configs
         with_bins = self.model.head_mode == "bins"
-        return pallas_poly.polyphase_supported(
-            self.model.config.layer_configs,
-            with_bins=with_bins,
-            with_f32=with_bins and self.box_mode != "reg",
+        with_f32 = with_bins and self.box_mode != "reg"
+        return pallas_poly.polyphase_supported(cfgs, with_bins=False) and (
+            pallas_poly.polyphase_supported(
+                cfgs, with_bins=with_bins, with_f32=with_f32,
+                with_feats=with_f32,
+            )
         )
 
     def _features_fn(self):

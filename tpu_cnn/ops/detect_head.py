@@ -151,11 +151,15 @@ def cam_bbox_f32(
 
 
 def _percentile_topk(x: jax.Array, q_pct: float) -> jax.Array:
-    """Exact ``np.percentile(x, q_pct, axis=-1)`` (linear interpolation) via
-    the two order statistics it needs, from ``lax.top_k`` instead of a full
-    sort. For the CAM's (B, 256) rows on TPU this is measurably cheaper than
-    ``jnp.percentile``'s sort (+2.7% end-to-end, scripts/probe_percentile.py)
-    and bit-identical: same two elements, same interpolation arithmetic."""
+    """Linear-interpolated percentile via the two order statistics it needs,
+    from ``lax.top_k`` instead of a full sort. For the CAM's (B, 256) rows
+    on TPU this is measurably cheaper than ``jnp.percentile`` (+2.7%
+    end-to-end, scripts/probe_percentile.py) and uses the SAME lerp
+    ``a + (b - a)·frac`` as the jnp.percentile call it replaced — device
+    behaviour is unchanged. Note np.percentile (the host twin) computes the
+    other lerp branch ``b - (b - a)·(1 - frac)`` when frac >= 0.5, so
+    device-vs-host thresholds can differ by 1 ulp in ties — true BEFORE
+    this change too; bench.py's gate asserts box equality on the gate set."""
     n = x.shape[-1]
     q = q_pct / 100.0 * (n - 1)
     lo, hi = math.floor(q), math.ceil(q)

@@ -203,13 +203,18 @@ class MeshEngine:
         if backend == "auto":
             from tpu_cnn.ops import pallas_poly
 
+            # budget both per-shard paths (features: u8 out only; detect:
+            # the exact sharded_detect_mega configuration) — same rule as
+            # TPUEngine._mega_fits
+            cfgs = model.config.layer_configs
+            with_bins = model.head_mode == "bins"
+            with_f32 = with_bins and box_mode != "reg"
             backend = (
                 "mega"
-                if pallas_poly.polyphase_supported(
-                    model.config.layer_configs,
-                    with_bins=model.head_mode == "bins",
-                    with_f32=model.head_mode == "bins" and box_mode != "reg",
-                )
+                if (pallas_poly.polyphase_supported(cfgs, with_bins=False)
+                    and pallas_poly.polyphase_supported(
+                        cfgs, with_bins=with_bins, with_f32=with_f32,
+                        with_feats=with_f32))
                 else "xla"
             )
         fc_w = jnp.asarray(model.fc_weight)

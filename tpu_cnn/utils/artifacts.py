@@ -75,7 +75,9 @@ def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
         np.load(bbox_path).astype(np.float32)
         if os.path.exists(bbox_path) else None
     )
-    shifts_path = os.path.join(d, SHIFTS_JSON)
+    # prefix-scoped like every other per-head artifact: a bundle holding
+    # several heads (--head-prefix) keeps each head's training shifts
+    shifts_path = os.path.join(d, prefix + SHIFTS_JSON)
     shifts = None
     if os.path.exists(shifts_path):
         with open(shifts_path) as f:
@@ -98,7 +100,7 @@ def save_bundle(
         np.save(os.path.join(d, prefix + BBOX_WEIGHT),
                 bundle.bbox_weight.astype(np.float32))
     if bundle.shifts is not None:
-        with open(os.path.join(d, SHIFTS_JSON), "w") as f:
+        with open(os.path.join(d, prefix + SHIFTS_JSON), "w") as f:
             json.dump([int(s) for s in bundle.shifts], f)
     with open(os.path.join(d, CLASSES), "w") as f:
         json.dump(list(bundle.class_names), f)
