@@ -150,3 +150,23 @@ def test_variant_megakernel(name, rng):
         np.testing.assert_array_equal(
             got[b], numpy_cnn_forward(imgs[b], kernels, shifts=shifts)
         )
+
+
+def test_mega_fits_budgets_both_engine_paths(rng):
+    """TPUEngine._mega_fits must budget both the features config and the
+    exact detect config (with_feats follows with_f32): the stock geometry
+    fits in every box mode, lyr4-wide fits in none (tap scratches alone
+    blow VMEM), and the gate result drives the auto/hybrid fallback."""
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    for name, want in (("lyr3-std", True), ("lyr4-wide", False)):
+        cfg = get_config(name)
+        kernels = make_kernels(cfg, rng)
+        fc_w = rng.randn(6, cfg.feature_dim_bins).astype(np.float32) * 0.05
+        bbox_w = rng.randn(cfg.feature_dim_bins + 1, 4).astype(np.float32)
+        model = FpgaCNN(kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES,
+                        shifts=default_shifts(cfg), config=cfg,
+                        bbox_weight=bbox_w)
+        for box_mode in ("ref", "reg"):
+            eng = TPUEngine(model, backend="xla", box_mode=box_mode)
+            assert eng._mega_fits() is want, (name, box_mode)
