@@ -35,7 +35,9 @@ def main():
         return pred, conf, bbox
 
     rs = np.random.RandomState(0)
-    for batch in (1024, 1536, 2048):
+    # full sweep (the bench.py batch choice cites this script); narrow to
+    # e.g. (1024, 1536, 2048) for a quick re-check around the optimum
+    for batch in (256, 512, 1024, 1536, 2048, 4096, 8192):
         n_pools = 4 if batch <= 4096 else 2
         pools = [
             jnp.asarray(rs.randint(0, 256, (batch, 128, 128), dtype=np.uint8))

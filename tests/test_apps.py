@@ -144,6 +144,25 @@ def test_realtime_fused_falls_back_on_host_engine(artifact_dir, capsys):
     assert "Done. 2 frames." in out
 
 
+def test_overlay_burns_text_into_pixels():
+    """The MJPEG viewer must see class/conf/FPS/stage-ms IN the frame
+    (reference ``realtime_detect.py:490-514``), not only on the console:
+    the overlay's text regions must perturb a uniform background."""
+    from tpu_cnn.apps.realtime import draw_overlay
+
+    frame = np.full((480, 640, 3), 90, np.uint8)
+    probs = np.asarray([0.7, 0.1, 0.05, 0.05, 0.05, 0.05], np.float32)
+    names = ["airplane", "cat", "zebra", "bus", "bicycle", "donut"]
+    draw_overlay(frame, 0, "airplane", 0.7, probs, (30, 40, 90, 100),
+                 123.4, 1.23, 0.45, "TPUEngine:mega", names)
+    # header block (label+conf / FPS+stage-ms / engine line)
+    hdr = frame[4:50, 8:260]
+    assert (hdr != 90).any(axis=2).sum() > 200
+    # class-name labels burned beside the probability bars
+    lbl = frame[8:96, 640 - 176 : 640 - 120]
+    assert (lbl != 90).any(axis=2).sum() > 100
+
+
 def test_realtime_mjpeg_stream_endpoints():
     """Drive the MJPEG server end-to-end: index page + one multipart frame
     delivered through a real socket (publisher/subscriber wakeup path)."""
@@ -302,6 +321,34 @@ def test_tune_shifts_smoke(artifact_dir):
                            head_epochs=50, verbose=False,
                            image_dir=artifact_dir)
     assert best2 == (2, 4, 6) and len(results2) == 1
+
+
+def test_tune_restores_best_shifts(artifact_dir, monkeypatch):
+    """After the sweep the engine/model sit at the BEST candidate, not the
+    last one visited (a caller reusing the model would otherwise silently
+    run at arbitrary shifts)."""
+    import tpu_cnn.apps.tune_shifts as ts
+    from tpu_cnn.models.cnn import FpgaCNN
+
+    bundle = art.load_bundle(artifact_dir)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    CLASS_NAMES)
+    # fixed grid + scripted scores: the winner is deliberately NOT the last
+    # candidate the sweep visits
+    monkeypatch.setattr(ts, "candidate_grid",
+                        lambda *a, **k: [(2, 4, 6), (3, 5, 7)])
+    scores = {(2, 4, 6): 0.9, (3, 5, 7): 0.1}
+    monkeypatch.setattr(
+        ts, "score_shifts",
+        lambda engine, imgs, labels, cand, **k: (
+            engine.set_shifts(*cand) or (scores[cand], {"saturated": 0.0,
+                                                        "dead": 0.0})
+        ),
+    )
+    best, _ = ts.tune(model, mode="cpu", n_per_class=4, head_epochs=50,
+                      verbose=False)
+    assert best == (2, 4, 6)
+    assert tuple(model.shifts.tolist()) == best
 
 
 def test_bundle_persisted_shifts(tmp_path, stock_kernels):

@@ -151,6 +151,20 @@ def test_run_batch_pooled_matches_host(bins_model, images):
     np.testing.assert_allclose(pooled, want, rtol=1e-6, atol=1e-6)
 
 
+def test_run_batch_pooled_mega_fused_bins(bins_model, images):
+    """On the mega backend the pooled fetch rides the kernel's fused-bins
+    epilogue (with_bins=True, features never materialised) and matches the
+    host twin within the /16/255 fold's 1-ulp rounding."""
+    from tpu_cnn.head.classify import bin_pool_np
+
+    eng = TPUEngine(bins_model, backend="mega")
+    pooled = eng.run_batch_pooled(images)
+    feats = eng.run_batch(images)
+    want = bin_pool_np(feats)
+    assert pooled.shape == (5, 1024)
+    np.testing.assert_allclose(pooled, want, atol=1e-5)
+
+
 def test_centroid_bbox_matches_host(bins_model, images):
     """Device centroid-profile box == host twin (f32 reduction-order may
     shift a floor by one pixel; allow 1 px)."""

@@ -258,9 +258,27 @@ def preprocess(frame: np.ndarray, out_size: int = IMG_SIZE) -> np.ndarray:
     return small.astype(np.uint8)
 
 
+def _burn_texts(frame: np.ndarray, texts) -> None:
+    """Burn text into the frame with PIL's bitmap font — one PIL round-trip
+    for all strings, no cv2 dependency. ``texts``: [(x, y, str, color)].
+    Channel order is preserved (colors are given in the frame's own order)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(frame)
+    d = ImageDraw.Draw(img)
+    for x, y, s, color in texts:
+        d.text((x + 1, y + 1), s, fill=(0, 0, 0))  # drop shadow
+        d.text((x, y), s, fill=tuple(int(v) for v in color))
+    frame[:] = np.asarray(img)
+
+
 def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
                  mode, names, img_size: int = IMG_SIZE):
-    """In-place overlay: bbox rectangle + header + probability bars."""
+    """In-place overlay: bbox rectangle + header text + probability bars.
+
+    The text surface matches the reference's viewer: class name, confidence,
+    FPS, and per-stage ms are rendered into the pixels
+    (``software/realtime_detect.py:490-514``), not just the console line."""
     h, w = frame.shape[:2]
     # undo the center-crop: offsets mirror preprocess() for both landscape
     # (horizontal crop) and portrait (vertical crop) frames
@@ -283,6 +301,21 @@ def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
         fill = int(p * bw)
         if fill > 0:
             frame[y : y + bh, w - bw - 10 : w - bw - 10 + fill] = COLORS[i % len(COLORS)]
+    # burned-in text: label+conf at the box, FPS / stage-ms / engine header,
+    # class names beside their bars (realtime_detect.py:490-514 parity)
+    texts = [
+        (10, 6, f"{name} {conf * 100:.0f}%", c),
+        (10, 22, f"{fps:5.1f} FPS  conv {conv_ms:.2f} ms  "
+                 f"read {read_ms:.2f} ms", (255, 255, 255)),
+        (10, 38, str(mode), (180, 180, 180)),
+        (min(max(x1, 0) + 4, w - 60), min(max(y1, 0) + 4, h - 14),
+         f"{name} {conf * 100:.0f}%", c),
+    ]
+    for i, nm in enumerate(names):
+        y = 10 + i * (bh + 4)
+        texts.append((w - bw - 66, y, f"{str(nm)[:9]}",
+                      COLORS[i % len(COLORS)]))
+    _burn_texts(frame, texts)
     return frame
 
 

@@ -97,6 +97,10 @@ def tune(model: FpgaCNN, mode: str = "cpu", n_per_class: int = 40,
                   f"dead {stats['dead'] * 100:4.1f}%", flush=True)
     results.sort(key=lambda r: -r[1])
     best = results[0]
+    # leave the engine (and the model's shift register, which set_shifts
+    # mutates) at the BEST candidate, not whatever the grid visited last —
+    # callers reuse the model/engine after tuning
+    engine.set_shifts(*best[0])
     if verbose:
         print(f"\n  BEST: shifts {best[0]} at {best[1] * 100:.1f}% val accuracy")
     return best[0], results
@@ -119,6 +123,10 @@ def main(argv=None):
                         "— every CLI then defaults to them. Re-run the "
                         "dump->retrain loop at these shifts so the shipped "
                         "head matches.")
+    p.add_argument("--head-prefix", default="",
+                   help="head-artifact prefix (e.g. arm_); --save writes "
+                        "<prefix>shifts.json so the tuned shifts stay scoped "
+                        "to the head they were tuned for")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -130,7 +138,7 @@ def main(argv=None):
     print("=" * 60)
     print("  RELU SHIFT AUTO-TUNING")
     print("=" * 60)
-    model = load_model(args.artifacts, args.variant)
+    model = load_model(args.artifacts, args.variant, args.head_prefix)
     best, _ = tune(model, mode=args.mode, n_per_class=args.n_per_class,
                    radius=args.radius, head_epochs=args.head_epochs,
                    image_dir=args.image_dir)
@@ -138,7 +146,7 @@ def main(argv=None):
         import json
         import os
 
-        path = os.path.join(args.artifacts, "shifts.json")
+        path = os.path.join(args.artifacts, args.head_prefix + art.SHIFTS_JSON)
         with open(path, "w") as f:
             json.dump([int(s) for s in best], f)
         print(f"\n  saved {path} — re-run dump_features + "

@@ -120,6 +120,87 @@ def build_backends(kernels, shifts, names, img_size: int = 128):
     return backends
 
 
+def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
+                img_size, want_feats, use_mega):
+    """Fused-head verify stage: the PRODUCTION on-device head (classifier +
+    CAM box, with the bin pooling fused into the megakernel epilogue when
+    the geometry supports it) vs the host numpy twins. The reference's
+    golden compare runs against the real DUT (``sim/top/tb.v:635-712``);
+    this stage makes the canonical verify command exercise the head path
+    that actually ships, not just the feature backends."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_cnn.head.cam import cam_bbox_fast
+    from tpu_cnn.head.classify import bin_pool_np, classify_np
+    from tpu_cnn.ops import detect_head
+
+    kj = [jnp.asarray(k) for k in kernels]
+    sj = jnp.asarray(list(shifts), jnp.int32)
+    fc_w = jnp.asarray(fc_weight)
+    fc_b = jnp.asarray(fc_bias)
+
+    if use_mega:
+        from tpu_cnn.ops import pallas_poly
+
+        @jax.jit
+        def head_fn(images):
+            feats, pooled, f32 = pallas_poly.cnn_forward_polyphase_pallas(
+                images, kj, sj, with_bins=True, with_f32=True
+            )
+            return (pooled,) + detect_head.detect_with_pooled(
+                feats, pooled, fc_w, fc_b, img_size, features_f32=f32
+            )
+
+        label = "mega(+fused bins)"
+    else:
+        from tpu_cnn.ops import quant
+
+        @jax.jit
+        def head_fn(images):
+            feats = quant.cnn_forward(images, kj, sj)
+            pooled = detect_head.bin_pool(feats)
+            return (pooled,) + detect_head.detect(
+                feats, fc_w, fc_b, "bins", img_size
+            )
+
+        label = "xla"
+    pooled, pred, conf, probs, bbox = (
+        np.asarray(a) for a in head_fn(jnp.asarray(batch))
+    )
+
+    widx, wconf, wprobs = classify_np(want_feats, fc_weight, fc_bias)
+    want_pooled = bin_pool_np(want_feats)
+    want_bbox = np.stack([
+        cam_bbox_fast(want_feats[i], int(widx[i]), fc_weight, img_size)
+        for i in range(len(batch))
+    ])
+
+    ok = True
+    # fused bin sums are exact integers; /16/255 folding may differ by 1 ulp
+    checks = [
+        ("bin pooling", np.allclose(pooled, want_pooled, atol=1e-5)),
+        ("predictions", np.array_equal(pred, widx.astype(pred.dtype))),
+        ("probabilities", np.allclose(probs, wprobs, atol=1e-4)),
+        ("CAM bbox", np.array_equal(bbox, want_bbox.astype(bbox.dtype))),
+    ]
+    for name, good in checks:
+        if good:
+            print(f"  head[{label}] vs host twin {name:13s}: OK")
+        else:
+            ok = False
+            if name == "predictions":
+                bad = np.nonzero(pred != widx)[0]
+            elif name == "CAM bbox":
+                bad = np.nonzero((bbox != want_bbox).any(axis=1))[0]
+            else:
+                bad = np.asarray([], int)
+            names = [stim_names[i] for i in bad[:6]]
+            print(f"  head[{label}] vs host twin {name:13s}: MISMATCH "
+                  f"{('on ' + ', '.join(names)) if names else ''}")
+    return ok
+
+
 def compare(reference_name, outputs, stim_names):
     """Per-channel mismatch report; returns True if all pairs bit-identical."""
     ok = True
@@ -151,8 +232,14 @@ def main(argv=None):
     p.add_argument("--image-dir", default=None)
     p.add_argument("--images", type=int, default=4, help="random stimuli count")
     p.add_argument("--backends",
-                   default="numpy,native,xla-f32,xla-int32",
-                   help="comma list: numpy,native,xla-f32,xla-int32,pallas,hybrid,torch")
+                   default="numpy,native,xla-f32,xla-int32,pallas,hybrid,mega",
+                   help="comma list: numpy,native,xla-f32,xla-int32,pallas,"
+                        "hybrid,mega,torch. Default covers every production "
+                        "compute path (mega auto-skips where the VMEM model "
+                        "refuses the geometry).")
+    p.add_argument("--no-head", action="store_true",
+                   help="skip the fused-head verify stage (classify + CAM "
+                        "vs the host twins)")
     p.add_argument("--shifts", default=None)
     p.add_argument("--variant", default="lyr3-std",
                    help="model geometry from models.registry; non-stock "
@@ -202,6 +289,33 @@ def main(argv=None):
     print("-" * 64)
     ref = "numpy" if "numpy" in outputs else next(iter(outputs))
     ok = compare(ref, outputs, list(stims.keys()))
+
+    if not args.no_head:
+        # fused-head stage: the shipped bundle's bins head when its feature
+        # dim matches this geometry, else a seeded random bins head (head
+        # arithmetic parity, same idiom as the random kernels above)
+        oc_last = kernels[-1].shape[0]
+        fcw = fcb = None
+        if args.variant == "lyr3-std":
+            try:
+                from tpu_cnn.utils import artifacts as art
+                from tpu_cnn.utils.paths import default_artifacts
+
+                bundle = art.load_bundle(default_artifacts())
+                if bundle.fc_weight.shape[1] == oc_last * 16:
+                    fcw, fcb = bundle.fc_weight, bundle.fc_bias
+            except Exception:
+                pass
+        if fcw is None:
+            rs = np.random.RandomState(7)
+            fcw = (rs.randn(6, oc_last * 16) * 0.05).astype(np.float32)
+            fcb = np.zeros(6, np.float32)
+        print("-" * 64)
+        head_ok = verify_head(
+            kernels, shifts, fcw, fcb, batch, list(stims.keys()),
+            config.img_size, outputs[ref], use_mega="mega" in outputs,
+        )
+        ok = ok and head_ok
     print("=" * 64)
     if ok:
         print("  VERDICT: DESIGN IS BIT-ACCURATE across all backends")

@@ -327,7 +327,10 @@ class TPUEngine:
         The analogue of the reference's sub-sampled bin-center readout
         (``software/fast_readout.c:55-68``): when only pooled features are
         needed (classifier retraining, light-weight heads), pool on device
-        and transfer 16x less."""
+        and transfer 16x less. On the mega backend the pooling rides the
+        kernel's fused-bins epilogue (``with_bins=True``, u8 features
+        dropped) — the feature map is never materialised, same as the
+        production detect path."""
         images = np.asarray(images, np.uint8)
         dev, b = self._pad_batch(images)
         pooled = self._pooled(dev, self._shifts_dev)
@@ -337,12 +340,31 @@ class TPUEngine:
     @property
     def _pooled(self):
         if not hasattr(self, "_pooled_fn"):
-            features_fn = self._features_fn()
+            fuse_bins = self.backend == "mega"
+            if fuse_bins:
+                from tpu_cnn.ops import pallas_poly
 
-            @jax.jit
-            def pooled(images, shifts):
-                feats = features_fn(images, self._kernels_dev, shifts)
-                return detect_head.bin_pool(feats)
+                fuse_bins = pallas_poly.polyphase_supported(
+                    self.model.config.layer_configs,
+                    with_bins=True, with_feats=False,
+                )
+            if fuse_bins:
+
+                @jax.jit
+                def pooled(images, shifts):
+                    from tpu_cnn.ops import pallas_poly
+
+                    return pallas_poly.cnn_forward_polyphase_pallas(
+                        images, self._kernels_dev, shifts,
+                        with_bins=True, with_feats=False,
+                    )
+            else:
+                features_fn = self._features_fn()
+
+                @jax.jit
+                def pooled(images, shifts):
+                    feats = features_fn(images, self._kernels_dev, shifts)
+                    return detect_head.bin_pool(feats)
 
             self._pooled_fn = pooled
         return self._pooled_fn

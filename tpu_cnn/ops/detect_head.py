@@ -155,11 +155,15 @@ def _percentile_topk(x: jax.Array, q_pct: float) -> jax.Array:
     from ``lax.top_k`` instead of a full sort. For the CAM's (B, 256) rows
     on TPU this is measurably cheaper than ``jnp.percentile`` (+2.7%
     end-to-end, scripts/probe_percentile.py) and uses the SAME lerp
-    ``a + (b - a)·frac`` as the jnp.percentile call it replaced — device
-    behaviour is unchanged. Note np.percentile (the host twin) computes the
-    other lerp branch ``b - (b - a)·(1 - frac)`` when frac >= 0.5, so
-    device-vs-host thresholds can differ by 1 ulp in ties — true BEFORE
-    this change too; bench.py's gate asserts box equality on the gate set."""
+    ``a + (b - a)·frac`` as the jnp.percentile call it replaced. The
+    interpolation fraction here is host f64 (exactly 0.5 for a 256-element
+    row) while jnp.percentile derived it on device in f32 (~0.4999969), so
+    thresholds may differ by a few ulp from the old device path — in ties a
+    ``cam > thr`` comparison could flip. The equivalence to the HOST twin
+    (np.percentile, which this actually matches more closely) is
+    gate-verified, not bit-mathematical: bench.py's parity gate and the
+    ``-m tpu`` hardware lane assert box equality on real images for every
+    production geometry."""
     n = x.shape[-1]
     q = q_pct / 100.0 * (n - 1)
     lo, hi = math.floor(q), math.ceil(q)
