@@ -1,0 +1,150 @@
+"""Accuracy regression gates for the SHIPPED artifact bundles.
+
+Perf has a gate that exits 1 (bench.py); these tests are the same discipline
+for quality: load the bundles exactly as the CLIs do (``load_model`` — which
+honours each bundle's persisted shifts.json), run the CPU oracle engine, and
+assert accuracy/IoU floors. A silent artifact, codec, or shift regression
+(e.g. a corrupted fc_weight.npy or shifts.json) fails pytest instead of
+shipping. The reference's analogue is benchmarks-as-tests
+(``software/arm_benchmark.py:246-264``: a labelled-image classification
+check inside the benchmark).
+
+Measured values these floors guard (CPU oracle, 2026-08-17):
+  pretrained on its 109 test images ........ 86.2%   (floor 80%)
+  realphoto bundle-qat on 193 val_bins ..... 75.6%   (floor 72%)
+  synthetic eval accuracy (seed 123) ....... 76.7%   (floor 70%)
+  reg-box mean IoU (seed 123) .............. 0.705   (floor 0.65)
+  reference CAM-box mean IoU ............... 0.352   (floor 0.30)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PRETRAINED = os.path.join(REPO, "artifacts", "pretrained")
+REALPHOTO_BUNDLE = os.path.join(REPO, "artifacts", "realphoto", "bundle-qat")
+REALPHOTO_VAL = os.path.join(REPO, "artifacts", "realphoto", "val_bins")
+
+
+def _score_bundle(artifacts_dir: str, image_dir: str) -> float:
+    """Classification accuracy of the bundle over a test_image_*.bin folder,
+    via the CPU oracle engine + host head twins — the exact CLI loading path
+    (bundle shifts.json included)."""
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.head.classify import classify_np
+    from tpu_cnn.utils.artifacts import label_from_filename
+
+    model = load_model(artifacts_dir)
+    eng = make_engine(model, "cpu")
+    files = sorted(glob.glob(os.path.join(image_dir, "test_image_*.bin")))
+    assert files, f"no test images under {image_dir}"
+    imgs = np.stack(
+        [np.fromfile(p, np.uint8).reshape(128, 128) for p in files]
+    )
+    labels = np.asarray([label_from_filename(p) for p in files])
+    feats = eng.run_batch(imgs)
+    idx, _, _ = classify_np(feats, model.fc_weight, model.fc_bias)
+    return float((idx == labels).mean())
+
+
+def test_pretrained_bundle_accuracy_floor():
+    """The flagship bundle must keep scoring on its own shipped test images
+    (measured 86.2%)."""
+    acc = _score_bundle(PRETRAINED, PRETRAINED)
+    assert acc >= 0.80, f"shipped pretrained bundle regressed: {acc:.3f}"
+
+
+def test_realphoto_bundle_accuracy_floor():
+    """The real-photograph bundle (trained by the full on-TPU QAT +
+    dump->retrain + shift-tuning loop, README) must keep its held-out
+    accuracy (measured 75.6% at the persisted shifts [1, 5, 8])."""
+    acc = _score_bundle(REALPHOTO_BUNDLE, REALPHOTO_VAL)
+    assert acc >= 0.72, f"realphoto bundle regressed: {acc:.3f}"
+
+
+def test_realphoto_gate_trips_on_wrong_shifts():
+    """The gate must actually depend on shifts.json: scoring the same head
+    at the untuned default ladder (2, 4, 6) lands well under the floor,
+    proving a silently dropped/corrupted shifts.json cannot pass."""
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.head.classify import classify_np
+    from tpu_cnn.utils.artifacts import label_from_filename
+
+    model = load_model(REALPHOTO_BUNDLE, shifts=[2, 4, 6])
+    eng = make_engine(model, "cpu")
+    files = sorted(glob.glob(os.path.join(REALPHOTO_VAL, "test_image_*.bin")))
+    imgs = np.stack(
+        [np.fromfile(p, np.uint8).reshape(128, 128) for p in files]
+    )
+    labels = np.asarray([label_from_filename(p) for p in files])
+    feats = eng.run_batch(imgs)
+    idx, _, _ = classify_np(feats, model.fc_weight, model.fc_bias)
+    acc = float((idx == labels).mean())
+    assert acc < 0.72, (
+        f"wrong-shift accuracy {acc:.3f} not below the floor — the gate "
+        "would not catch a shifts.json regression"
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_eval():
+    """One shared synthetic evaluation (seed 123 — the held-out split the
+    README numbers quote) for the detection-quality floors."""
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.eval_detection import evaluate
+
+    model = load_model(PRETRAINED)
+    return {
+        "reg": evaluate(model, mode="cpu", n_per_class=20, verbose=False,
+                        box="reg"),
+        "ref": evaluate(model, mode="cpu", n_per_class=20, verbose=False,
+                        box="ref"),
+    }
+
+
+def test_synthetic_accuracy_floor(synthetic_eval):
+    acc = synthetic_eval["ref"]["accuracy"]
+    assert acc >= 0.70, f"synthetic eval accuracy regressed: {acc:.3f}"
+
+
+def test_regbox_iou_floor(synthetic_eval):
+    """The learned regression box (bbox_weight.npy) held-out mean IoU
+    (measured 0.705)."""
+    iou = synthetic_eval["reg"]["mean_iou"]
+    assert iou >= 0.65, f"reg-box IoU regressed: {iou:.3f}"
+
+
+def test_refbox_iou_floor(synthetic_eval):
+    """The reference CAM threshold box (measured 0.352; full-frame trivial
+    is ~0.31 on this split — the floor still requires the CAM to beat a
+    broken all-frame fallback on localisation-bearing inputs)."""
+    iou = synthetic_eval["ref"]["mean_iou"]
+    assert iou >= 0.30, f"reference CAM-box IoU regressed: {iou:.3f}"
+
+
+def test_gate_trips_on_corrupted_head(tmp_path):
+    """End-to-end proof the gate catches artifact corruption: copy the
+    bundle, scramble fc_weight.npy, and the score collapses below the
+    floor."""
+    import shutil
+
+    d = tmp_path / "bundle"
+    d.mkdir()
+    for f in ("weights.bin", "fc_weight.npy", "fc_bias.npy",
+              "classes.json", "bbox_weight.npy"):
+        shutil.copy(os.path.join(PRETRAINED, f), d / f)
+    # a handful of test images is enough to show collapse
+    for f in sorted(glob.glob(os.path.join(PRETRAINED, "test_image_*.bin")))[:24]:
+        shutil.copy(f, d / os.path.basename(f))
+    w = np.load(d / "fc_weight.npy")
+    rs = np.random.RandomState(0)
+    np.save(d / "fc_weight.npy", rs.permutation(w.ravel()).reshape(w.shape))
+    acc = _score_bundle(str(d), str(d))
+    assert acc < 0.5, f"corrupted head still scored {acc:.3f}"
