@@ -166,6 +166,38 @@ def test_mesh_engine_async_pipeline(mesh, stock_kernels, rng):
         np.testing.assert_array_equal(r.bbox, sync.bbox)
 
 
+def test_mesh_engine_per_device_dispatch_structure(mesh, stock_kernels, rng):
+    """Per-device dispatch accounting on the virtual mesh — the stand-in
+    for the real ICI scaling curve until >1-chip hardware exists: every
+    async in-flight batch shards into exactly ONE addressable shard per
+    device, each of size B/n_devices (pure DP over all axes), landing on
+    all 8 distinct devices. A sharding-spec regression that serialised or
+    replicated work would break the shard accounting here."""
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.parallel.mesh import MeshEngine
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.05
+    model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
+    eng = MeshEngine(model, mesh, backend="mega")
+    imgs = rng.randint(0, 256, size=(64, 128, 128)).astype(np.uint8)
+    handles = [eng.detect_batch_async(imgs) for _ in range(3)]
+    for h in handles:
+        pred = h[0]  # (64,) int32, sharded over every mesh axis
+        shards = pred.addressable_shards
+        assert len(shards) == 8
+        assert sorted(s.data.shape[0] for s in shards) == [8] * 8
+        assert len({s.device for s in shards}) == 8
+        # the staged INPUT must be sharded the same way (device_put split
+        # the batch before dispatch — no all-gather hiding in the program)
+        staged = eng.stage_batch(imgs)
+        in_shards = staged[1].addressable_shards
+        assert len(in_shards) == 8
+        assert sorted(s.data.shape[0] for s in in_shards) == [8] * 8
+    for h in handles:
+        r = eng.detect_resolve(h)
+        assert r.pred.shape == (64,)
+
+
 def test_mesh_engine_auto_fallback_big_geometry(rng):
     """Geometries whose megakernel working set exceeds VMEM fall back to the
     sharded XLA path automatically."""
