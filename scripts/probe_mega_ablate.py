@@ -1,0 +1,88 @@
+"""Megakernel component ablation on hardware — attribute the 3.28 us/img
+forward to its constituents before believing any roofline story.
+
+Variants (interleaved best-of-N, one process):
+  full    the production kernel
+  noroll  rolls replaced by the unrolled source (WRONG values, same VMEM
+          traffic minus the tpu.dynamic_rotate op itself)
+  nocorr  corrective boundary-run stores skipped (WRONG at block edges)
+  notaps  only tap 0 staged (matmul reads mostly-uninitialised xs)
+  nomm    conv matmuls skipped (acc = broadcast corr)
+
+full - noroll   = cost of the rotate ops alone
+full - nocorr   = cost of the boundary corrections
+full - notaps   ~ cost of 8/9 of tap staging (rolls + selects + stores)
+full - nomm     ~ cost of the three MXU matmuls
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+VARIANTS = ("full", "noroll", "nocorr", "notaps", "nomm")
+
+
+def main():
+    global VARIANTS
+    if len(sys.argv) > 1:  # subset: each compile is ~2 min via the relay
+        VARIANTS = tuple(sys.argv[1].split(","))
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_cnn.models.cnn import DEFAULT_SHIFTS
+    from tpu_cnn.ops import pallas_poly
+    from tpu_cnn.utils import artifacts as art
+    from tpu_cnn.utils.paths import default_artifacts
+
+    bundle = art.load_bundle(default_artifacts())
+    kernels = [jnp.asarray(k) for k in bundle.kernels]
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+
+    batch = 1536
+    rs = np.random.RandomState(0)
+    pools = [
+        jnp.asarray(rs.randint(0, 256, (batch, 128, 128), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    jax.block_until_ready(pools)
+
+    fwd = {}
+    for v in VARIANTS:
+        ab = "" if v == "full" else v
+        fwd[v] = jax.jit(
+            lambda x, ab=ab: pallas_poly.cnn_forward_polyphase_pallas(
+                x, kernels, shifts, ablate=ab
+            )
+        )
+        jax.block_until_ready(fwd[v](pools[0]))
+        print(f"  compiled {v}", flush=True)
+
+    rounds = 30
+
+    def measure(v):
+        t0 = time.perf_counter()
+        probes = []
+        for i in range(rounds):
+            o = fwd[v](pools[i % 2])
+            p = o[0, 0, :8]
+            p.copy_to_host_async()
+            probes.append(p)
+        res = [np.asarray(p) for p in probes]
+        dt = time.perf_counter() - t0
+        assert len(res) == rounds
+        return dt / rounds / batch * 1e6  # us/img
+
+    best = {v: 1e9 for v in VARIANTS}
+    for _ in range(4):
+        for v in VARIANTS:
+            best[v] = min(best[v], measure(v))
+    full = best["full"]
+    print(f"\n  {'variant':8s} {'us/img':>8s} {'delta vs full':>14s}")
+    for v in VARIANTS:
+        print(f"  {v:8s} {best[v]:8.3f} {full - best[v]:+14.3f}")
+
+
+if __name__ == "__main__":
+    main()

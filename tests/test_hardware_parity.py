@@ -74,8 +74,10 @@ def test_mega_fused_bins_on_hardware(stock_kernels, rng):
 @pytest.mark.parametrize("variant", sorted(REGISTRY))
 def test_variant_parity_on_hardware(variant, rng):
     """Every registry geometry, on the backend the engine would actually
-    pick for it (mega when the VMEM model allows, hybrid otherwise) — the
-    sweep that caught the lyr4-wide tb=1 staging miscompile."""
+    pick for it (the mega plan — whole-net megakernel or head-layers +
+    tail-megakernel chain — when one fits, hybrid otherwise). This sweep
+    caught the lyr4-wide tb=1 staging miscompile in round 2; since round 3
+    it also exercises the chained multi-channel tail kernel on chip."""
     from tpu_cnn.ops import pallas_int8, pallas_poly
 
     cfg = REGISTRY[variant]
@@ -86,8 +88,8 @@ def test_variant_parity_on_hardware(variant, rng):
     shifts = jnp.asarray(default_shifts(cfg), jnp.int32)
     imgs = _stimuli(rng, cfg.img_size, n=4)
     kj = [jnp.asarray(k) for k in kernels]
-    if pallas_poly.polyphase_supported(cfg.layer_configs):
-        got = np.asarray(pallas_poly.cnn_forward_polyphase_pallas(
+    if pallas_poly.polyphase_plan(cfg.layer_configs, with_bins=False) is not None:
+        got = np.asarray(pallas_poly.cnn_forward_mega(
             jnp.asarray(imgs), kj, shifts))
     else:
         got = np.asarray(pallas_int8.cnn_forward_hybrid(

@@ -155,12 +155,23 @@ def test_variant_megakernel(name, rng):
 def test_mega_fits_budgets_both_engine_paths(rng):
     """TPUEngine._mega_fits must budget both the features config and the
     exact detect config (with_feats follows with_f32): the stock geometry
-    fits in every box mode, lyr4-wide fits in none (tap scratches alone
-    blow VMEM), and the gate result drives the auto/hybrid fallback."""
+    plans whole-net, lyr4-wide plans the head-layer + tail-megakernel
+    chain (round 3), and a geometry with no fitting tail at any batch tile
+    drives the hybrid fallback."""
     from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.models.cnn import CNNConfig
+    from tpu_cnn.ops import pallas_poly
 
-    for name, want in (("lyr3-std", True), ("lyr4-wide", False)):
-        cfg = get_config(name)
+    # no tail of >= 2 layers fits VMEM at any batch tile for this monster
+    no_plan_cfg = CNNConfig(layer_configs=((1, 64, 2048), (64, 1024, 1024)))
+    assert pallas_poly.polyphase_plan(no_plan_cfg.layer_configs) is None
+
+    cases = (
+        ("lyr3-std", get_config("lyr3-std"), True),
+        ("lyr4-wide", get_config("lyr4-wide"), True),  # chained since r3
+        ("no-plan", no_plan_cfg, False),
+    )
+    for name, cfg, want in cases:
         kernels = make_kernels(cfg, rng)
         fc_w = rng.randn(6, cfg.feature_dim_bins).astype(np.float32) * 0.05
         bbox_w = rng.randn(cfg.feature_dim_bins + 1, 4).astype(np.float32)
@@ -170,3 +181,35 @@ def test_mega_fits_budgets_both_engine_paths(rng):
         for box_mode in ("ref", "reg"):
             eng = TPUEngine(model, backend="xla", box_mode=box_mode)
             assert eng._mega_fits() is want, (name, box_mode)
+    # the lyr4-wide plans: 1 head layer, tb=1 tail (documented in PARITY.md)
+    cfg4 = get_config("lyr4-wide")
+    assert pallas_poly.polyphase_plan(cfg4.layer_configs, with_bins=False) == (1, 1)
+    assert pallas_poly.polyphase_plan(
+        cfg4.layer_configs, with_bins=True, with_f32=True, with_feats=True
+    ) == (1, 1)
+
+
+def test_variant_megakernel_chained_parity(rng):
+    """cnn_forward_mega on lyr4-wide runs the chained plan (pallas_int8
+    head layer -> multi-channel tail megakernel) and stays bit-exact vs the
+    numpy oracle, including the fused bins/f32 outputs."""
+    from tpu_cnn.head.classify import bin_pool_np
+    from tpu_cnn.ops import pallas_poly
+
+    cfg = get_config("lyr4-wide")
+    kernels = make_kernels(cfg, rng)
+    shifts = default_shifts(cfg)
+    s = cfg.img_size
+    imgs = rng.randint(0, 256, size=(2, s, s)).astype(np.uint8)
+    kj = [jnp.asarray(k) for k in kernels]
+    sj = jnp.asarray(shifts, jnp.int32)
+    feats, bins, f32 = pallas_poly.cnn_forward_mega(
+        jnp.asarray(imgs), kj, sj, with_bins=True, with_f32=True,
+        interpret=True,
+    )
+    want = np.stack(
+        [numpy_cnn_forward(im, kernels, shifts=shifts) for im in imgs]
+    )
+    np.testing.assert_array_equal(np.asarray(feats), want)
+    np.testing.assert_array_equal(np.asarray(f32), want.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(bins), bin_pool_np(want), atol=1e-5)

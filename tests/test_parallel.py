@@ -199,13 +199,14 @@ def test_mesh_engine_per_device_dispatch_structure(mesh, stock_kernels, rng):
 
 
 def test_mesh_engine_auto_fallback_big_geometry(rng):
-    """Geometries whose megakernel working set exceeds VMEM fall back to the
-    sharded XLA path automatically."""
+    """Geometries with NO megakernel plan (no tail of >= 2 layers fits VMEM
+    at any batch tile) fall back to the sharded XLA path automatically;
+    lyr4-wide now plans the chained mega path instead (round 3)."""
     from tpu_cnn.models.cnn import CNNConfig, FpgaCNN
     from tpu_cnn.models.registry import REGISTRY, default_shifts
     from tpu_cnn.parallel.mesh import MeshEngine
 
-    cfg = REGISTRY["lyr4-wide"]
+    cfg = CNNConfig(layer_configs=((1, 64, 2048), (64, 1024, 1024)))
     kernels = [
         rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
         for ic, oc, _ in cfg.layer_configs
@@ -215,3 +216,14 @@ def test_mesh_engine_auto_fallback_big_geometry(rng):
                     shifts=default_shifts(cfg), config=cfg)
     eng = MeshEngine(model, make_mesh(8, model_axis=1))
     assert eng.backend.endswith(":xla")
+
+    cfg4 = REGISTRY["lyr4-wide"]
+    kernels4 = [
+        rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg4.layer_configs
+    ]
+    fc_w4 = rng.randn(6, cfg4.layer_configs[-1][1] * 16).astype(np.float32) * 0.01
+    model4 = FpgaCNN(kernels4, fc_w4, np.zeros(6, np.float32),
+                     shifts=default_shifts(cfg4), config=cfg4)
+    eng4 = MeshEngine(model4, make_mesh(8, model_axis=1))
+    assert eng4.backend.endswith(":mega")

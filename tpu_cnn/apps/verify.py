@@ -100,13 +100,18 @@ def build_backends(kernels, shifts, names, img_size: int = 128):
             layer_cfg = tuple(
                 (k.shape[1], k.shape[0], s) for k, s in zip(kernels, sizes)
             )
-            if pallas_poly.polyphase_supported(layer_cfg, with_bins=False):
+            plan = pallas_poly.polyphase_plan(layer_cfg, with_bins=False)
+            if plan is not None:
+                if plan[0]:
+                    print(f"  mega plan for this geometry: {plan[0]} head "
+                          f"layer(s) + tail megakernel at batch tile "
+                          f"{plan[1]}")
                 backends["mega"] = lambda imgs: np.asarray(
-                    pallas_poly.cnn_forward_polyphase_pallas(jnp.asarray(imgs), kj, sj)
+                    pallas_poly.cnn_forward_mega(jnp.asarray(imgs), kj, sj)
                 )
             else:
-                print("  mega backend skipped: VMEM working set exceeds "
-                      "budget for this geometry (hybrid is the production "
+                print("  mega backend skipped: no megakernel plan fits "
+                      "VMEM for this geometry (hybrid is the production "
                       "path here)")
     if "torch" in names:
         try:
@@ -145,7 +150,7 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
 
         @jax.jit
         def head_fn(images):
-            feats, pooled, f32 = pallas_poly.cnn_forward_polyphase_pallas(
+            feats, pooled, f32 = pallas_poly.cnn_forward_mega(
                 images, kj, sj, with_bins=True, with_f32=True
             )
             return (pooled,) + detect_head.detect_with_pooled(

@@ -122,16 +122,18 @@ class TPUEngine:
         # Budget BOTH kernel configurations this engine can launch: the
         # features path (_make_forward: u8 output only) and the detect
         # path (_make_detect: bins + f32 twin + u8 feats in CAM modes;
-        # bins alone in reg mode). One backend serves both, so it must
-        # fit the larger working set.
+        # bins alone in reg mode). One backend serves both, so both must
+        # have a plan (whole-net megakernel, or the head-layers + tail-
+        # megakernel chain for big geometries like lyr4-wide).
         cfgs = self.model.config.layer_configs
         with_bins = self.model.head_mode == "bins"
         with_f32 = with_bins and self.box_mode != "reg"
-        return pallas_poly.polyphase_supported(cfgs, with_bins=False) and (
-            pallas_poly.polyphase_supported(
+        return (
+            pallas_poly.polyphase_plan(cfgs, with_bins=False) is not None
+            and pallas_poly.polyphase_plan(
                 cfgs, with_bins=with_bins, with_f32=with_f32,
                 with_feats=with_f32,
-            )
+            ) is not None
         )
 
     def _features_fn(self):
@@ -146,7 +148,7 @@ class TPUEngine:
         if self.backend == "mega":
             from tpu_cnn.ops import pallas_poly
 
-            return pallas_poly.cnn_forward_polyphase_pallas
+            return pallas_poly.cnn_forward_mega
         return partial(quant.cnn_forward, compute_dtype=self.compute_dtype)
 
     def _make_forward(self):
@@ -183,7 +185,7 @@ class TPUEngine:
                 # 3-output grid pipelines better WITH it (-1%) — so the u8
                 # store tracks with_f32.
                 with_f32 = box_mode != "reg"
-                out = pallas_poly.cnn_forward_polyphase_pallas(
+                out = pallas_poly.cnn_forward_mega(
                     images, self._kernels_dev, shifts,
                     with_bins=True, with_f32=with_f32, with_feats=with_f32
                 )
@@ -344,17 +346,17 @@ class TPUEngine:
             if fuse_bins:
                 from tpu_cnn.ops import pallas_poly
 
-                fuse_bins = pallas_poly.polyphase_supported(
+                fuse_bins = pallas_poly.polyphase_plan(
                     self.model.config.layer_configs,
                     with_bins=True, with_feats=False,
-                )
+                ) is not None
             if fuse_bins:
 
                 @jax.jit
                 def pooled(images, shifts):
                     from tpu_cnn.ops import pallas_poly
 
-                    return pallas_poly.cnn_forward_polyphase_pallas(
+                    return pallas_poly.cnn_forward_mega(
                         images, self._kernels_dev, shifts,
                         with_bins=True, with_feats=False,
                     )

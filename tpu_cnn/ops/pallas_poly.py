@@ -69,7 +69,7 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
     m = t * t
     xs = sum(9 * tb * ic * g * g * m for ic, oc, g in layer_params)
     refs = sum(tb * oc * (g // 2) ** 2 * m for ic, oc, g in layer_params[:-1])
-    in_blk = 2 * tb * layer_params[0][2] ** 2 * m
+    in_blk = 2 * tb * layer_params[0][0] * layer_params[0][2] ** 2 * m
     oc_last = layer_params[-1][1]
     out_blk = 2 * ((tb * oc_last * m if with_feats else 0)
                    + (tb * oc_last * 16 * 4 if with_bins else 0)
@@ -83,20 +83,75 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
     return xs + refs + in_blk + out_blk + kmats + peak
 
 
+def poly_vmem_traffic(layer_configs, tb: int = POLY_TB):
+    """Per-layer VMEM bytes MOVED per image by the megakernel — the traffic
+    side of the roofline (``benchmark --roofline``; docs/DESIGN.md
+    "Roofline"). Optimistic model: elementwise chains (widen, roll, select,
+    cvt) are assumed register-fused, so each tap costs one 4B source read +
+    one 1B int8 store; the MXU re-reads the staged int8 taps and writes the
+    int32 accumulator; the pool re-reads the accumulator once and stores
+    u8/4. Corrective boundary stores (~2/g of lanes) are ignored. Returns
+    [{'layer', 'stage_bytes', 'mxu_bytes', 'pool_bytes', 'total'}] per
+    image (tile totals / tb)."""
+    layer_params, t = _poly_layer_params(layer_configs)
+    m = t * t
+    out = []
+    for li, (ic, oc, g) in enumerate(layer_params):
+        lanes = g * g * m
+        rows_in = tb * ic
+        rows_out = tb * oc
+        widen = rows_in * lanes * (1 + 4)  # u8 read + i32 write, once
+        stage = widen + 9 * rows_in * lanes * (4 + 1)  # roll read + i8 store
+        mxu = 9 * rows_in * lanes * 1 + rows_out * lanes * 4
+        pool = rows_out * lanes * 4 + rows_out * lanes // 4
+        out.append({
+            "layer": li, "ic": ic, "oc": oc, "g": g,
+            "stage_bytes": stage // tb, "mxu_bytes": mxu // tb,
+            "pool_bytes": pool // tb,
+            "total": (stage + mxu + pool) // tb,
+        })
+    return out
+
+
 def polyphase_supported(layer_configs, with_bins: bool = True,
                         with_f32: bool = False,
-                        with_feats: bool = True) -> bool:
+                        with_feats: bool = True,
+                        tb: int = POLY_TB) -> bool:
     """True when the megakernel's working set fits VMEM for this geometry
     (e.g. lyr4-wide's tap scratches alone exceed it -> use hybrid). Pass
     the SAME with_bins/with_f32/with_feats the production call will use —
     the f32 feature twin is a double-buffered output block the model must
     count (and a dropped u8 feature output frees one)."""
     layer_params, t = _poly_layer_params(layer_configs)
-    if t < 2:
+    if t < 2 or (with_bins and t % 4):
         return False
-    est = poly_vmem_estimate(layer_params, t, POLY_TB, with_bins, with_f32,
+    if tb * layer_params[0][0] < 4:
+        # Mosaic miscompiles int8 staging for tiles with < 4 sublane rows
+        return False
+    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32,
                              with_feats)
     return est <= POLY_VMEM_BUDGET
+
+
+def polyphase_plan(layer_configs, with_bins: bool = False,
+                   with_f32: bool = False, with_feats: bool = True):
+    """Production megakernel plan for a geometry: ``(n_head, tb)`` where the
+    first ``n_head`` layers run per-layer (``pallas_int8.fused_conv_layer``
+    with its own tiling/reroute rules) and the remaining tail runs in ONE
+    polyphase megakernel with batch tile ``tb``. Prefers the whole net in
+    one kernel at the stock tile (n_head=0, tb=4 — the flagship plan), then
+    trades batch tile down, then peels head layers (the analogue of the
+    reference's layer-0 4-tile spatial split, ``layer_fsm.v:206-213`` —
+    capacity forces the big early layers to tile). None when no tail of
+    >= 2 layers fits (use hybrid)."""
+    n = len(layer_configs)
+    for n_head in range(0, n - 1):
+        tail = layer_configs[n_head:]
+        for tb in (POLY_TB, 2, 1):
+            if polyphase_supported(tail, with_bins, with_f32, with_feats,
+                                   tb=tb):
+                return n_head, tb
+    return None
 
 
 def _roll(v, k, lanes):
@@ -132,12 +187,18 @@ def _variant_runs(g: int, ay: int, ax: int, sy: int, sx: int):
     return [(s, n) for s, n in runs]
 
 
-def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
+def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = ""):
     """Stage the 9 zero-point-shifted taps of x_i32 (rows, lanes; uint8
-    values widened — this Mosaic build miscompiles 8-bit rolls) into xs_ref
-    int8 rows, (tap, row)-major. Invalid positions stage a=0, which the
-    XOR-0x80 shift turns into -128. Masks come from in-kernel iota (Pallas
-    forbids captured constants)."""
+    values widened — this Mosaic build miscompiles 8-bit rolls AND refuses
+    16-bit rotates outright: "not implemented: Rotate with non-32-bit
+    data", scripts/probe_roll16.py) into xs_ref int8 rows, (tap, row)-major.
+    Invalid positions stage a=0, which the XOR-0x80 shift turns into -128.
+    Masks come from in-kernel iota (Pallas forbids captured constants).
+
+    ``ablate`` is a MEASUREMENT HOOK (scripts/probe_mega_ablate.py), never
+    set in production: "noroll" replaces every roll with the unrolled
+    source (wrong values, same traffic minus the rotate op), "nocorr"
+    skips the corrective boundary-run stores, "notaps" stages only tap 0."""
     m = t * t
     p = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     blk = p // m
@@ -148,7 +209,10 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
     def cvt(v_i32):
         return pltpu.bitcast(v_i32.astype(jnp.uint8) ^ jnp.uint8(0x80), jnp.int8)
 
-    for i, (dy, dx) in enumerate((a, b) for a in range(3) for b in range(3)):
+    taps = [(a, b) for a in range(3) for b in range(3)]
+    if ablate == "notaps":
+        taps = taps[:1]
+    for i, (dy, dx) in enumerate(taps):
         ay, ax = dy - 1, dx - 1
         yy = g * Y + ry + ay
         xx = g * X + rx + ax
@@ -163,8 +227,11 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
         # vs 3.30. Mosaic lowers this uniform roll+select+store shape
         # better than either "optimisation".)
         r0 = ay * g * m + ax * m
-        base = jnp.where(valid, _roll(x_i32, r0, lanes), 0)
+        rolled = x_i32 if ablate == "noroll" else _roll(x_i32, r0, lanes)
+        base = jnp.where(valid, rolled, 0)
         xs_ref[i * rows : (i + 1) * rows, :] = cvt(base)
+        if ablate == "nocorr":
+            continue
 
         # corrective variants: contiguous boundary-block runs only, each a
         # static slice of the source (no roll) + masked store — far less
@@ -177,6 +244,8 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes):
                 lo, ln = b0 * m, nb * m
                 if 0 <= lo + r and lo + r + ln <= lanes:
                     src = jax.lax.slice(x_i32, (0, lo + r), (rows, lo + r + ln))
+                elif ablate == "noroll":
+                    src = jax.lax.slice(x_i32, (0, lo), (rows, lo + ln))
                 else:  # source wraps the array: fall back to a full roll
                     src = jax.lax.slice(
                         _roll(x_i32, r, lanes), (0, lo), (rows, lo + ln)
@@ -213,7 +282,8 @@ def _pool_blocks(act_i32, g, t, rows):
 
 
 def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
-               with_f32=False, with_feats=True):
+               with_f32=False, with_feats=True, roll_dtype=jnp.int32,
+               ablate=""):
     n_layers = len(layer_params)
     k_refs = rest[:n_layers]
     corr_refs = rest[n_layers : 2 * n_layers]
@@ -232,18 +302,27 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
     act_refs = rest[off + n_layers :]  # inter-layer phase rows (u8)
 
     m = t * t
-    g0 = layer_params[0][2]
-    x_u8 = x_ref[:].reshape(tb, g0 * g0 * m)  # (tb, lanes0); ic0 == 1
+    ic0, _, g0 = layer_params[0]
+    # (tb, ic0, lanes0) block -> (img, ic)-major rows, the layout every
+    # stage expects (ic0 == 1 for raw images; > 1 when a chained head
+    # already ran the early layers)
+    x_u8 = x_ref[:].reshape(tb * ic0, g0 * g0 * m)
 
     for li, (ic, oc, g) in enumerate(layer_params):
         lanes = g * g * m
         rows = tb * ic
         cur_u8 = x_u8 if li == 0 else act_refs[li - 1][:]
-        x_i32 = cur_u8.astype(jnp.int32)
-        _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes)
-        acc = jnp.dot(k_refs[li][:], xs_refs[li][:],
-                      preferred_element_type=jnp.int32)
-        acc = acc + corr_refs[li][:]
+        x_i32 = cur_u8.astype(roll_dtype)
+        _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes, ablate=ablate)
+        if ablate == "nomm":
+            # acc = 0 (values wrong, timing valid). Mosaic's layout pass
+            # aborts on ANY (N, 1) -> (N, lanes) broadcast of the corr
+            # column outside a dot epilogue, so corr is skipped too.
+            acc = jax.lax.broadcasted_iota(jnp.int32, (tb * oc, lanes), 0) * 0
+        else:
+            acc = jnp.dot(k_refs[li][:], xs_refs[li][:],
+                          preferred_element_type=jnp.int32)
+            acc = acc + corr_refs[li][:]
         act = jnp.clip(jnp.right_shift(acc, shift_ref[li]), 0, 255)
         blocks = _pool_blocks(act, g, t, tb * oc)  # i32 blocks
         # In detect mode (with_feats=False) the u8 feature map is dead —
@@ -296,10 +375,20 @@ def phase_split_batch(images: jax.Array, g: int) -> jax.Array:
     return v.reshape(b, 1, g * g * t * t)
 
 
+def phase_split_nchw(x: jax.Array, g: int) -> jax.Array:
+    """(B, C, S, S) u8 -> (B, C, g*g*(S/g)^2) phase-blocked rows per channel
+    (the multi-channel entry for a chained-tail megakernel)."""
+    b, c, s, _ = x.shape
+    t = s // g
+    v = x.reshape(b, c, t, g, t, g).transpose(0, 1, 3, 5, 2, 4)
+    return v.reshape(b, c, g * g * t * t)
+
+
 @partial(jax.jit,
-         static_argnames=("interpret", "with_bins", "with_f32", "with_feats"))
+         static_argnames=("interpret", "with_bins", "with_f32", "with_feats",
+                          "roll_dtype", "ablate", "tb"))
 def cnn_forward_polyphase_pallas(
-    images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
+    images: jax.Array,  # (B, S, S) / (B, S, S, 1) u8; (B, ic0, S, S) if ic0>1
     kernels: Sequence[jax.Array],
     shifts: jax.Array,
     *,
@@ -307,6 +396,9 @@ def cnn_forward_polyphase_pallas(
     with_bins: bool = False,
     with_f32: bool = False,
     with_feats: bool = True,
+    roll_dtype: str = "int32",
+    ablate: str = "",
+    tb: int | None = None,
 ) -> jax.Array:
     """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
     same layout contract as ``ops.quant.cnn_forward`` (the final single
@@ -322,9 +414,17 @@ def cnn_forward_polyphase_pallas(
     if not (with_feats or with_bins or with_f32):
         raise ValueError("at least one of with_feats/with_bins/with_f32 "
                          "must be requested")
-    if images.ndim == 4:
-        images = images[..., 0]
-    b, s, _ = images.shape
+    ic0 = int(kernels[0].shape[1])
+    if ic0 == 1:
+        if images.ndim == 4:
+            images = images[..., 0]
+        b, s, _ = images.shape
+    else:
+        if images.ndim != 4 or images.shape[1] != ic0:
+            raise ValueError(
+                f"multi-channel megakernel input must be (B, {ic0}, S, S)"
+            )
+        b, _, s, _ = images.shape
     if interpret is None:
         interpret = _interpret_default()
 
@@ -341,24 +441,32 @@ def cnn_forward_polyphase_pallas(
         g //= 2
     oc_last = layer_params[-1][1]
 
-    tb = POLY_TB
+    if tb is None:
+        tb = POLY_TB
+    if not interpret and tb * ic0 < 4:
+        raise ValueError(
+            f"batch tile {tb} x ic0 {ic0} gives < 4 sublane rows — Mosaic "
+            f"miscompiles int8 staging below 4 rows on this build"
+        )
     est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32,
                              with_feats)
     if not interpret and est > POLY_VMEM_BUDGET:
         raise ValueError(
             f"polyphase megakernel working set ~{est / 2**20:.1f} MiB exceeds "
             f"the {POLY_VMEM_BUDGET / 2**20:.0f} MiB VMEM budget for this "
-            f"geometry — use the hybrid backend (TPUEngine falls back "
-            f"automatically)"
+            f"geometry — use cnn_forward_mega (chained plan) or the hybrid "
+            f"backend (TPUEngine falls back automatically)"
         )
     pb = b
     if b % tb:
         pb = ((b + tb - 1) // tb) * tb
+        pad_shape = ((pb - b, s, s) if ic0 == 1 else (pb - b, ic0, s, s))
         images = jnp.concatenate(
-            [images, jnp.zeros((pb - b, s, s), images.dtype)], axis=0
+            [images, jnp.zeros(pad_shape, images.dtype)], axis=0
         )
 
-    x_rows = phase_split_batch(images, g0)
+    x_rows = (phase_split_batch(images, g0) if ic0 == 1
+              else phase_split_nchw(images, g0))
 
     kmats, corrs = [], []
     for k, (ic, oc, g) in zip(kernels, layer_params):
@@ -400,13 +508,14 @@ def cnn_forward_polyphase_pallas(
     res = pl.pallas_call(
         partial(_mega_body, layer_params=layer_params, tb=tb, t=t,
                 with_bins=with_bins, with_f32=with_f32,
-                with_feats=with_feats),
+                with_feats=with_feats,
+                roll_dtype=jnp.dtype(roll_dtype).type, ablate=ablate),
         out_shape=tuple(out_shapes) if multi else out_shapes[0],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shifts vector in SMEM
             grid=(pb // tb,),
             in_specs=[
-                pl.BlockSpec((tb, 1, g0 * g0 * m), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((tb, ic0, g0 * g0 * m), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2 * n_layers)],
             ],
@@ -429,3 +538,55 @@ def cnn_forward_polyphase_pallas(
     if with_f32:
         ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
     return tuple(ret) if multi else ret[0]
+
+
+@partial(jax.jit,
+         static_argnames=("interpret", "with_bins", "with_f32", "with_feats"))
+def cnn_forward_mega(
+    images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
+    kernels: Sequence[jax.Array],
+    shifts: jax.Array,
+    *,
+    interpret: bool | None = None,
+    with_bins: bool = False,
+    with_f32: bool = False,
+    with_feats: bool = True,
+) -> jax.Array:
+    """The general production mega entry: the WHOLE net in one polyphase
+    megakernel when its working set fits VMEM (the flagship plan), else the
+    ``polyphase_plan`` chain — head layers through
+    ``pallas_int8.fused_conv_layer`` (which itself reroutes sub-4-row
+    geometries to the XLA conv), tail in one megakernel at the planned batch
+    tile. Bit-exact either way; same output contract/options as
+    :func:`cnn_forward_polyphase_pallas`. Raises when no plan exists
+    (``polyphase_plan`` returned None — use hybrid)."""
+    if images.ndim == 4:
+        images = images[..., 0]
+    b, s, _ = images.shape
+    sizes = [s // 2**i for i in range(len(kernels))]
+    layer_configs = tuple(
+        (int(k.shape[1]), int(k.shape[0]), sz) for k, sz in zip(kernels, sizes)
+    )
+    plan = polyphase_plan(layer_configs, with_bins, with_f32, with_feats)
+    if plan is None:
+        raise ValueError(
+            f"no megakernel plan fits VMEM for {layer_configs} — use the "
+            f"hybrid backend"
+        )
+    n_head, tb = plan
+    if n_head == 0:
+        return cnn_forward_polyphase_pallas(
+            images, kernels, shifts, interpret=interpret, with_bins=with_bins,
+            with_f32=with_f32, with_feats=with_feats, tb=tb,
+        )
+    from tpu_cnn.ops import pallas_int8
+
+    x = images[:, None, :, :]  # NCHW
+    for i in range(n_head):
+        kmat = pallas_int8.pack_kernel_matrix(kernels[i])
+        x = pallas_int8.fused_conv_layer(x, kmat, shifts[i],
+                                         interpret=interpret)
+    return cnn_forward_polyphase_pallas(
+        x, kernels[n_head:], shifts[n_head:], interpret=interpret,
+        with_bins=with_bins, with_f32=with_f32, with_feats=with_feats, tb=tb,
+    )

@@ -113,7 +113,7 @@ def sharded_forward_mega(mesh: Mesh, kernels: Sequence[jax.Array]):
     kernels = [jnp.asarray(k) for k in kernels]
 
     def per_shard(images, shifts):
-        return pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
+        return pallas_poly.cnn_forward_mega(images, kernels, shifts)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axis info
     fn = jax.shard_map(
@@ -153,7 +153,7 @@ def sharded_detect_mega(
         if head_mode == "bins":
             # with_feats follows with_f32 — the same A/B-measured rule as
             # TPUEngine._make_detect
-            out = pallas_poly.cnn_forward_polyphase_pallas(
+            out = pallas_poly.cnn_forward_mega(
                 images, kernels, shifts, with_bins=True, with_f32=with_f32,
                 with_feats=with_f32,
             )
@@ -162,7 +162,7 @@ def sharded_detect_mega(
                 None, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
                 box_mode=box_mode, bbox_weight=bbox_w,
             )
-        feats = pallas_poly.cnn_forward_polyphase_pallas(images, kernels, shifts)
+        feats = pallas_poly.cnn_forward_mega(images, kernels, shifts)
         return detect_head.detect(feats, fc_w, fc_b, head_mode, img_size,
                                   box_mode=box_mode, bbox_weight=bbox_w)
 
@@ -211,10 +211,11 @@ class MeshEngine:
             with_f32 = with_bins and box_mode != "reg"
             backend = (
                 "mega"
-                if (pallas_poly.polyphase_supported(cfgs, with_bins=False)
-                    and pallas_poly.polyphase_supported(
+                if (pallas_poly.polyphase_plan(cfgs, with_bins=False)
+                    is not None
+                    and pallas_poly.polyphase_plan(
                         cfgs, with_bins=with_bins, with_f32=with_f32,
-                        with_feats=with_f32))
+                        with_feats=with_f32) is not None)
                 else "xla"
             )
         fc_w = jnp.asarray(model.fc_weight)
