@@ -1,18 +1,24 @@
 """Megakernel component ablation on hardware — attribute the 3.28 us/img
 forward to its constituents before believing any roofline story.
 
-Variants (interleaved best-of-N, one process):
-  full    the production kernel
-  noroll  rolls replaced by the unrolled source (WRONG values, same VMEM
-          traffic minus the tpu.dynamic_rotate op itself)
-  nocorr  corrective boundary-run stores skipped (WRONG at block edges)
-  notaps  only tap 0 staged (matmul reads mostly-uninitialised xs)
-  nomm    conv matmuls skipped (acc = broadcast corr)
+Variants (interleaved best-of-N, one process; pass a comma subset as argv[1]
+— each variant costs a ~2-3 min remote compile):
+  full     the production kernel
+  noroll   rolls replaced by the unrolled source (WRONG values, same VMEM
+           traffic minus the tpu.dynamic_rotate op itself)
+  nocorr   corrective boundary-run stores skipped (WRONG at block edges)
+  notaps   only tap 0 staged (matmul reads mostly-uninitialised xs)
+  mm1tap   full staging, 1/9th of the matmul (first tap block)
+  slicedot the ROLL-FREE redesign shape probe: input staged once into a
+           lane-padded int8 buffer, 9 per-tap MXU dots on m-aligned static
+           slices (WRONG at phase-carry boundaries — no masks/corrections)
 
 full - noroll   = cost of the rotate ops alone
 full - nocorr   = cost of the boundary corrections
 full - notaps   ~ cost of 8/9 of tap staging (rolls + selects + stores)
-full - nomm     ~ cost of the three MXU matmuls
+full - mm1tap   ~ cost of 8/9 of the MXU matmuls
+slicedot vs full = would the roll-free formulation win (before investing
+                   in its boundary-correction machinery)?
 """
 import sys
 import time
@@ -21,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-VARIANTS = ("full", "noroll", "nocorr", "notaps", "nomm")
+VARIANTS = ("full", "noroll", "nocorr", "notaps", "mm1tap", "slicedot")
 
 
 def main():
@@ -48,6 +54,13 @@ def main():
     ]
     jax.block_until_ready(pools)
 
+    # value-preserving variants get a parity gate vs the oracle (pool8 is a
+    # candidate production change, not just a timing shape)
+    from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+
+    gate = rs.randint(0, 256, (8, 128, 128)).astype(np.uint8)
+    want = np.stack([numpy_cnn_forward(im, bundle.kernels) for im in gate])
+
     fwd = {}
     for v in VARIANTS:
         ab = "" if v == "full" else v
@@ -57,7 +70,12 @@ def main():
             )
         )
         jax.block_until_ready(fwd[v](pools[0]))
-        print(f"  compiled {v}", flush=True)
+        msg = ""
+        if v in ("full", "pool8"):
+            got = np.asarray(fwd[v](jnp.asarray(gate)))
+            msg = (" — parity BIT-EXACT" if np.array_equal(got, want)
+                   else f" — parity MISMATCH ({(got != want).sum()} values)")
+        print(f"  compiled {v}{msg}", flush=True)
 
     rounds = 30
 

@@ -111,7 +111,7 @@ def bench_mega_fused(model: FpgaCNN, batch: int, runs: int) -> float | None:
     from tpu_cnn.ops import pallas_poly
 
     cfgs = model.config.layer_configs
-    if not pallas_poly.polyphase_supported(cfgs, with_bins=False):
+    if pallas_poly.polyphase_plan(cfgs, with_bins=False) is None:
         return None
     kj = [jnp.asarray(k) for k in model.kernels]
     shifts = jnp.asarray(model.shifts, jnp.int32)
@@ -119,14 +119,65 @@ def bench_mega_fused(model: FpgaCNN, batch: int, runs: int) -> float | None:
     x = jnp.asarray(
         rng.randint(0, 256, (batch, cfgs[0][2], cfgs[0][2]), dtype=np.uint8)
     )
-    fn = jax.jit(
-        lambda a: pallas_poly.cnn_forward_polyphase_pallas(a, kj, shifts)
-    )
+    fn = jax.jit(lambda a: pallas_poly.cnn_forward_mega(a, kj, shifts))
     jax.block_until_ready(fn(x))
     t0 = time.perf_counter()
     outs = [fn(x) for _ in range(runs)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / runs
+
+
+def print_roofline(model: FpgaCNN, batch: int, runs: int):
+    """Quantified roofline for the production megakernel: MAC roofline,
+    per-layer VMEM bytes-moved model (``poly_vmem_traffic``), the measured
+    fused whole-net time, and the implied effective VMEM bandwidth.
+    Companion to docs/DESIGN.md "Roofline" (which carries the on-chip
+    component ablation, scripts/probe_mega_ablate.py)."""
+    from tpu_cnn.ops import pallas_poly
+
+    cfgs = model.config.layer_configs
+    macs = macs_per_image(cfgs)
+    plan = pallas_poly.polyphase_plan(cfgs, with_bins=False)
+    print("\n  ROOFLINE — polyphase megakernel")
+    print(f"  MACs/img {macs / 1e6:.1f}M")
+    print(f"    MXU ideal (int8 peak {PEAK_INT8_MACS / 1e12:.0f} TMAC/s): "
+          f"{macs / PEAK_INT8_MACS * 1e6:8.3f} us/img")
+    tb = pallas_poly.POLY_TB if plan is None else plan[1]
+    print(f"    MXU block-diag (x{tb} zero fill at batch tile {tb}): "
+          f"{macs * tb / PEAK_INT8_MACS * 1e6:8.3f} us/img")
+    if plan is None:
+        print("  (no megakernel plan for this geometry — hybrid runs it)")
+        return None
+    if plan[0]:
+        print(f"  plan: {plan[0]} head layer(s) per-layer + tail megakernel "
+              f"(traffic model covers the tail)")
+        cfgs = cfgs[plan[0]:]
+    rows = pallas_poly.poly_vmem_traffic(cfgs, tb)
+    print(f"  VMEM bytes moved per image (optimistic fused-chain model):")
+    print(f"  {'layer':>6} {'stage(taps)':>12} {'MXU':>9} {'pool':>9} {'total':>9}")
+    tot = 0
+    for r in rows:
+        print(f"  {r['layer']:>6} {r['stage_bytes'] / 1e6:10.2f}MB "
+              f"{r['mxu_bytes'] / 1e6:7.2f}MB {r['pool_bytes'] / 1e6:7.2f}MB "
+              f"{r['total'] / 1e6:7.2f}MB")
+        tot += r["total"]
+    print(f"  {'sum':>6} {'':>12} {'':>9} {'':>9} {tot / 1e6:7.2f}MB")
+    dt = bench_mega_fused(model, batch, runs)
+    if dt is None:
+        return {"bytes_per_img": tot}
+    us = dt / batch * 1e6
+    bw = tot / (dt / batch)
+    print(f"  measured fused forward: {us:.3f} us/img "
+          f"({1e6 / us:,.0f} FPS) -> effective VMEM bandwidth "
+          f"{bw / 1e12:.2f} TB/s")
+    hbm_bytes = (model.config.img_size ** 2
+                 + cfgs[-1][1] * (cfgs[-1][2] // 2) ** 2)
+    print(f"  MFU {macs / (dt / batch) / PEAK_INT8_MACS * 100:.1f}%  |  "
+          f"HBM {hbm_bytes / (dt / batch) / 1e9:.1f} GB/s "
+          f"(vs ~819 GB/s v5e peak: not the bottleneck)")
+    print("  bound: VPU/VMEM on tap staging (rolls are 32-bit only on this "
+          "Mosaic — docs/DESIGN.md 'Roofline' has the on-chip ablation)")
+    return {"bytes_per_img": tot, "us_per_img": us, "vmem_bw": bw}
 
 
 def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
@@ -234,6 +285,10 @@ def main(argv=None):
                         "3 = plain BGR")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the measured loop")
+    p.add_argument("--roofline", action="store_true",
+                   help="print the megakernel roofline: MAC bound, per-layer "
+                        "VMEM bytes-moved model, measured fused time, "
+                        "implied effective VMEM bandwidth")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -259,6 +314,9 @@ def main(argv=None):
     images = rng.randint(0, 256, size=(args.batch, 128, 128)).astype(np.uint8)
 
     from tpu_cnn.apps.infer import make_engine
+
+    if args.roofline:
+        return {"roofline": print_roofline(model, args.batch, args.runs)}
 
     if args.per_layer:
         mode = args.modes.split(",")[0].strip()

@@ -313,18 +313,49 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
         rows = tb * ic
         cur_u8 = x_u8 if li == 0 else act_refs[li - 1][:]
         x_i32 = cur_u8.astype(roll_dtype)
-        _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes, ablate=ablate)
-        if ablate == "nomm":
-            # acc = 0 (values wrong, timing valid). Mosaic's layout pass
-            # aborts on ANY (N, 1) -> (N, lanes) broadcast of the corr
-            # column outside a dot epilogue, so corr is skipped too.
-            acc = jax.lax.broadcasted_iota(jnp.int32, (tb * oc, lanes), 0) * 0
+        if ablate == "slicedot":
+            # TIMING-ONLY shape probe for the roll-free formulation: stage
+            # the zero-point-shifted input ONCE into a lane-padded buffer,
+            # then contract each tap as its own MXU dot on an m-aligned
+            # static slice (values are WRONG at phase-carry boundaries —
+            # no masks, no corrective stores; scripts/probe_mega_ablate.py
+            # uses this to decide whether the redesign is worth the
+            # correction machinery).
+            pad = (g + 1) * m
+            xp_ref = xs_refs[li]  # (rows, lanes + 2*pad) int8 in this mode
+            xp_ref[:, pad : pad + lanes] = pltpu.bitcast(
+                cur_u8 ^ jnp.uint8(0x80), jnp.int8
+            )
+            acc = None
+            for tap in range(9):
+                ay, ax = tap // 3 - 1, tap % 3 - 1
+                r0 = ay * g * m + ax * m
+                sl = xp_ref[:, pad + r0 : pad + r0 + lanes]
+                kt = k_refs[li][:, tap * tb * ic : (tap + 1) * tb * ic]
+                d = jnp.dot(kt, sl, preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+            acc = acc + corr_refs[li][:]
+        elif ablate == "mm1tap":
+            # full staging, 1/9th of the matmul (first tap block only) —
+            # full-minus-this isolates ~8/9 of the MXU time. (A no-matmul
+            # variant is not compilable: Mosaic's layout pass aborts on any
+            # (N, 1) corr broadcast outside a dot epilogue.)
+            _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes)
+            acc = jnp.dot(k_refs[li][:, : tb * ic],
+                          xs_refs[li][: tb * ic, :],
+                          preferred_element_type=jnp.int32)
+            acc = acc + corr_refs[li][:]
         else:
+            _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes, ablate=ablate)
             acc = jnp.dot(k_refs[li][:], xs_refs[li][:],
                           preferred_element_type=jnp.int32)
             acc = acc + corr_refs[li][:]
         act = jnp.clip(jnp.right_shift(acc, shift_ref[li]), 0, 255)
-        blocks = _pool_blocks(act, g, t, tb * oc)  # i32 blocks
+        if ablate == "pool8":
+            # narrow to u8 IN the dot epilogue so the (tb*oc, lanes) i32
+            # activation never materialises in VMEM; pool slices/maxes u8
+            act = act.astype(jnp.uint8)
+        blocks = _pool_blocks(act, g, t, tb * oc)
         # In detect mode (with_feats=False) the u8 feature map is dead —
         # the CAM reads the f32 twin and the classifier the fused bins —
         # so the final layer's u8 store (16 KB/img of HBM writes + a
@@ -337,7 +368,10 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
             # f32 twin of the final features, written while they are still
             # i32 in VMEM: spares the head's CAM the (slow) XLA u8->f32
             # relayout of the feature map
-            f32_ref[:] = blocks[0].astype(jnp.float32)
+            blk0 = blocks[0]
+            if blk0.dtype != jnp.int32:  # pool8: u8->f32 must hop via i32
+                blk0 = blk0.astype(jnp.int32)
+            f32_ref[:] = blk0.astype(jnp.float32)
         if with_bins and li == n_layers - 1:
             # fused head pooling: 4x4 spatial-bin means of the final 16x16
             # map, via a selection matmul (exact integer sums, then the same
@@ -348,7 +382,10 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
             b_i = jax.lax.broadcasted_iota(jnp.int32, (m, 16), 1)
             sel = ((p_i // s // npx) * 4 + (p_i % s) // npx) == b_i
             mb = sel.astype(jnp.float32)
-            sums = jnp.dot(blocks[0].astype(jnp.float32), mb,
+            blk0f = blocks[0]
+            if blk0f.dtype != jnp.int32:
+                blk0f = blk0f.astype(jnp.int32)
+            sums = jnp.dot(blk0f.astype(jnp.float32), mb,
                            preferred_element_type=jnp.float32)
             bins_ref[:] = sums / (npx * npx) / 255.0
 
@@ -475,7 +512,9 @@ def cnn_forward_polyphase_pallas(
         corrs.append(co)
 
     scratch = [
-        pltpu.VMEM((9 * tb * ic, g * g * m), jnp.int8)
+        (pltpu.VMEM((tb * ic, g * g * m + 2 * (g + 1) * m), jnp.int8)
+         if ablate == "slicedot"
+         else pltpu.VMEM((9 * tb * ic, g * g * m), jnp.int8))
         for ic, oc, g in layer_params
     ] + [
         # inter-layer activation rows (u8), sized at the layer's OUTPUT
