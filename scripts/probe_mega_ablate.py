@@ -71,7 +71,7 @@ def main():
         )
         jax.block_until_ready(fwd[v](pools[0]))
         msg = ""
-        if v in ("full", "pool8"):
+        if v in ("full", "pool8", "pool16"):
             got = np.asarray(fwd[v](jnp.asarray(gate)))
             msg = (" — parity BIT-EXACT" if np.array_equal(got, want)
                    else f" — parity MISMATCH ({(got != want).sum()} values)")

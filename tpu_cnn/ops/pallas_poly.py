@@ -353,8 +353,12 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
         act = jnp.clip(jnp.right_shift(acc, shift_ref[li]), 0, 255)
         if ablate == "pool8":
             # narrow to u8 IN the dot epilogue so the (tb*oc, lanes) i32
-            # activation never materialises in VMEM; pool slices/maxes u8
+            # activation never materialises in VMEM; pool slices/maxes u8.
+            # (REJECTED: Mosaic has no 8-bit vector maxui on this build.)
             act = act.astype(jnp.uint8)
+        elif ablate == "pool16":
+            # same idea at i16 width (halves the act spill + pool reads)
+            act = act.astype(jnp.int16)
         blocks = _pool_blocks(act, g, t, tb * oc)
         # In detect mode (with_feats=False) the u8 feature map is dead —
         # the CAM reads the f32 twin and the classifier the fused bins —
