@@ -246,6 +246,32 @@ def test_verify_cli(capsys):
     assert "DESIGN IS BIT-ACCURATE" in out
 
 
+def test_verify_cli_head_stage_gates_verdict(capsys, monkeypatch):
+    """The fused-head stage is part of the canonical verdict: a head
+    mismatch must flip the exit code even when the feature backends agree,
+    and --no-head must skip the stage."""
+    from tpu_cnn.apps import verify
+
+    rc = verify.main(["--backends", "numpy", "--images", "1", "--no-head"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "head[" not in out
+
+    monkeypatch.setattr(verify, "verify_head", lambda *a, **k: False)
+    rc = verify.main(["--backends", "numpy", "--images", "1"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCHES FOUND" in out
+
+
+def test_benchmark_roofline_smoke(capsys):
+    from tpu_cnn.apps import benchmark
+
+    res = benchmark.main(["--roofline", "--batch", "8", "--runs", "1"])
+    txt = capsys.readouterr().out
+    assert "ROOFLINE" in txt and "VMEM bytes moved" in txt
+    assert res["roofline"]["bytes_per_img"] > 5e6  # ~10.6 MB/img model
+
+
 def test_verify_cli_detects_mismatch(capsys, monkeypatch):
     """Corrupt one backend and confirm the verifier reports per-channel
     mismatches instead of a pass."""
