@@ -144,6 +144,28 @@ def test_realtime_fused_falls_back_on_host_engine(artifact_dir, capsys):
     assert "Done. 2 frames." in out
 
 
+def test_realtime_video_file_source(tmp_path, artifact_dir, capsys):
+    """--source <path> drives the loop from a video file (beyond-reference;
+    loops at EOF so --frames beyond the clip length still completes)."""
+    cv2 = pytest.importorskip("cv2")
+
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+    rs = np.random.RandomState(0)
+    for _ in range(5):
+        w.write(rs.randint(0, 256, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    from tpu_cnn.apps import realtime
+
+    realtime.main([
+        "--artifacts", artifact_dir, "--mode", "cpu",
+        "--source", path, "--frames", "8", "--no-serve",
+    ])
+    out = capsys.readouterr().out
+    assert "Done. 8 frames." in out  # > clip length proves the EOF loop
+
+
 def test_overlay_burns_text_into_pixels():
     """The MJPEG viewer must see class/conf/FPS/stage-ms IN the frame
     (reference ``realtime_detect.py:490-514``), not only on the console:

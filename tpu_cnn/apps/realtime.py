@@ -128,6 +128,35 @@ def _usb_reset_video_device(idx: int) -> bool:
         return False
 
 
+class VideoFileSource:
+    """Frame source over a video file (beyond-reference: the reference's
+    realtime loop only reads webcams). Same ``read``/``release`` protocol
+    as the camera; loops at EOF so ``--frames 0`` keeps streaming."""
+
+    def __init__(self, path: str, loop: bool = True):
+        import cv2
+
+        self._cv2 = cv2
+        self._path = path
+        self._loop = loop
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise RuntimeError(f"cannot open video file {path!r}")
+
+    def read(self):
+        ret, frame = self.cap.read()
+        if not ret and self._loop:
+            self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, 0)
+            ret, frame = self.cap.read()
+        return frame if ret else None
+
+    def release(self):
+        try:
+            self.cap.release()
+        except Exception:
+            pass
+
+
 class CameraThread:
     """Background capture holding the latest frame, with a stall watchdog
     driving an escalating recovery ladder (reference
@@ -451,7 +480,9 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1",
                     help="MJPEG bind address. The stream has no auth — "
                          "expose beyond localhost deliberately (0.0.0.0).")
-    ap.add_argument("--source", choices=["camera", "synthetic"], default="camera")
+    ap.add_argument("--source", default="camera",
+                    help="'camera', 'synthetic', or a video-file path "
+                         "(loops at EOF)")
     ap.add_argument("--camera", type=int, default=0)
     ap.add_argument("--res", type=str, default="640x480")
     ap.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
@@ -504,6 +535,8 @@ def main(argv=None):
 
     if args.source == "synthetic":
         cam = SyntheticSource(cam_w, cam_h)
+    elif args.source != "camera":
+        cam = VideoFileSource(args.source)
     else:
         try:
             cam = CameraThread(args.camera, cam_w, cam_h)
