@@ -138,3 +138,79 @@ def test_native_preprocess_upsample(rng):
     assert got.shape == (3, 256, 256)
     for b in range(3):
         np.testing.assert_array_equal(got[b], np_preprocess(small[b], 256))
+
+
+# ── native frame ring (frame_ring.cpp) ───────────────────────────────
+
+
+def test_frame_ring_push_pop_parity(rng):
+    """Frames pushed raw come out preprocessed, oldest-first, bit-identical
+    to the batched native preprocess (and so to the numpy/device twins)."""
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+    from tpu_cnn.native.ring import NativeFrameRing
+
+    frames = rng.randint(0, 256, size=(5, 480, 640, 3)).astype(np.uint8)
+    ring = NativeFrameRing(capacity=8, out_size=128)
+    try:
+        seqs = [ring.push(f) for f in frames]
+        assert seqs == [1, 2, 3, 4, 5]
+        got = ring.pop_batch(8)
+        assert got.shape == (5, 128, 128)
+        np.testing.assert_array_equal(got, preprocess_frames_native(frames, 128))
+        assert ring.pop_batch(4).shape == (0, 128, 128)
+        assert ring.dropped == 0
+    finally:
+        ring.close()
+
+
+def test_frame_ring_overflow_drops_oldest(rng):
+    """Latest-wins overflow: a full ring drops the OLDEST unconsumed frame
+    (the reference's single-slot holder semantics, with depth)."""
+    from tpu_cnn.native.preprocess import preprocess_frames_native
+    from tpu_cnn.native.ring import NativeFrameRing
+
+    frames = rng.randint(0, 256, size=(6, 64, 64)).astype(np.uint8)
+    ring = NativeFrameRing(capacity=4, out_size=32)
+    try:
+        for f in frames:
+            ring.push(f)
+        assert ring.dropped == 2
+        got = ring.pop_batch(10)
+        want = preprocess_frames_native(frames[2:], 32)  # 2 oldest dropped
+        np.testing.assert_array_equal(got, want)
+    finally:
+        ring.close()
+
+
+def test_frame_ring_threaded_producers_and_wait(rng):
+    """Multiple producer threads push concurrently (preprocess runs off the
+    GIL); the consumer's blocking wait sees the frames; nothing is lost
+    below capacity pressure (accounting: popped + dropped == pushed)."""
+    import threading
+
+    from tpu_cnn.native.ring import NativeFrameRing
+
+    ring = NativeFrameRing(capacity=256, out_size=32)
+    frames = rng.randint(0, 256, size=(4, 25, 96, 96, 3)).astype(np.uint8)
+    try:
+        threads = [
+            threading.Thread(target=lambda fs=fs: [ring.push(f) for f in fs])
+            for fs in frames
+        ]
+        for t in threads:
+            t.start()
+        assert ring.wait(min_frames=1, timeout_s=5.0) >= 1
+        for t in threads:
+            t.join()
+        assert ring.wait(min_frames=100, timeout_s=5.0) == 100
+        total = 0
+        while True:
+            got = ring.pop_batch(16)
+            if not len(got):
+                break
+            total += len(got)
+        assert total + ring.dropped == 100
+        age0 = ring.age_s()
+        assert 0.0 <= age0 < 60.0
+    finally:
+        ring.close()

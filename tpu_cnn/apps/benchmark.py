@@ -180,6 +180,51 @@ def print_roofline(model: FpgaCNN, batch: int, runs: int):
     return {"bytes_per_img": tot, "us_per_img": us, "vmem_bw": bw}
 
 
+def bench_host_ingest(batch: int, runs: int, cam_w: int, cam_h: int,
+                      n_threads: int = 4, out_size: int = 128):
+    """Native frame-ring ingest throughput: n_threads producers push raw
+    BGR camera frames (the C++ preprocess runs off the GIL inside push),
+    one consumer drains engine-sized batches. Measures the HOST side of
+    the camera pipeline — the ceiling the native data-loader puts on
+    feeding the device (``native/frame_ring.cpp``). Returns frames/s."""
+    import threading
+
+    from tpu_cnn.native.ring import NativeFrameRing
+
+    rng = np.random.RandomState(0)
+    total = batch * runs
+    per_thread = total // n_threads
+    total = per_thread * n_threads
+    frame_pool = [
+        rng.randint(0, 256, (cam_h, cam_w, 3), dtype=np.uint8)
+        for _ in range(8)
+    ]
+    ring = NativeFrameRing(capacity=4 * batch, out_size=out_size)
+    try:
+        def producer(tid):
+            for i in range(per_thread):
+                ring.push(frame_pool[(tid + i) % len(frame_pool)])
+
+        threads = [
+            threading.Thread(target=producer, args=(t,))
+            for t in range(n_threads)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        consumed = 0
+        while consumed + ring.dropped < total:
+            ring.wait(min_frames=min(batch, total - consumed), timeout_s=0.2)
+            got = ring.pop_batch(batch)
+            consumed += len(got)
+        dt = time.perf_counter() - t0
+        for t in threads:
+            t.join()
+        return total / dt, ring.dropped
+    finally:
+        ring.close()
+
+
 def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
     """Async-pipelined when the engine supports it (detect_batch_async):
     all batches dispatched, resolved at the end — the relay's ~30 ms
@@ -285,6 +330,12 @@ def main(argv=None):
                         "3 = plain BGR")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the measured loop")
+    p.add_argument("--host-ingest", action="store_true",
+                   help="benchmark the NATIVE host ingest: threaded "
+                        "producers push raw camera frames through the C++ "
+                        "frame ring (off-GIL preprocess), one consumer "
+                        "drains engine batches")
+    p.add_argument("--ingest-threads", type=int, default=4)
     p.add_argument("--roofline", action="store_true",
                    help="print the megakernel roofline: MAC bound, per-layer "
                         "VMEM bytes-moved model, measured fused time, "
@@ -314,6 +365,17 @@ def main(argv=None):
     images = rng.randint(0, 256, size=(args.batch, 128, 128)).astype(np.uint8)
 
     from tpu_cnn.apps.infer import make_engine
+
+    if args.host_ingest:
+        cam_w, cam_h = (int(v) for v in args.cam_res.split("x"))
+        fps, dropped = bench_host_ingest(
+            args.batch, args.runs, cam_w, cam_h, args.ingest_threads,
+            out_size=model.config.img_size,
+        )
+        print(f"\n  host ingest ({cam_w}x{cam_h}x3 -> {model.config.img_size}"
+              f"^2 gray, {args.ingest_threads} producer threads, native "
+              f"ring): {fps:12,.0f} frames/s  ({dropped} dropped)")
+        return {"host_ingest": fps}
 
     if args.roofline:
         return {"roofline": print_roofline(model, args.batch, args.runs)}

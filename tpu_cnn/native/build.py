@@ -11,6 +11,7 @@ import subprocess
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_THIS_DIR, "cnn_oracle.cpp")
+SRCS = [SRC, os.path.join(_THIS_DIR, "frame_ring.cpp")]
 
 
 def _build_dir() -> str:
@@ -28,7 +29,9 @@ def shared_object_path() -> str:
 def ensure_built(verbose: bool = False) -> str:
     """Compile cnn_oracle.cpp if stale; return the .so path."""
     so = shared_object_path()
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(SRC):
+    if os.path.exists(so) and all(
+        os.path.getmtime(so) >= os.path.getmtime(s) for s in SRCS
+    ):
         return so
 
     flag_sets = [
@@ -38,7 +41,8 @@ def ensure_built(verbose: bool = False) -> str:
     ]
     last_err = ""
     for flags in flag_sets:
-        cmd = ["g++", "-std=c++17", "-shared", "-fPIC", *flags, "-o", so, SRC]
+        cmd = ["g++", "-std=c++17", "-shared", "-fPIC", *flags, "-o", so,
+               *SRCS]
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode == 0:
             if verbose:
