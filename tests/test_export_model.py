@@ -1,0 +1,109 @@
+"""Deployable-export tests (``apps.export_model`` — the bitstream's role).
+
+The exported .tcnnx must round-trip and reproduce the live engine exactly
+(weights folded in, shifts still a runtime argument), and the megakernel
+program must serialize for TPU even from this CPU-only harness.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_cnn.apps.export_model import (
+    DeployedDetector,
+    export_bundle,
+    main as export_main,
+)
+from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+from tpu_cnn.utils import artifacts as art
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory, stock_kernels):
+    d = tmp_path_factory.mktemp("bundle")
+    rs = np.random.RandomState(3)
+    bundle = art.ArtifactBundle(
+        kernels=stock_kernels,
+        fc_weight=rs.randn(6, 1024).astype(np.float32) * 0.05,
+        fc_bias=np.zeros(6, np.float32),
+        class_names=list(CLASS_NAMES),
+    )
+    art.save_bundle(d, bundle)
+    img = rs.randint(0, 256, (128, 128)).astype(np.uint8)
+    img.tofile(os.path.join(d, "test_image_0_class2.bin"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def images(rng):
+    return rng.randint(0, 256, size=(5, 128, 128)).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def model(artifact_dir):
+    bundle = art.load_bundle(artifact_dir)
+    return FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                   CLASS_NAMES, bbox_weight=bundle.bbox_weight)
+
+
+def test_export_roundtrip_matches_live_engine(model, images):
+    """CPU-platform xla export: deserialize + execute == the live engine's
+    fused detect, bit-for-bit; padding/chunking handles batches that are
+    not the compiled shape; runtime shift override still works."""
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    blob = export_bundle(model, batch=4, backend="xla", platforms=("cpu",))
+    det = DeployedDetector(blob)
+    assert det.manifest["batch"] == 4
+    assert det.manifest["classes"] == list(CLASS_NAMES)
+
+    eng = TPUEngine(model, backend="xla")
+    live = eng.detect_batch(images)  # 5 images: exercises the chunk+pad path
+    pred, conf, probs, bbox = det.detect(images)
+    np.testing.assert_array_equal(pred, live.pred)
+    np.testing.assert_array_equal(bbox, live.bbox)
+    np.testing.assert_allclose(probs, live.probs, atol=1e-6)
+
+    # runtime register: different shifts change the result through the SAME
+    # exported program
+    pred2, _, _, _ = det.detect(images, shifts=[0, 0, 0])
+    eng.set_shifts(0, 0, 0)
+    live2 = eng.detect_batch(images)
+    np.testing.assert_array_equal(pred2, live2.pred)
+
+
+def test_export_mega_for_tpu_from_cpu_host(model):
+    """The megakernel program (Mosaic custom call embedded) must export for
+    platform 'tpu' from this CPU-only host and survive serialization —
+    execution is covered by the hardware lane."""
+    blob = export_bundle(model, batch=8, backend="mega", platforms=("tpu",))
+    det = DeployedDetector(blob)
+    assert det.manifest["platforms"] == ["tpu"]
+    assert det.manifest["backend"] == "mega"
+    avals = det._exported.in_avals
+    assert avals[0].shape == (8, 128, 128)
+    assert len(det._exported.out_avals) == 4
+
+
+def test_export_mega_refuses_cpu_platform(model):
+    with pytest.raises(ValueError, match="TPU only"):
+        export_bundle(model, batch=4, backend="mega", platforms=("cpu",))
+
+
+def test_export_cli_roundtrip(tmp_path, artifact_dir, capsys):
+    out = str(tmp_path / "model.tcnnx")
+    rc = export_main([
+        "--artifacts", artifact_dir, "--output", out,
+        "--backend", "xla", "--platforms", "cpu", "--batch", "4",
+    ])
+    assert rc == 0 and os.path.exists(out)
+    img = sorted(
+        p for p in os.listdir(artifact_dir) if p.startswith("test_image_")
+    )[0]
+    rc = export_main([
+        "--load", out, "--image", os.path.join(artifact_dir, img),
+    ])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    assert "backend xla" in txt and "box [" in txt
