@@ -151,6 +151,28 @@ def test_reg_box_on_hardware(stock_kernels, rng):
     assert np.abs(res.bbox.astype(np.int64) - want.astype(np.int64)).max() <= 1
 
 
+def test_exported_deployable_runs_on_hardware(stock_kernels, rng):
+    """The .tcnnx deployable (megakernel + head, exported via jax.export)
+    must execute on the chip and reproduce the live mega engine exactly —
+    the bitstream-analogue artifact actually programs the 'fabric'."""
+    from tpu_cnn.apps.export_model import DeployedDetector, export_bundle
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.1
+    model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
+    blob = export_bundle(model, batch=8, backend="mega", platforms=("tpu",))
+    det = DeployedDetector(blob)
+    imgs = _stimuli(rng, 128, n=8)
+    pred, conf, probs, bbox = det.detect(imgs)
+
+    eng = TPUEngine(model, backend="mega")
+    live = eng.detect_batch(imgs)
+    np.testing.assert_array_equal(pred, live.pred)
+    np.testing.assert_array_equal(bbox, live.bbox)
+    np.testing.assert_allclose(probs, live.probs, atol=1e-6)
+
+
 def test_device_preprocess_parity_on_hardware(rng):
     """On-device preprocess (both the 3-channel and the packed BGRX layout,
     both resize paths) vs the host numpy twin, on the real chip — covers
