@@ -91,6 +91,28 @@ def test_export_mega_refuses_cpu_platform(model):
         export_bundle(model, batch=4, backend="mega", platforms=("cpu",))
 
 
+def test_serve_from_deployable(tmp_path, model, images):
+    """The serving batcher runs straight off a .tcnnx deployable — no model
+    construction on the serving host — and matches the live engine."""
+    from tpu_cnn.apps.serve import build_service
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    path = tmp_path / "m.tcnnx"
+    path.write_bytes(
+        export_bundle(model, batch=4, backend="xla", platforms=("cpu",))
+    )
+    batcher, backend = build_service(None, deployable=str(path),
+                                     max_batch=4, max_wait_ms=1.0)
+    try:
+        assert backend == "deployable:xla@cpu"
+        res = batcher.submit(images[0])
+        live = TPUEngine(model, backend="xla").detect_batch(images[:1])
+        assert res["name"] == CLASS_NAMES[int(live.pred[0])]
+        assert res["bbox"] == [int(v) for v in live.bbox[0]]
+    finally:
+        batcher.stop()
+
+
 def test_export_cli_roundtrip(tmp_path, artifact_dir, capsys):
     out = str(tmp_path / "model.tcnnx")
     rc = export_main([

@@ -239,9 +239,25 @@ def make_handler(batcher: DynamicBatcher, backend: str):
 def build_service(artifacts_dir: str, mode: str = "auto",
                   max_batch: int = 256, max_wait_ms: float = 5.0,
                   variant: str = "lyr3-std", head_prefix: str = "",
-                  box: str = "ref"):
+                  box: str = "ref", deployable: str | None = None):
     from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
+
+    if deployable:
+        # serve straight from the exported .tcnnx artifact — no model
+        # construction on the serving host (the bitstream-load path)
+        from tpu_cnn.apps.export_model import DeployedDetector
+
+        det = DeployedDetector.load(deployable)
+        adapter = _DeployableAdapter(det)
+        m = det.manifest
+        zeros = np.zeros((1, m["img_size"], m["img_size"]), np.uint8)
+        adapter.detect_batch(zeros)  # compile/warm the serving program
+        batcher = DynamicBatcher(adapter, m["classes"],
+                                 max_batch=max_batch,
+                                 max_wait_ms=max_wait_ms,
+                                 img_size=m["img_size"])
+        return batcher, adapter.backend
 
     model = load_model(artifacts_dir, variant, head_prefix)
     if box == "reg" and model.bbox_weight is None:
@@ -257,6 +273,21 @@ def build_service(artifacts_dir: str, mode: str = "auto",
                              max_batch=max_batch, max_wait_ms=max_wait_ms,
                              img_size=model.config.img_size)
     return batcher, getattr(engine, "backend", mode)
+
+
+class _DeployableAdapter:
+    """detect_batch protocol over a loaded .tcnnx deployable."""
+
+    def __init__(self, det):
+        self.det = det
+        self.backend = (f"deployable:{det.manifest['backend']}"
+                        f"@{'/'.join(det.manifest['platforms'])}")
+
+    def detect_batch(self, images):
+        from tpu_cnn.engine.tpu import DetectResult
+
+        pred, conf, probs, bbox = self.det.detect(images)
+        return DetectResult(pred, conf, probs, bbox)
 
 
 class _HostDetectAdapter:
@@ -313,6 +344,10 @@ def main(argv=None):
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                    help="box head: reference CAM, tuned centroid, or learned "
                         "regression (needs bbox_weight.npy)")
+    p.add_argument("--deployable", default=None,
+                   help="serve from an exported .tcnnx artifact "
+                        "(apps.export_model) instead of building the model "
+                        "— ignores --artifacts/--mode/--variant/--box")
     from tpu_cnn.apps.common import add_variant_arg
 
     add_variant_arg(p)
@@ -325,7 +360,8 @@ def main(argv=None):
                                      args.max_batch, args.max_wait_ms,
                                      variant=args.variant,
                                      head_prefix=args.head_prefix,
-                                     box=args.box)
+                                     box=args.box,
+                                     deployable=args.deployable)
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(batcher, backend))
     print(f"serving on {args.host}:{args.port} (backend {backend}, "
