@@ -27,11 +27,13 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PRETRAINED = os.path.join(REPO, "artifacts", "pretrained")
+PRETRAINED_LYR4 = os.path.join(REPO, "artifacts", "pretrained-lyr4")
 REALPHOTO_BUNDLE = os.path.join(REPO, "artifacts", "realphoto", "bundle-qat")
 REALPHOTO_VAL = os.path.join(REPO, "artifacts", "realphoto", "val_bins")
 
 
-def _score_bundle(artifacts_dir: str, image_dir: str) -> float:
+def _score_bundle(artifacts_dir: str, image_dir: str,
+                  variant: str = "lyr3-std") -> float:
     """Classification accuracy of the bundle over a test_image_*.bin folder,
     via the CPU oracle engine + host head twins — the exact CLI loading path
     (bundle shifts.json included)."""
@@ -40,12 +42,13 @@ def _score_bundle(artifacts_dir: str, image_dir: str) -> float:
     from tpu_cnn.head.classify import classify_np
     from tpu_cnn.utils.artifacts import label_from_filename
 
-    model = load_model(artifacts_dir)
+    model = load_model(artifacts_dir, variant)
     eng = make_engine(model, "cpu")
+    s = model.config.img_size
     files = sorted(glob.glob(os.path.join(image_dir, "test_image_*.bin")))
     assert files, f"no test images under {image_dir}"
     imgs = np.stack(
-        [np.fromfile(p, np.uint8).reshape(128, 128) for p in files]
+        [np.fromfile(p, np.uint8).reshape(s, s) for p in files]
     )
     labels = np.asarray([label_from_filename(p) for p in files])
     feats = eng.run_batch(imgs)
@@ -58,6 +61,13 @@ def test_pretrained_bundle_accuracy_floor():
     (measured 86.2%)."""
     acc = _score_bundle(PRETRAINED, PRETRAINED)
     assert acc >= 0.80, f"shipped pretrained bundle regressed: {acc:.3f}"
+
+
+def test_lyr4_bundle_accuracy_floor():
+    """The second model family (lyr4-wide, 256x256, GAP head) must keep
+    scoring on its shipped test images (measured 53.3%, chance 16.7%)."""
+    acc = _score_bundle(PRETRAINED_LYR4, PRETRAINED_LYR4, "lyr4-wide")
+    assert acc >= 0.45, f"lyr4-wide bundle regressed: {acc:.3f}"
 
 
 def test_realphoto_bundle_accuracy_floor():
