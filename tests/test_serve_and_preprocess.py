@@ -235,3 +235,73 @@ def test_async_pipelined_batcher(artifact_dir, stock_kernels):
     idx, conf, probs = classify_np(feats, model.fc_weight, model.fc_bias)
     assert results[0]["pred"] == int(idx[0])
     batcher.stop()
+
+
+def test_native_front_end_service(artifact_dir):
+    """C++ HTTP front end (native/http_front.cpp) end-to-end over real
+    sockets: concurrent raw-frame POSTs are ticketed, batched through ONE
+    engine call, and answered per-ticket with the same JSON schema as the
+    Python service; healthz reports; wrong-size bodies get 400/413."""
+    import http.client
+    import json as _json
+    import threading
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.apps.serve import _HostDetectAdapter
+    from tpu_cnn.apps.serve_native import NativeFrontEnd
+
+    model = load_model(artifact_dir)
+    engine = _HostDetectAdapter(make_engine(model, "cpu"), model)
+    front = NativeFrontEnd("127.0.0.1", 0, model.config.img_size, max_batch=8)
+    assert front.port > 0
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            front.serve_once(engine.detect_batch, model.class_names,
+                             timeout_s=0.05)
+
+    wt = threading.Thread(target=worker)
+    wt.start()
+    try:
+        rs = np.random.RandomState(0)
+        imgs = rs.randint(0, 256, (4, 128, 128)).astype(np.uint8)
+        results = [None] * 4
+
+        def post(i):
+            c = http.client.HTTPConnection("127.0.0.1", front.port, timeout=15)
+            c.request("POST", "/detect", body=imgs[i].tobytes())
+            r = c.getresponse()
+            results[i] = (r.status, _json.loads(r.read()))
+            c.close()
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        want = engine.detect_batch(imgs)
+        for i, (status, body) in enumerate(results):
+            assert status == 200
+            assert body["pred"] == int(want.pred[i])
+            assert body["name"] == model.class_names[int(want.pred[i])]
+            assert body["bbox"] == [int(v) for v in want.bbox[i]]
+        assert front.served >= 4
+
+        # healthz + malformed bodies (C++ side, no engine involvement)
+        c = http.client.HTTPConnection("127.0.0.1", front.port, timeout=10)
+        c.request("GET", "/healthz")
+        r = c.getresponse()
+        assert r.status == 200 and _json.loads(r.read())["status"] == "ok"
+        c.close()
+        for body, want_status in ((b"tiny", 400), (b"x" * 50000, 413)):
+            c = http.client.HTTPConnection("127.0.0.1", front.port, timeout=10)
+            c.request("POST", "/detect", body=body)
+            assert c.getresponse().status == want_status
+            c.close()
+    finally:
+        stop.set()
+        wt.join()
+        front.stop()

@@ -11,7 +11,9 @@ import subprocess
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_THIS_DIR, "cnn_oracle.cpp")
-SRCS = [SRC, os.path.join(_THIS_DIR, "frame_ring.cpp")]
+SRCS = [SRC,
+        os.path.join(_THIS_DIR, "frame_ring.cpp"),
+        os.path.join(_THIS_DIR, "http_front.cpp")]
 
 
 def _build_dir() -> str:
@@ -35,9 +37,9 @@ def ensure_built(verbose: bool = False) -> str:
         return so
 
     flag_sets = [
-        ["-O3", "-march=native", "-fopenmp"],
-        ["-O3", "-fopenmp"],
-        ["-O3"],
+        ["-O3", "-march=native", "-fopenmp", "-pthread"],
+        ["-O3", "-fopenmp", "-pthread"],
+        ["-O3", "-pthread"],
     ]
     last_err = ""
     for flags in flag_sets:
