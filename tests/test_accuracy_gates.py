@@ -64,10 +64,14 @@ def test_pretrained_bundle_accuracy_floor():
 
 
 def test_lyr4_bundle_accuracy_floor():
-    """The second model family (lyr4-wide, 256x256, GAP head) must keep
-    scoring on its shipped test images (measured 53.3%, chance 16.7%)."""
+    """The second model family (lyr4-wide, 256x256). Round 3 upgraded its
+    default head to a retrained (6, 2048) spatial-bin head via the standard
+    dump->retrain loop ON TPU through the chained megakernel: 62.5%
+    held-out on a fresh synthetic split vs 51.7% for the original GAP head
+    on the same split; 56.7% on the bundle's own shipped test images
+    (gated here). The GAP head ships under the gap_ prefix."""
     acc = _score_bundle(PRETRAINED_LYR4, PRETRAINED_LYR4, "lyr4-wide")
-    assert acc >= 0.45, f"lyr4-wide bundle regressed: {acc:.3f}"
+    assert acc >= 0.50, f"lyr4-wide bundle regressed: {acc:.3f}"
 
 
 def test_realphoto_bundle_accuracy_floor():
