@@ -36,10 +36,11 @@ def ensure_built(verbose: bool = False) -> str:
     ):
         return so
 
+    extra = os.environ.get("TPU_CNN_EXTRA_CXXFLAGS", "").split()
     flag_sets = [
-        ["-O3", "-march=native", "-fopenmp", "-pthread"],
-        ["-O3", "-fopenmp", "-pthread"],
-        ["-O3", "-pthread"],
+        ["-O3", "-march=native", "-fopenmp", "-pthread", *extra],
+        ["-O3", "-fopenmp", "-pthread", *extra],
+        ["-O3", "-pthread", *extra],
     ]
     last_err = ""
     for flags in flag_sets:
