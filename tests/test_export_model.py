@@ -53,9 +53,10 @@ def test_export_roundtrip_matches_live_engine(model, images):
     not the compiled shape; runtime shift override still works."""
     from tpu_cnn.engine.tpu import TPUEngine
 
-    blob = export_bundle(model, batch=4, backend="xla", platforms=("cpu",))
+    blob = export_bundle(model, batch=(2, 4), backend="xla",
+                         platforms=("cpu",))
     det = DeployedDetector(blob)
-    assert det.manifest["batch"] == 4
+    assert det.manifest["batches"] == [2, 4]
     assert det.manifest["classes"] == list(CLASS_NAMES)
 
     eng = TPUEngine(model, backend="xla")

@@ -29,8 +29,8 @@ import zipfile
 import numpy as np
 
 MANIFEST = "manifest.json"
-PROGRAM = "detect.stablehlo"
-FORMAT_VERSION = 1
+PROGRAM = "detect.stablehlo"  # format-1 single program (still readable)
+FORMAT_VERSION = 2  # format 2: one program per batch bucket
 
 
 def build_detect_fn(model, backend: str, box_mode: str):
@@ -73,10 +73,13 @@ def build_detect_fn(model, backend: str, box_mode: str):
     return detect
 
 
-def export_bundle(model, batch: int, backend: str = "mega",
+def export_bundle(model, batch=1536, backend: str = "mega",
                   box_mode: str = "ref", platforms=("tpu",)) -> bytes:
-    """Serialize the fused detect program for ``platforms``. Returns the
-    .tcnnx container bytes (zip: manifest + StableHLO program)."""
+    """Serialize the fused detect program for ``platforms``. ``batch`` may
+    be an int or a sequence of bucket sizes — each bucket is its own
+    compiled program in the container, and the loader picks the smallest
+    bucket that fits a request (single-digit batches don't pay the
+    1536-wide pad). Returns the .tcnnx container bytes."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -86,19 +89,25 @@ def export_bundle(model, batch: int, backend: str = "mega",
             "the megakernel lowers for TPU only; use --backend xla for "
             f"platforms {platforms}"
         )
+    batches = sorted({int(b) for b in
+                      (batch if hasattr(batch, "__iter__") else [batch])})
     detect = build_detect_fn(model, backend, box_mode)
     s = model.config.img_size
     n_layers = len(model.kernels)
-    exp = jexport.export(jax.jit(detect), platforms=list(platforms))(
-        jax.ShapeDtypeStruct((batch, s, s), jnp.uint8),
-        jax.ShapeDtypeStruct((n_layers,), jnp.int32),
-    )
+    jitted = jax.jit(detect)
+    programs = {}
+    for b in batches:
+        exp = jexport.export(jitted, platforms=list(platforms))(
+            jax.ShapeDtypeStruct((b, s, s), jnp.uint8),
+            jax.ShapeDtypeStruct((n_layers,), jnp.int32),
+        )
+        programs[b] = exp.serialize()
     manifest = {
         "format": FORMAT_VERSION,
         "platforms": list(platforms),
         "backend": backend,
         "box_mode": box_mode,
-        "batch": batch,
+        "batches": batches,
         "img_size": s,
         "n_layers": n_layers,
         "classes": list(model.class_names),
@@ -108,7 +117,8 @@ def export_bundle(model, batch: int, backend: str = "mega",
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(MANIFEST, json.dumps(manifest, indent=1))
-        z.writestr(PROGRAM, exp.serialize())
+        for b, blob in programs.items():
+            z.writestr(f"detect_b{b}.stablehlo", blob)
     return buf.getvalue()
 
 
@@ -119,16 +129,24 @@ class DeployedDetector:
     is compiled for one geometry)."""
 
     def __init__(self, blob: bytes):
+        import jax
         from jax import export as jexport
 
         with zipfile.ZipFile(io.BytesIO(blob)) as z:
             self.manifest = json.loads(z.read(MANIFEST))
-            self._exported = jexport.deserialize(z.read(PROGRAM))
-        if self.manifest.get("format") != FORMAT_VERSION:
-            raise ValueError(f"unsupported .tcnnx format {self.manifest.get('format')}")
-        import jax
-
-        self._call = jax.jit(self._exported.call)
+            fmt = self.manifest.get("format")
+            if fmt == 1:  # single-program container
+                self.manifest["batches"] = [self.manifest["batch"]]
+                exps = {self.manifest["batch"]: jexport.deserialize(z.read(PROGRAM))}
+            elif fmt == FORMAT_VERSION:
+                exps = {
+                    b: jexport.deserialize(z.read(f"detect_b{b}.stablehlo"))
+                    for b in self.manifest["batches"]
+                }
+            else:
+                raise ValueError(f"unsupported .tcnnx format {fmt}")
+        self._exported = exps[max(exps)]  # largest bucket (introspection)
+        self._calls = {b: jax.jit(e.call) for b, e in exps.items()}
 
     @classmethod
     def load(cls, path: str) -> "DeployedDetector":
@@ -144,17 +162,22 @@ class DeployedDetector:
         if shifts is None:
             shifts = m["default_shifts"]
         sj = jnp.asarray(shifts, jnp.int32)
-        eb = m["batch"]
+        buckets = sorted(self._calls)
         outs = []
-        for c0 in range(0, len(images), eb):
+        c0 = 0
+        while c0 < len(images):
+            remaining = len(images) - c0
+            # smallest bucket that fits the remainder; largest for chunking
+            eb = next((b for b in buckets if b >= remaining), buckets[-1])
             chunk = images[c0 : c0 + eb]
             b = len(chunk)
             if b < eb:
                 chunk = np.concatenate(
                     [chunk, np.zeros((eb - b, *chunk.shape[1:]), np.uint8)]
                 )
-            res = self._call(jnp.asarray(chunk), sj)
+            res = self._calls[eb](jnp.asarray(chunk), sj)
             outs.append([np.asarray(r)[:b] for r in res])
+            c0 += b
         return tuple(np.concatenate([o[i] for o in outs]) for i in range(4))
 
 
@@ -168,8 +191,9 @@ def main(argv=None):
     p.add_argument("--load", default=None, help="load + smoke-run a .tcnnx")
     p.add_argument("--image", action="append", default=[],
                    help="with --load: run these images (.bin/.png/...)")
-    p.add_argument("--batch", type=int, default=1536,
-                   help="compiled batch shape of the exported program")
+    p.add_argument("--batch", default="8,1536",
+                   help="comma list of compiled batch buckets; the loader "
+                        "picks the smallest bucket that fits a request")
     p.add_argument("--backend", default="mega", choices=["mega", "xla"])
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"])
     p.add_argument("--platforms", default="tpu",
@@ -183,7 +207,8 @@ def main(argv=None):
         det = DeployedDetector.load(args.load)
         m = det.manifest
         print(f"  {args.load}: format {m['format']}, platforms "
-              f"{m['platforms']}, backend {m['backend']}, batch {m['batch']}, "
+              f"{m['platforms']}, backend {m['backend']}, "
+              f"batch buckets {m['batches']}, "
               f"{m['img_size']}x{m['img_size']}, classes {m['classes']}, "
               f"shifts {m['default_shifts']} (runtime-overridable)")
         if args.image:
@@ -209,7 +234,8 @@ def main(argv=None):
     args.artifacts = args.artifacts or default_artifacts()
     model = load_model(args.artifacts, args.variant, args.head_prefix)
     platforms = tuple(s.strip() for s in args.platforms.split(","))
-    blob = export_bundle(model, args.batch, args.backend, args.box, platforms)
+    batches = [int(v) for v in str(args.batch).split(",")]
+    blob = export_bundle(model, batches, args.backend, args.box, platforms)
     with open(args.output, "wb") as f:
         f.write(blob)
     print(f"  exported {args.output}: {len(blob):,} bytes "
