@@ -54,10 +54,25 @@ struct Server {
   std::condition_variable cv_resp;  // connections wait for their response
   std::deque<Pending> queue;
   std::unordered_map<uint64_t, std::string> responses;
+  // (ticket, post time) in post order — unclaimed responses (client died
+  // before its result arrived) are purged after RESP_TTL so the map stays
+  // bounded in a long-running service
+  std::deque<std::pair<uint64_t, std::chrono::steady_clock::time_point>>
+      resp_log;
   uint64_t next_ticket = 1;
   uint64_t served = 0;
   std::atomic<int> live_conns{0};
 };
+
+constexpr auto RESP_TTL = std::chrono::seconds(60);
+
+void purge_stale_responses(Server* s) {  // caller holds s->mu
+  const auto now = std::chrono::steady_clock::now();
+  while (!s->resp_log.empty() && now - s->resp_log.front().second > RESP_TTL) {
+    s->responses.erase(s->resp_log.front().first);  // no-op if claimed
+    s->resp_log.pop_front();
+  }
+}
 
 bool read_n(int fd, uint8_t* dst, size_t n) {
   size_t got = 0;
@@ -266,7 +281,9 @@ void tcnn_http_respond(void* h, uint64_t ticket, const char* json, int len) {
   if (!s || !json || len <= 0) return;
   {
     std::lock_guard<std::mutex> lk(s->mu);
+    purge_stale_responses(s);
     s->responses.emplace(ticket, std::string(json, (size_t)len));
+    s->resp_log.emplace_back(ticket, std::chrono::steady_clock::now());
   }
   s->cv_resp.notify_all();
 }
