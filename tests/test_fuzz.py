@@ -126,3 +126,40 @@ def test_fuzz_preprocess_resolutions(seed):
     np.testing.assert_array_equal(
         np.asarray(preprocess_frames(jnp.asarray(pack_bgrx(f4)), 128)), got
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mega_plan_random_geometries(seed):
+    """cnn_forward_mega across random layer ladders: whatever plan
+    polyphase_plan picks (whole-net kernel, smaller batch tile, or a
+    head-layers + tail-megakernel chain), the result must stay bit-exact
+    vs the numpy oracle in interpret mode."""
+    from tpu_cnn.ops import pallas_poly
+
+    rs = np.random.RandomState(400 + seed)
+    n_layers = int(rs.randint(2, 5))
+    # t = size / 2^L must be >= 2; keep sizes small for interpret speed
+    t = int(rs.choice([4, 8, 16]))
+    size = t * (2 ** n_layers)
+    cfgs, ic = [], 1
+    for _ in range(n_layers):
+        oc = int(rs.choice([16, 32, 48]))
+        cfgs.append((ic, oc, size))
+        ic, size = oc, size // 2
+    plan = pallas_poly.polyphase_plan(tuple(cfgs), with_bins=False)
+    assert plan is not None, f"no plan for {cfgs}"
+    kernels = [
+        rs.randint(-127, 128, size=(oc, icc, 3, 3)).astype(np.int8)
+        for icc, oc, _ in cfgs
+    ]
+    shifts = [int(rs.randint(0, 9)) for _ in range(n_layers)]
+    s0 = cfgs[0][2]
+    imgs = rs.randint(0, 256, size=(2, s0, s0)).astype(np.uint8)
+    got = np.asarray(pallas_poly.cnn_forward_mega(
+        jnp.asarray(imgs), [jnp.asarray(k) for k in kernels],
+        jnp.asarray(shifts, jnp.int32), interpret=True,
+    ))
+    for b in range(2):
+        np.testing.assert_array_equal(
+            got[b], numpy_cnn_forward(imgs[b], kernels, shifts)
+        )
