@@ -305,3 +305,55 @@ def test_native_front_end_service(artifact_dir):
         stop.set()
         wt.join()
         front.stop()
+
+
+def test_native_front_end_queue_pushback(artifact_dir):
+    """Bounded-queue push-back: with the engine worker stalled, posts
+    beyond queue capacity get an immediate 503; once the worker drains,
+    queued requests still complete with 200."""
+    import http.client
+    import json as _json
+    import threading
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.apps.serve import _HostDetectAdapter
+    from tpu_cnn.apps.serve_native import NativeFrontEnd
+
+    model = load_model(artifact_dir)
+    engine = _HostDetectAdapter(make_engine(model, "cpu"), model)
+    front = NativeFrontEnd("127.0.0.1", 0, model.config.img_size, max_batch=2)
+    cap = 4 * 2  # queue_cap
+    n_posts = cap + 4
+    statuses = [None] * n_posts
+    rs = np.random.RandomState(1)
+    body = rs.randint(0, 256, (128, 128)).astype(np.uint8).tobytes()
+
+    def post(i):
+        c = http.client.HTTPConnection("127.0.0.1", front.port, timeout=30)
+        c.request("POST", "/detect", body=body)
+        statuses[i] = c.getresponse().status
+        c.close()
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(n_posts)]
+    try:
+        for t in threads:
+            t.start()
+        # overflow posts 503 while NO worker runs; give them a beat to land
+        import time as _time
+
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if sum(1 for s in statuses if s == 503) >= n_posts - cap:
+                break
+            _time.sleep(0.05)
+        # now drain: every queued request completes
+        for _ in range(cap):
+            front.serve_once(engine.detect_batch, model.class_names,
+                             timeout_s=0.5)
+        for t in threads:
+            t.join()
+        assert statuses.count(503) == n_posts - cap, statuses
+        assert statuses.count(200) == cap, statuses
+    finally:
+        front.stop()
