@@ -357,3 +357,64 @@ def test_native_front_end_queue_pushback(artifact_dir):
         assert statuses.count(200) == cap, statuses
     finally:
         front.stop()
+
+
+def test_native_front_end_malformed_inputs(artifact_dir):
+    """Parser robustness: garbage bytes, incomplete heads, oversized
+    headers, and abrupt disconnects must not wedge or crash the C++
+    server — a well-formed request afterwards still succeeds."""
+    import http.client
+    import socket
+    import threading
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.apps.serve import _HostDetectAdapter
+    from tpu_cnn.apps.serve_native import NativeFrontEnd
+
+    model = load_model(artifact_dir)
+    engine = _HostDetectAdapter(make_engine(model, "cpu"), model)
+    front = NativeFrontEnd("127.0.0.1", 0, model.config.img_size, max_batch=4)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            front.serve_once(engine.detect_batch, model.class_names,
+                             timeout_s=0.05)
+
+    wt = threading.Thread(target=worker)
+    wt.start()
+    try:
+        attacks = [
+            b"\x00\xff\x17garbage\r\n\r\n",              # binary junk
+            b"GET /healthz HTTP/1.1\r\n",                 # incomplete head
+            b"POST /detect HTTP/1.1\r\nX-Pad: " + b"A" * 20000,  # huge header
+            b"POST /detect HTTP/1.1\r\nContent-Length: 16384\r\n\r\nshort",
+        ]
+        for payload in attacks:
+            s = socket.create_connection(("127.0.0.1", front.port), timeout=5)
+            try:
+                s.sendall(payload)
+                s.settimeout(2.0)
+                try:
+                    s.recv(4096)  # answer, close, or reset are all fine
+                except (socket.timeout, OSError):
+                    pass
+            finally:
+                s.close()
+        # abrupt disconnect mid-body
+        s = socket.create_connection(("127.0.0.1", front.port), timeout=5)
+        s.sendall(b"POST /detect HTTP/1.1\r\nContent-Length: 16384\r\n\r\n")
+        s.close()
+
+        # the server must still answer a well-formed request
+        rs = np.random.RandomState(2)
+        c = http.client.HTTPConnection("127.0.0.1", front.port, timeout=15)
+        c.request("POST", "/detect",
+                  body=rs.randint(0, 256, (128, 128)).astype(np.uint8).tobytes())
+        assert c.getresponse().status == 200
+        c.close()
+    finally:
+        stop.set()
+        wt.join()
+        front.stop()

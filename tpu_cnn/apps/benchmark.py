@@ -340,29 +340,32 @@ def main(argv=None):
                    help="print the megakernel roofline: MAC bound, per-layer "
                         "VMEM bytes-moved model, measured fused time, "
                         "implied effective VMEM bandwidth")
+    from tpu_cnn.apps.common import add_variant_arg, load_model
+
+    add_variant_arg(p)
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
     args.artifacts = args.artifacts or default_artifacts()
 
     print("=" * 64)
-    print("  TPU CNN BENCHMARK")
+    print(f"  TPU CNN BENCHMARK [{args.variant}]")
     print("=" * 64)
-    from tpu_cnn.apps.common import load_model
-
     # shared loader: honours the bundle's persisted shifts.json — the
     # correctness side of this benchmark must classify with the shifts
     # the shipped head was trained at
-    model = load_model(args.artifacts)
+    model = load_model(args.artifacts, args.variant)
 
-    total_macs = macs_per_image()
-    for i, (ic, oc, size) in enumerate(LAYER_CONFIGS):
+    cfgs = model.config.layer_configs
+    total_macs = macs_per_image(cfgs)
+    for i, (ic, oc, size) in enumerate(cfgs):
         m = size * size * oc * ic * 9
         print(f"  Layer {i} ({ic:2d}->{oc:2d}ch {size}x{size}): {m / 1e6:6.1f}M MACs")
     print(f"  Total: {total_macs / 1e6:.1f}M MACs/image")
 
     rng = np.random.RandomState(0)
-    images = rng.randint(0, 256, size=(args.batch, 128, 128)).astype(np.uint8)
+    s = model.config.img_size
+    images = rng.randint(0, 256, size=(args.batch, s, s)).astype(np.uint8)
 
     from tpu_cnn.apps.infer import make_engine
 
