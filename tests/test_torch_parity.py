@@ -48,3 +48,27 @@ def test_torch_sim_matches_oracle_stock(stock_kernels, ramp_image):
     got = torch_fixed_point_forward(ramp_image, stock_kernels, DEFAULT_SHIFTS)
     want = numpy_cnn_forward(ramp_image, stock_kernels)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_torch_sim_random_geometries(seed):
+    """Cross-ecosystem fuzz: random layer ladders and shifts through the
+    torch QAT sim vs the numpy oracle (wrap semantics included) — the
+    contract holds beyond the stock geometry in torch too."""
+    rs = np.random.RandomState(700 + seed)
+    n_layers = int(rs.randint(2, 5))
+    size = int(rs.choice([32, 64])) * (2 ** (n_layers - 2))
+    cfgs, ic = [], 1
+    for _ in range(n_layers):
+        oc = int(rs.choice([16, 32, 48]))
+        cfgs.append((ic, oc, size))
+        ic, size = oc, size // 2
+    kernels = [
+        rs.randint(-127, 128, size=(oc, icc, 3, 3)).astype(np.int8)
+        for icc, oc, _ in cfgs
+    ]
+    shifts = [int(rs.randint(0, 9)) for _ in range(n_layers)]
+    img = rs.randint(0, 256, size=(cfgs[0][2], cfgs[0][2])).astype(np.uint8)
+    got = torch_fixed_point_forward(img, kernels, shifts)
+    want = numpy_cnn_forward(img, kernels, shifts, accum_wrap=True)
+    np.testing.assert_array_equal(got, want)
