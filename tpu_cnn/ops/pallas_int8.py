@@ -60,7 +60,8 @@ def _maxpool_nchw(x: jax.Array) -> jax.Array:
 # middle block dim equals the array dim.)
 
 
-def _kernel_body_mxu(shift_ref, x_ref, k_ref, corr_ref, out_ref, xs_ref, *, tb, ic, oc, size):
+def _kernel_body_mxu(shift_ref, x_ref, k_ref, corr_ref, out_ref, xs_ref, *,
+                     tb, ic, oc, h, w):
     """Multi-image block-diagonal int8 formulation.
 
     The whole tile's taps are staged with 9 wide int8 stores (all images at
@@ -74,9 +75,9 @@ def _kernel_body_mxu(shift_ref, x_ref, k_ref, corr_ref, out_ref, xs_ref, *, tb, 
     u8->i8 value cast), with the exact host-precomputed correction
     128 * sum(k) added to the int32 accumulator. Zero-padding/masked taps
     therefore stage -128. All arithmetic stays integer: bit-exact by
-    construction."""
-    w = size
-    hw = w * w
+    construction. ``h`` may differ from ``w`` (row-banded images: bands
+    with halo rows run as extra batch, see fused_conv_layer)."""
+    hw = h * w
     rows = tb * ic
     shift = shift_ref[0]
 
@@ -134,15 +135,20 @@ def plan_batch_tile(hw: int, ic: int, oc: int, b: int | None = None) -> int:
     return tb
 
 
-def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
-    """(B, ic, HW) u8, (oc, 9ic) f32 -> (B, oc, HW) u8 pre-pool activations."""
+def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array,
+              interpret: bool, h: int | None = None, w: int | None = None):
+    """(B, ic, HW) u8, (oc, 9ic) f32 -> (B, oc, HW) u8 pre-pool activations.
+    ``h``/``w`` default to the square geometry; banded callers pass the
+    rectangle explicitly."""
     b, ic, hw = x.shape
     oc = kmat.shape[0]
-    size = int(round(hw**0.5))
+    if h is None:
+        h = w = int(round(hw**0.5))
+    assert h * w == hw
     tb = plan_batch_tile(hw, ic, oc, b)
     kpacked, corr = _pack_blockdiag(kmat, tb, ic)
     return pl.pallas_call(
-        partial(_kernel_body_mxu, tb=tb, ic=ic, oc=oc, size=size),
+        partial(_kernel_body_mxu, tb=tb, ic=ic, oc=oc, h=h, w=w),
         out_shape=jax.ShapeDtypeStruct((b, oc, hw), jnp.uint8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shift in SMEM
@@ -164,6 +170,47 @@ def _conv_mxu(x: jax.Array, kmat: jax.Array, shift: jax.Array, interpret: bool):
         ),
         interpret=interpret,
     )(jnp.reshape(shift.astype(jnp.int32), (1,)), x, kpacked, corr)
+
+
+def _plan_bands(h: int, w: int, ic: int, oc: int) -> int | None:
+    """Smallest band count nb (dividing h, even band height for the pool)
+    whose banded tile regains >= 4 sublane rows. None if no nb works."""
+    for nb in (2, 4, 8, 16, 32):
+        if h % nb or (h // nb) % 2:
+            continue
+        bh = h // nb + 2  # + halo rows
+        if plan_batch_tile(bh * w, ic, oc) * ic >= 4:
+            return nb
+    return None
+
+
+def _fused_conv_layer_banded(x: jax.Array, kmat: jax.Array, shift: jax.Array,
+                             nb: int, *, interpret: bool) -> jax.Array:
+    """Row-banded conv layer: (B, ic, h, w) -> (B, oc, h/2, w/2), bands run
+    as batch through the SAME kernel (each band is a (bh+2, w) 'image'
+    whose halo-row outputs are cropped)."""
+    b, ic, h, w = x.shape
+    oc = kmat.shape[0]
+    bh = h // nb
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))  # zero halo at edges
+    bands = jnp.stack(
+        [
+            jax.lax.slice(xp, (0, 0, r * bh, 0), (b, ic, r * bh + bh + 2, w))
+            for r in range(nb)
+        ],
+        axis=1,
+    )  # (B, nb, ic, bh+2, w)
+    xb = bands.reshape(b * nb, ic, (bh + 2) * w)
+    pb = b * nb
+    if not interpret and pb % 4:
+        pad = ((pb + 3) // 4) * 4 - pb
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((pad, ic, (bh + 2) * w), xb.dtype)], axis=0
+        )
+    act = _conv_mxu(xb, kmat, shift, interpret, h=bh + 2, w=w)[: b * nb]
+    act = act.reshape(b, nb, oc, bh + 2, w)[:, :, :, 1:-1, :]  # crop halos
+    act = jnp.transpose(act, (0, 2, 1, 3, 4)).reshape(b, oc, h, w)
+    return _maxpool_nchw(act)
 
 
 # ── public API ───────────────────────────────────────────────────────
@@ -205,16 +252,27 @@ def fused_conv_layer(
     # multiple of 4 below) — or a geometry so large that the VMEM budget
     # forces tb*ic < 4 (lyr4-wide's 256^2 layer 0: tb=1, ic=1; caught by
     # the hardware variant sweep 2026-08-16). The latter can't be padded
-    # away, so that layer runs the XLA conv instead — same contract,
-    # bit-exact, and HBM-bound anyway at that size.
-    if not interpret and plan_batch_tile(h * w, ic, oc) * ic < 4:
-        from tpu_cnn.ops import quant
+    # away; since round 3 it is ROW-BANDED instead (the reference's
+    # layer-0 spatial capacity split, ``layer_fsm.v:206-213``, applied to
+    # the sublane axis): the image splits into nb horizontal bands with a
+    # 1-row halo each side, bands run as extra batch (restoring >= 4
+    # sublane rows AND a smaller VMEM working set), halo-row outputs are
+    # cropped, bands reassemble before the pool. Bit-exact: interior rows
+    # see their true neighbours through the halo and the kernel's own
+    # zero-padding only ever lands on discarded halo outputs or the true
+    # image border. Falls back to the XLA conv when no band count fits.
+    if plan_batch_tile(h * w, ic, oc) * ic < 4:
+        nb = _plan_bands(h, w, ic, oc)
+        if nb is None:
+            from tpu_cnn.ops import quant
 
-        nhwc = jnp.transpose(x, (0, 2, 3, 1))
-        out = quant.fixed_point_conv_layer(
-            nhwc, _unpack_kernel_matrix(kmat, ic), shift
-        )
-        return jnp.transpose(out, (0, 3, 1, 2))
+            nhwc = jnp.transpose(x, (0, 2, 3, 1))
+            out = quant.fixed_point_conv_layer(
+                nhwc, _unpack_kernel_matrix(kmat, ic), shift
+            )
+            return jnp.transpose(out, (0, 3, 1, 2))
+        return _fused_conv_layer_banded(x, kmat, shift, nb,
+                                        interpret=interpret)
     pb = b
     if not interpret and b % 4:
         pb = ((b + 3) // 4) * 4
