@@ -252,27 +252,23 @@ def fused_conv_layer(
     # multiple of 4 below) — or a geometry so large that the VMEM budget
     # forces tb*ic < 4 (lyr4-wide's 256^2 layer 0: tb=1, ic=1; caught by
     # the hardware variant sweep 2026-08-16). The latter can't be padded
-    # away; since round 3 it is ROW-BANDED instead (the reference's
-    # layer-0 spatial capacity split, ``layer_fsm.v:206-213``, applied to
-    # the sublane axis): the image splits into nb horizontal bands with a
-    # 1-row halo each side, bands run as extra batch (restoring >= 4
-    # sublane rows AND a smaller VMEM working set), halo-row outputs are
-    # cropped, bands reassemble before the pool. Bit-exact: interior rows
-    # see their true neighbours through the halo and the kernel's own
-    # zero-padding only ever lands on discarded halo outputs or the true
-    # image border. Falls back to the XLA conv when no band count fits.
+    # away, so that layer runs the XLA conv instead — same contract,
+    # bit-exact. A ROW-BANDED Pallas alternative exists
+    # (``_fused_conv_layer_banded``: 1-row-halo bands as extra batch,
+    # restoring >= 4 sublane rows — the reference's layer-0 capacity
+    # split on the sublane axis, hardware-verified bit-exact) but it
+    # MEASURED SLOWER on chip for lyr4's 256^2 L0 (27.8k vs 34.3k FPS
+    # e2e: the band assembly + crop/reassemble relayouts cost more than
+    # the int8 kernel saves over the XLA conv), so XLA stays the default
+    # here; the banded path remains available for callers that want it.
     if plan_batch_tile(h * w, ic, oc) * ic < 4:
-        nb = _plan_bands(h, w, ic, oc)
-        if nb is None:
-            from tpu_cnn.ops import quant
+        from tpu_cnn.ops import quant
 
-            nhwc = jnp.transpose(x, (0, 2, 3, 1))
-            out = quant.fixed_point_conv_layer(
-                nhwc, _unpack_kernel_matrix(kmat, ic), shift
-            )
-            return jnp.transpose(out, (0, 3, 1, 2))
-        return _fused_conv_layer_banded(x, kmat, shift, nb,
-                                        interpret=interpret)
+        nhwc = jnp.transpose(x, (0, 2, 3, 1))
+        out = quant.fixed_point_conv_layer(
+            nhwc, _unpack_kernel_matrix(kmat, ic), shift
+        )
+        return jnp.transpose(out, (0, 3, 1, 2))
     pb = b
     if not interpret and b % 4:
         pb = ((b + 3) // 4) * 4
