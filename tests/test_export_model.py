@@ -87,6 +87,25 @@ def test_export_mega_for_tpu_from_cpu_host(model):
     assert len(det._exported.out_avals) == 4
 
 
+def test_export_chained_mega_variant(stock_kernels, rng):
+    """A geometry on the CHAINED mega plan (lyr4-wide) must export for TPU
+    too — the head-layer reroute + tail megakernel serialize together."""
+    from tpu_cnn.models.registry import default_shifts, get_config
+
+    cfg = get_config("lyr4-wide")
+    kernels = [
+        rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    fc_w = rng.randn(6, cfg.feature_dim_bins).astype(np.float32) * 0.05
+    m = FpgaCNN(kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES,
+                shifts=default_shifts(cfg), config=cfg)
+    blob = export_bundle(m, batch=4, backend="mega", platforms=("tpu",))
+    det = DeployedDetector(blob)
+    assert det.manifest["img_size"] == 256
+    assert det._exported.in_avals[0].shape == (4, 256, 256)
+
+
 def test_export_mega_refuses_cpu_platform(model):
     with pytest.raises(ValueError, match="TPU only"):
         export_bundle(model, batch=4, backend="mega", platforms=("cpu",))
