@@ -371,6 +371,34 @@ def test_tune_shifts_smoke(artifact_dir):
     assert best2 == (2, 4, 6) and len(results2) == 1
 
 
+def test_tune_shifts_save_respects_head_prefix(tmp_path, stock_kernels,
+                                               capsys):
+    """--save with --head-prefix writes <prefix>shifts.json (per-head
+    scoping), leaving the default head's shifts untouched."""
+    import json
+
+    from tpu_cnn.apps import tune_shifts
+
+    rs = np.random.RandomState(5)
+    d = str(tmp_path / "bundle")
+    bundle = art.ArtifactBundle(
+        kernels=stock_kernels,
+        fc_weight=rs.randn(6, 1024).astype(np.float32) * 0.05,
+        fc_bias=np.zeros(6, np.float32),
+        class_names=list(CLASS_NAMES),
+    )
+    art.save_bundle(d, bundle)
+    art.save_bundle(d, bundle, prefix="alt_")
+    tune_shifts.main([
+        "--artifacts", d, "--mode", "cpu", "--radius", "0",
+        "--n-per-class", "4", "--head-epochs", "50",
+        "--head-prefix", "alt_", "--save",
+    ])
+    assert os.path.exists(os.path.join(d, "alt_shifts.json"))
+    assert not os.path.exists(os.path.join(d, "shifts.json"))
+    assert json.load(open(os.path.join(d, "alt_shifts.json"))) == [2, 4, 6]
+
+
 def test_tune_restores_best_shifts(artifact_dir, monkeypatch):
     """After the sweep the engine/model sit at the BEST candidate, not the
     last one visited (a caller reusing the model would otherwise silently
