@@ -166,6 +166,33 @@ def test_mesh_engine_async_pipeline(mesh, stock_kernels, rng):
         np.testing.assert_array_equal(r.bbox, sync.bbox)
 
 
+def test_sharded_chained_mega_lyr4(mesh, rng):
+    """The CHAINED mega plan (lyr4-wide: head layer + multi-channel tail
+    kernel) under shard_map over all 8 devices — bit-exact vs the
+    single-device chained path."""
+    from tpu_cnn.models.registry import default_shifts, get_config
+    from tpu_cnn.ops import pallas_poly
+    from tpu_cnn.parallel.mesh import sharded_forward_mega
+
+    cfg = get_config("lyr4-wide")
+    kernels = [
+        rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    kj = [jnp.asarray(k) for k in kernels]
+    shifts = jnp.asarray(default_shifts(cfg), jnp.int32)
+    imgs = rng.randint(0, 256, size=(8, 256, 256)).astype(np.uint8)
+
+    f = sharded_forward_mega(mesh, kj)
+    got = np.asarray(
+        f(shard_batch(mesh, jnp.asarray(imgs), all_axes=True), shifts)
+    )
+    want = np.asarray(
+        pallas_poly.cnn_forward_mega(jnp.asarray(imgs), kj, shifts)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_mesh_engine_per_device_dispatch_structure(mesh, stock_kernels, rng):
     """Per-device dispatch accounting on the virtual mesh — the stand-in
     for the real ICI scaling curve until >1-chip hardware exists: every
