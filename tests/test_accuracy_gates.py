@@ -77,6 +77,19 @@ def test_lyr4_bundle_accuracy_floor():
     assert acc >= 0.65, f"lyr4-wide bundle regressed: {acc:.3f}"
 
 
+def test_lyr2_bundle_accuracy_floor():
+    """Third model family (lyr2-small, 64x64): trained end-to-end on TPU
+    (two-phase QAT, round 3), bins head + shift sweep via the standard
+    loops — 81.7% on its shipped test images (gated), 76.7% on a clean
+    never-touched split (chance 16.7%). GAP head under gap_ prefix."""
+    acc = _score_bundle(
+        os.path.join(REPO, "artifacts", "pretrained-lyr2"),
+        os.path.join(REPO, "artifacts", "pretrained-lyr2"),
+        "lyr2-small",
+    )
+    assert acc >= 0.72, f"lyr2-small bundle regressed: {acc:.3f}"
+
+
 def test_realphoto_bundle_accuracy_floor():
     """The real-photograph bundle (trained by the full on-TPU QAT +
     dump->retrain + shift-tuning loop, README) must keep its held-out
