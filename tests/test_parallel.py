@@ -254,3 +254,98 @@ def test_mesh_engine_auto_fallback_big_geometry(rng):
                      shifts=default_shifts(cfg4), config=cfg4)
     eng4 = MeshEngine(model4, make_mesh(8, model_axis=1))
     assert eng4.backend.endswith(":mega")
+
+
+# ── pipeline parallelism (GPipe schedule over the 'pipe' axis) ──
+
+
+def _tiny_pipe_setup(rs):
+    cfgs = [(1, 16, 32), (16, 32, 16), (32, 64, 8)]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfgs
+    ]
+    imgs = rs.randint(0, 256, size=(12, 32, 32)).astype(np.uint8)
+    return kernels, imgs, jnp.asarray([2, 4, 6], jnp.int32)
+
+
+@pytest.mark.parametrize("n_stages,microbatch", [(3, 4), (2, 2), (1, 4)])
+def test_pipelined_forward_bit_exact(rng, n_stages, microbatch):
+    """GPipe pipeline over the pipe axis == single-device forward, bit for
+    bit, at every stage count (incl. the degenerate 1-stage pipe) and with
+    multiple microbatches in flight."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh, pipelined_forward
+
+    kernels, imgs, shifts = _tiny_pipe_setup(np.random.RandomState(7))
+    f = pipelined_forward(
+        make_pipeline_mesh(n_stages), kernels, microbatch=microbatch
+    )
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipelined_forward_uneven_stage_split():
+    """4 layers on a 3-stage pipe: split_stages gives (2,1,1) layers per
+    stage; parity must hold across the uneven stage interfaces."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.pipeline import (
+        make_pipeline_mesh,
+        pipelined_forward,
+        split_stages,
+    )
+
+    assert split_stages(4, 3) == [(0, 2), (2, 3), (3, 4)]
+    rs = np.random.RandomState(11)
+    cfgs = [(1, 8, 32), (8, 16, 16), (16, 32, 8), (32, 64, 4)]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfgs
+    ]
+    imgs = rs.randint(0, 256, size=(8, 32, 32)).astype(np.uint8)
+    shifts = jnp.asarray([2, 4, 5, 6], jnp.int32)
+    f = pipelined_forward(make_pipeline_mesh(3), kernels, microbatch=2)
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipelined_forward_flagship_geometry(stock_kernels, rng):
+    """The shipped 128-px weights through a 3-stage pipe (one layer per
+    stage) == the numpy oracle."""
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh, pipelined_forward
+
+    f = pipelined_forward(make_pipeline_mesh(3), stock_kernels, microbatch=4)
+    imgs = rng.randint(0, 256, size=(8, 128, 128)).astype(np.uint8)
+    feats = np.asarray(
+        f(jnp.asarray(imgs), jnp.asarray(DEFAULT_SHIFTS, jnp.int32))
+    )
+    for b in range(0, 8, 3):
+        np.testing.assert_array_equal(
+            feats[b], numpy_cnn_forward(imgs[b], stock_kernels)
+        )
+
+
+def test_pipelined_forward_rejects_bad_config():
+    from tpu_cnn.parallel.pipeline import (
+        make_pipeline_mesh,
+        pipelined_forward,
+        split_stages,
+    )
+
+    with pytest.raises(ValueError, match="must be in"):
+        split_stages(3, 4)  # more stages than layers
+    rs = np.random.RandomState(3)
+    kernels, imgs, shifts = _tiny_pipe_setup(rs)
+    f = pipelined_forward(make_pipeline_mesh(2), kernels, microbatch=5)
+    with pytest.raises(ValueError, match="microbatch"):
+        f(jnp.asarray(imgs), shifts)  # 12 % 5 != 0
+    from tpu_cnn.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="pipe"):
+        pipelined_forward(make_mesh(8, model_axis=2), kernels)

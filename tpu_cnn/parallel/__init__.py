@@ -5,6 +5,11 @@ from tpu_cnn.parallel.mesh import (
     sharded_forward,
     sharded_detect,
 )
+from tpu_cnn.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipelined_forward,
+    split_stages,
+)
 
 __all__ = [
     "MeshEngine",
@@ -12,4 +17,7 @@ __all__ = [
     "shard_batch",
     "sharded_forward",
     "sharded_detect",
+    "make_pipeline_mesh",
+    "pipelined_forward",
+    "split_stages",
 ]
