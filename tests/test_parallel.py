@@ -349,3 +349,85 @@ def test_pipelined_forward_rejects_bad_config():
 
     with pytest.raises(ValueError, match="pipe"):
         pipelined_forward(make_mesh(8, model_axis=2), kernels)
+
+
+# ── spatial parallelism (row shards + halo exchange over the 'space' axis) ──
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_spatial_forward_bit_exact(rng, n_devices):
+    """Row-sharded forward with ppermute halo exchange == single-device
+    forward, bit for bit, at every mesh width that divides the row bands."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.spatial import make_spatial_mesh, spatial_forward
+
+    rs = np.random.RandomState(5)
+    cfgs = [(1, 16, 32), (16, 32, 16), (32, 64, 8)]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfgs
+    ]
+    imgs = rs.randint(0, 256, size=(4, 64, 64)).astype(np.uint8)
+    shifts = jnp.asarray([2, 4, 6], jnp.int32)
+    f = spatial_forward(make_spatial_mesh(n_devices), kernels)
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spatial_forward_flagship_geometry(stock_kernels, rng):
+    """The shipped 128-px weights row-sharded over 4 devices == the numpy
+    oracle (halo context crosses 3 device boundaries per layer)."""
+    from tpu_cnn.parallel.spatial import make_spatial_mesh, spatial_forward
+
+    f = spatial_forward(make_spatial_mesh(4), stock_kernels)
+    imgs = rng.randint(0, 256, size=(6, 128, 128)).astype(np.uint8)
+    feats = np.asarray(
+        f(jnp.asarray(imgs), jnp.asarray(DEFAULT_SHIFTS, jnp.int32))
+    )
+    for b in range(0, 6, 2):
+        np.testing.assert_array_equal(
+            feats[b], numpy_cnn_forward(imgs[b], stock_kernels)
+        )
+
+
+def test_spatial_forward_wrap_semantics():
+    """accum_wrap threads through the halo layer identically to the oracle
+    (adversarial huge-weight geometry that actually wraps)."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.spatial import make_spatial_mesh, spatial_forward
+
+    rs = np.random.RandomState(9)
+    kernels = [
+        rs.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8),
+        rs.randint(-127, 128, size=(64, 16, 3, 3)).astype(np.int8),
+    ]
+    imgs = np.full((2, 32, 32), 255, np.uint8)
+    shifts = jnp.asarray([0, 0], jnp.int32)
+    f = spatial_forward(
+        make_spatial_mesh(4), kernels, accum_wrap=True, compute_dtype="int32"
+    )
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(
+            jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts,
+            accum_wrap=True, compute_dtype="int32",
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spatial_forward_rejects_straddling_split():
+    from tpu_cnn.parallel.spatial import check_spatial_split, make_spatial_mesh, spatial_forward
+
+    with pytest.raises(ValueError, match="straddle"):
+        check_spatial_split(32, 3, 8)  # layer 2: 8 rows, 2*8=16 — straddles
+    rs = np.random.RandomState(1)
+    kernels = [rs.randint(-127, 128, size=(8, 1, 3, 3)).astype(np.int8)] * 3
+    check_spatial_split(128, 3, 8)  # valid split raises nothing
+    from tpu_cnn.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="space"):
+        spatial_forward(make_mesh(8, model_axis=2), kernels)

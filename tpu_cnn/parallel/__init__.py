@@ -10,6 +10,11 @@ from tpu_cnn.parallel.pipeline import (
     pipelined_forward,
     split_stages,
 )
+from tpu_cnn.parallel.spatial import (
+    check_spatial_split,
+    make_spatial_mesh,
+    spatial_forward,
+)
 
 __all__ = [
     "MeshEngine",
@@ -20,4 +25,7 @@ __all__ = [
     "make_pipeline_mesh",
     "pipelined_forward",
     "split_stages",
+    "check_spatial_split",
+    "make_spatial_mesh",
+    "spatial_forward",
 ]
