@@ -431,3 +431,29 @@ def test_spatial_forward_rejects_straddling_split():
 
     with pytest.raises(ValueError, match="space"):
         spatial_forward(make_mesh(8, model_axis=2), kernels)
+
+
+def test_spatial_forward_composite_dp_sp(rng):
+    """2-D (data, space) mesh: batch shards x row shards (dp x sp), the
+    composite deployment shape — still bit-exact vs the oracle forward."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.spatial import make_spatial_mesh, spatial_forward
+
+    rs = np.random.RandomState(13)
+    cfgs = [(1, 16, 32), (16, 32, 16), (32, 64, 8)]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfgs
+    ]
+    imgs = rs.randint(0, 256, size=(6, 64, 64)).astype(np.uint8)
+    shifts = jnp.asarray([2, 4, 6], jnp.int32)
+    mesh = make_spatial_mesh(8, data_axis=2)  # 2 batch shards x 4 row shards
+    assert mesh.axis_names == ("data", "space")
+    f = spatial_forward(mesh, kernels)
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+    np.testing.assert_array_equal(out, ref)
+    with pytest.raises(ValueError, match="divisible by data"):
+        f(jnp.asarray(imgs[:5]), shifts)  # 5 % 2 != 0

@@ -53,13 +53,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_cnn.ops import quant
 
 
-def make_spatial_mesh(n_devices: int, devices=None) -> Mesh:
-    """A 1-D ``space`` mesh over the first ``n_devices`` devices."""
+def make_spatial_mesh(n_devices: int, *, data_axis: int = 1, devices=None) -> Mesh:
+    """A ``space`` mesh over the first ``n_devices`` devices. With
+    ``data_axis > 1`` the mesh is 2-D ``(data, space)`` — batch shards times
+    row shards, the composite deployment shape (dp x sp)."""
     if devices is None:
         devices = jax.devices()
     if len(devices) < n_devices:
         raise ValueError(f"need {n_devices} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_devices]), axis_names=("space",))
+    if n_devices % data_axis:
+        raise ValueError(f"{n_devices} devices not divisible by data={data_axis}")
+    if data_axis == 1:
+        return Mesh(np.asarray(devices[:n_devices]), axis_names=("space",))
+    return Mesh(
+        np.asarray(devices[:n_devices]).reshape(data_axis, -1),
+        axis_names=("data", "space"),
+    )
 
 
 def check_spatial_split(h: int, n_layers: int, n_devices: int) -> None:
@@ -109,9 +118,13 @@ def spatial_forward(
     ``images`` is (B, H, W) uint8 with every layer's row count divisible by
     ``2 * n_devices`` (``check_spatial_split``); output layout matches
     ``quant.cnn_forward`` (bit-exact)."""
-    if len(mesh.axis_names) != 1 or mesh.axis_names[0] != "space":
-        raise ValueError("mesh must be 1-D with axis name 'space'")
-    n_dev = int(mesh.devices.size)
+    if mesh.axis_names not in (("space",), ("data", "space")):
+        raise ValueError(
+            "mesh must be ('space',) or ('data', 'space'), got "
+            f"{mesh.axis_names}"
+        )
+    data_spec = "data" if "data" in mesh.axis_names else None
+    n_dev = int(mesh.shape["space"])
     kernels = [jnp.asarray(k) for k in kernels]
     n_layers = len(kernels)
 
@@ -143,11 +156,15 @@ def spatial_forward(
     def fn(images, shifts):
         b, h, w = images.shape
         check_spatial_split(h, n_layers, n_dev)
+        if data_spec and b % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {b} not divisible by data axis {mesh.shape['data']}"
+            )
         feats = jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(None, "space", None), P()),
-            out_specs=P(None, "space", None, None),
+            in_specs=(P(data_spec, "space", None), P()),
+            out_specs=P(data_spec, "space", None, None),
             check_vma=False,
         )(images, shifts)
         b, hf, wf, c = feats.shape
