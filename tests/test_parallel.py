@@ -457,3 +457,27 @@ def test_spatial_forward_composite_dp_sp(rng):
     np.testing.assert_array_equal(out, ref)
     with pytest.raises(ValueError, match="divisible by data"):
         f(jnp.asarray(imgs[:5]), shifts)  # 5 % 2 != 0
+
+
+def test_spatial_forward_large_input_regime():
+    """The regime the space axis exists for: a large input (512 px, 4-layer
+    ladder) whose layer-0 f32 conv intermediate (512*512*16*4 = 16 MB/img)
+    dominates memory — row-sharded 8 ways, bit-exact vs the oracle."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.spatial import make_spatial_mesh, spatial_forward
+
+    rs = np.random.RandomState(21)
+    cfgs = [(1, 16, 256), (16, 32, 128), (32, 48, 64), (48, 64, 32)]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfgs
+    ]
+    imgs = rs.randint(0, 256, size=(2, 512, 512)).astype(np.uint8)
+    shifts = jnp.asarray([3, 5, 6, 7], jnp.int32)
+    f = spatial_forward(make_spatial_mesh(8), kernels)
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+    assert out.shape == (2, 64, 32 * 32)
+    np.testing.assert_array_equal(out, ref)
