@@ -163,3 +163,49 @@ def test_fuzz_mega_plan_random_geometries(seed):
         np.testing.assert_array_equal(
             got[b], numpy_cnn_forward(imgs[b], kernels, shifts)
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_pipeline_and_spatial_random_geometries(seed):
+    """The pipe and space axes across random layer ladders: any valid stage
+    count / mesh width must stay bit-exact vs the oracle forward."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh, pipelined_forward
+    from tpu_cnn.parallel.spatial import (
+        check_spatial_split,
+        make_spatial_mesh,
+        spatial_forward,
+    )
+
+    rs = np.random.RandomState(700 + seed)
+    n_layers = int(rs.randint(2, 5))
+    t = int(rs.choice([4, 8]))
+    size = t * (2 ** n_layers)
+    cfgs, ic = [], 1
+    for _ in range(n_layers):
+        oc = int(rs.choice([8, 16, 32]))
+        cfgs.append((ic, oc, size))
+        ic, size = oc, size // 2
+    kernels = [
+        rs.randint(-127, 128, size=(oc, icc, 3, 3)).astype(np.int8)
+        for icc, oc, _ in cfgs
+    ]
+    shifts = jnp.asarray([int(rs.randint(0, 9)) for _ in range(n_layers)], jnp.int32)
+    s0 = cfgs[0][2]
+    imgs = rs.randint(0, 256, size=(4, s0, s0)).astype(np.uint8)
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+
+    n_stages = int(rs.randint(1, n_layers + 1))
+    f_pp = pipelined_forward(make_pipeline_mesh(n_stages), kernels, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(f_pp(jnp.asarray(imgs), shifts)), ref)
+
+    widths = [d for d in (2, 4, 8) if (s0 >> (n_layers - 1)) % (2 * d) == 0]
+    if widths:
+        n_space = int(rs.choice(widths))
+        check_spatial_split(s0, n_layers, n_space)
+        f_sp = spatial_forward(make_spatial_mesh(n_space), kernels)
+        np.testing.assert_array_equal(
+            np.asarray(f_sp(jnp.asarray(imgs), shifts)), ref
+        )
