@@ -481,3 +481,29 @@ def test_spatial_forward_large_input_regime():
     )
     assert out.shape == (2, 64, 32 * 32)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pipelined_forward_composite_dp_pp(rng):
+    """2-D (data, pipe) mesh: 2 independent 4-stage pipelines with the batch
+    sharded across them (dp x pp) — still bit-exact vs the oracle."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh, pipelined_forward
+
+    rs = np.random.RandomState(17)
+    cfgs = [(1, 8, 32), (8, 16, 16), (16, 32, 8), (32, 64, 4)]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfgs
+    ]
+    imgs = rs.randint(0, 256, size=(12, 32, 32)).astype(np.uint8)
+    shifts = jnp.asarray([2, 4, 5, 6], jnp.int32)
+    mesh = make_pipeline_mesh(4, data_axis=2)  # 2 pipelines x 4 stages
+    assert mesh.axis_names == ("data", "pipe")
+    f = pipelined_forward(mesh, kernels, microbatch=2)
+    out = np.asarray(f(jnp.asarray(imgs), shifts))
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), [jnp.asarray(k) for k in kernels], shifts)
+    )
+    np.testing.assert_array_equal(out, ref)
+    with pytest.raises(ValueError, match="data shards"):
+        f(jnp.asarray(imgs[:10]), shifts)  # 10 % (2*2) != 0

@@ -50,13 +50,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_cnn.ops import quant
 
 
-def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
-    """A 1-D ``pipe`` mesh over the first ``n_stages`` devices."""
+def make_pipeline_mesh(n_stages: int, *, data_axis: int = 1, devices=None) -> Mesh:
+    """A ``pipe`` mesh over ``data_axis * n_stages`` devices. With
+    ``data_axis > 1`` the mesh is 2-D ``(data, pipe)`` — ``data_axis``
+    independent pipelines of ``n_stages`` stages each, batch sharded across
+    them (dp x pp)."""
     if devices is None:
         devices = jax.devices()
-    if len(devices) < n_stages:
-        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_stages]), axis_names=("pipe",))
+    need = data_axis * n_stages
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if data_axis == 1:
+        return Mesh(np.asarray(devices[:n_stages]), axis_names=("pipe",))
+    return Mesh(
+        np.asarray(devices[:need]).reshape(data_axis, n_stages),
+        axis_names=("data", "pipe"),
+    )
 
 
 def split_stages(n_layers: int, n_stages: int) -> list[tuple[int, int]]:
@@ -85,12 +94,18 @@ def pipelined_forward(
     """Returns a jitted ``f(images, shifts) -> (B, C, S'*S') u8`` running the
     layer stack as a GPipe pipeline over the mesh's ``pipe`` axis.
 
-    ``images`` is (B, H, W) uint8 with B a multiple of ``microbatch``;
-    output layout matches ``quant.cnn_forward`` (bit-exact). ``stages``
-    overrides the balanced contiguous layer split."""
-    if len(mesh.axis_names) != 1 or mesh.axis_names[0] != "pipe":
-        raise ValueError("mesh must be 1-D with axis name 'pipe'")
-    n_stages = int(mesh.devices.size)
+    ``images`` is (B, H, W) uint8 with B a multiple of ``microbatch`` (times
+    the data-shard count on a 2-D ``(data, pipe)`` mesh — independent
+    pipelines with the batch sharded across them); output layout matches
+    ``quant.cnn_forward`` (bit-exact). ``stages`` overrides the balanced
+    contiguous layer split."""
+    if mesh.axis_names not in (("pipe",), ("data", "pipe")):
+        raise ValueError(
+            f"mesh must be ('pipe',) or ('data', 'pipe'), got {mesh.axis_names}"
+        )
+    data_spec = "data" if "data" in mesh.axis_names else None
+    n_data = int(mesh.shape["data"]) if data_spec else 1
+    n_stages = int(mesh.shape["pipe"])
     kernels = [jnp.asarray(k) for k in kernels]
     bounds = list(stages) if stages is not None else split_stages(
         len(kernels), n_stages
@@ -101,9 +116,12 @@ def pipelined_forward(
 
     def fn(images, shifts):
         b, h0, w0 = images.shape
-        if b % mb:
-            raise ValueError(f"batch {b} not a multiple of microbatch {mb}")
-        n_micro = b // mb
+        if b % (n_data * mb):
+            raise ValueError(
+                f"batch {b} not a multiple of microbatch {mb}"
+                + (f" x data shards {n_data}" if n_data > 1 else "")
+            )
+        n_micro = b // n_data // mb
         # interface geometry: stage s consumes the activation entering layer
         # bounds[s][0] and produces the one leaving layer bounds[s][1]-1
         # (each layer halves spatial; channels come from the kernel shapes)
@@ -151,22 +169,24 @@ def pipelined_forward(
             _, ys = lax.scan(
                 step, jnp.zeros(buf_shape, jnp.uint8), jnp.arange(n_steps)
             )
-            return ys[None]  # (1, steps, mb, H0, W0, Cmax) -> stack on pipe
+            # one leading singleton per mesh axis -> stacked over the mesh
+            return ys.reshape((1,) * len(mesh.axis_names) + ys.shape)
 
         stacked = jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P("pipe"),
+            in_specs=(P(data_spec), P()),
+            out_specs=P(*mesh.axis_names),
             check_vma=False,
         )(images, shifts)
 
         # drain: microbatch m leaves the last stage at step m + S - 1
-        last = stacked[n_stages - 1, n_stages - 1 :]  # (M, mb, H0, W0, Cmax)
+        st = stacked if data_spec else stacked[None]
+        last = st[:, n_stages - 1, n_stages - 1 :]  # (Dd, M, mb, H0, W0, Cmax)
         n_layers = len(kernels)
         hf = h0 >> n_layers
         cf = int(kernels[-1].shape[0])
-        feats = last[:, :, :hf, :hf, :cf].reshape(b, hf, hf, cf)
+        feats = last[..., :hf, :hf, :cf].reshape(b, hf, hf, cf)
         return jnp.transpose(feats, (0, 3, 1, 2)).reshape(b, cf, hf * hf)
 
     return jax.jit(fn)
