@@ -497,7 +497,7 @@ def test_pipelined_forward_composite_dp_pp(rng):
     ]
     imgs = rs.randint(0, 256, size=(12, 32, 32)).astype(np.uint8)
     shifts = jnp.asarray([2, 4, 5, 6], jnp.int32)
-    mesh = make_pipeline_mesh(4, data_axis=2)  # 2 pipelines x 4 stages
+    mesh = make_pipeline_mesh(8, data_axis=2)  # 2 pipelines x 4 stages
     assert mesh.axis_names == ("data", "pipe")
     f = pipelined_forward(mesh, kernels, microbatch=2)
     out = np.asarray(f(jnp.asarray(imgs), shifts))
@@ -507,3 +507,44 @@ def test_pipelined_forward_composite_dp_pp(rng):
     np.testing.assert_array_equal(out, ref)
     with pytest.raises(ValueError, match="data shards"):
         f(jnp.asarray(imgs[:10]), shifts)  # 10 % (2*2) != 0
+
+
+def test_pipelined_forward_nonsquare_wrap_and_4d(rng):
+    """Review regressions: non-square (H != W) images, accum_wrap threading,
+    and the (B, H, W, 1) input form — all bit-exact vs the oracle on both
+    new axes."""
+    from tpu_cnn.ops import quant
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh, pipelined_forward
+    from tpu_cnn.parallel.spatial import make_spatial_mesh, spatial_forward
+
+    rs = np.random.RandomState(23)
+    kernels = [
+        rs.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8),
+        rs.randint(-127, 128, size=(64, 16, 3, 3)).astype(np.int8),
+    ]
+    kj = [jnp.asarray(k) for k in kernels]
+    imgs = np.full((4, 32, 64), 255, np.uint8)  # H != W; wraps at shift 0
+    shifts = jnp.asarray([0, 0], jnp.int32)
+    ref = np.asarray(
+        quant.cnn_forward(jnp.asarray(imgs), kj, shifts,
+                          accum_wrap=True, compute_dtype="int32")
+    )
+    assert ref.shape == (4, 64, 8 * 16)
+
+    f_pp = pipelined_forward(
+        make_pipeline_mesh(2), kernels, microbatch=2,
+        accum_wrap=True, compute_dtype="int32",
+    )
+    np.testing.assert_array_equal(np.asarray(f_pp(jnp.asarray(imgs), shifts)), ref)
+    # (B, H, W, 1) form accepted like quant.cnn_forward
+    np.testing.assert_array_equal(
+        np.asarray(f_pp(jnp.asarray(imgs[..., None]), shifts)), ref
+    )
+
+    f_sp = spatial_forward(
+        make_spatial_mesh(4), kernels, accum_wrap=True, compute_dtype="int32"
+    )
+    np.testing.assert_array_equal(np.asarray(f_sp(jnp.asarray(imgs), shifts)), ref)
+    np.testing.assert_array_equal(
+        np.asarray(f_sp(jnp.asarray(imgs[..., None]), shifts)), ref
+    )

@@ -70,6 +70,35 @@ def maxpool2x2(x: jax.Array) -> jax.Array:
     return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
 
 
+def conv3x3_same(x: jax.Array, kernel: jax.Array, compute_dtype: str) -> jax.Array:
+    """The contract's SAME 3x3 convolution with exact integer accumulation:
+    (B, H, W, ic) x (oc, ic, 3, 3) -> (B, H, W, oc) in the accumulator dtype
+    (f32 for f32/bf16 compute — exact below 2^24, module docstring — int32
+    for int32). Shared by the layer function and the spatially-sharded halo
+    path (``parallel/spatial.py``) so the contract lives in one place."""
+    cdt = jnp.dtype(compute_dtype)
+    acc_dt = jnp.float32 if cdt == jnp.bfloat16 else cdt
+    rhs = jnp.transpose(kernel, (2, 3, 1, 0)).astype(cdt)  # (oc,ic,3,3)->HWIO
+    return lax.conv_general_dilated(
+        x.astype(cdt),
+        rhs,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_dt,
+    )
+
+
+def conv_epilogue(
+    conv: jax.Array, shift: jax.Array, *, accum_wrap: bool
+) -> jax.Array:
+    """[wrap24] -> >>shift -> clip -> 2x2 pool -> uint8: the contract's
+    post-accumulation chain, shared with the spatial halo path."""
+    if accum_wrap:
+        conv = wrap_accum(conv)
+    return maxpool2x2(shift_relu_clamp(conv, shift)).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("accum_wrap", "compute_dtype"))
 def fixed_point_conv_layer(
     x: jax.Array,  # (B, H, W, ic) uint8
@@ -85,26 +114,11 @@ def fixed_point_conv_layer(
       - 'float32': exact f32 MXU path (see module docstring) — TPU fast path.
       - 'int32'  : integer conv, the literal oracle semantics.
     """
-    cdt = jnp.dtype(compute_dtype)
     # bf16 inputs are exact here (activations <= 255 and weights <= 127 are
-    # exactly representable in bf16's 8-bit significand) and must accumulate
-    # in f32 to stay exact; int32/f32 accumulate in themselves.
-    acc_dt = jnp.float32 if cdt == jnp.bfloat16 else cdt
-    lhs = x.astype(cdt)
-    # (oc, ic, 3, 3) -> HWIO
-    rhs = jnp.transpose(kernel, (2, 3, 1, 0)).astype(cdt)
-    conv = lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_dt,
-    )
-    if accum_wrap:
-        conv = wrap_accum(conv)
-    out = shift_relu_clamp(conv, shift)
-    return maxpool2x2(out).astype(jnp.uint8)
+    # exactly representable in bf16's 8-bit significand) and accumulate in
+    # f32 to stay exact; int32/f32 accumulate in themselves (conv3x3_same).
+    conv = conv3x3_same(x, kernel, compute_dtype)
+    return conv_epilogue(conv, shift, accum_wrap=accum_wrap)
 
 
 @partial(jax.jit, static_argnames=("accum_wrap", "compute_dtype"))

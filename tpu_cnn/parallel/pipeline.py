@@ -50,20 +50,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_cnn.ops import quant
 
 
-def make_pipeline_mesh(n_stages: int, *, data_axis: int = 1, devices=None) -> Mesh:
-    """A ``pipe`` mesh over ``data_axis * n_stages`` devices. With
+def make_pipeline_mesh(n_devices: int, *, data_axis: int = 1, devices=None) -> Mesh:
+    """A ``pipe`` mesh over the first ``n_devices`` devices (the same
+    total-device convention as ``make_mesh`` / ``make_spatial_mesh``). With
     ``data_axis > 1`` the mesh is 2-D ``(data, pipe)`` — ``data_axis``
-    independent pipelines of ``n_stages`` stages each, batch sharded across
-    them (dp x pp)."""
+    independent pipelines of ``n_devices // data_axis`` stages each, batch
+    sharded across them (dp x pp)."""
     if devices is None:
         devices = jax.devices()
-    need = data_axis * n_stages
-    if len(devices) < need:
-        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if len(devices) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devices)}")
+    if n_devices % data_axis:
+        raise ValueError(f"{n_devices} devices not divisible by data={data_axis}")
     if data_axis == 1:
-        return Mesh(np.asarray(devices[:n_stages]), axis_names=("pipe",))
+        return Mesh(np.asarray(devices[:n_devices]), axis_names=("pipe",))
     return Mesh(
-        np.asarray(devices[:need]).reshape(data_axis, n_stages),
+        np.asarray(devices[:n_devices]).reshape(data_axis, -1),
         axis_names=("data", "pipe"),
     )
 
@@ -89,16 +91,17 @@ def pipelined_forward(
     *,
     microbatch: int = 4,
     stages: Sequence[tuple[int, int]] | None = None,
+    accum_wrap: bool = False,
     compute_dtype: str = "float32",
 ):
-    """Returns a jitted ``f(images, shifts) -> (B, C, S'*S') u8`` running the
+    """Returns a jitted ``f(images, shifts) -> (B, C, Hf*Wf) u8`` running the
     layer stack as a GPipe pipeline over the mesh's ``pipe`` axis.
 
-    ``images`` is (B, H, W) uint8 with B a multiple of ``microbatch`` (times
-    the data-shard count on a 2-D ``(data, pipe)`` mesh — independent
-    pipelines with the batch sharded across them); output layout matches
-    ``quant.cnn_forward`` (bit-exact). ``stages`` overrides the balanced
-    contiguous layer split."""
+    ``images`` is (B, H, W) or (B, H, W, 1) uint8 with B a multiple of
+    ``microbatch`` (times the data-shard count on a 2-D ``(data, pipe)``
+    mesh — independent pipelines with the batch sharded across them);
+    output layout matches ``quant.cnn_forward`` (bit-exact). ``stages``
+    overrides the balanced contiguous layer split."""
     if mesh.axis_names not in (("pipe",), ("data", "pipe")):
         raise ValueError(
             f"mesh must be ('pipe',) or ('data', 'pipe'), got {mesh.axis_names}"
@@ -115,6 +118,8 @@ def pipelined_forward(
     mb = int(microbatch)
 
     def fn(images, shifts):
+        if images.ndim == 4:  # (B, H, W, 1) form, as quant.cnn_forward takes
+            images = images[..., 0]
         b, h0, w0 = images.shape
         if b % (n_data * mb):
             raise ValueError(
@@ -128,6 +133,9 @@ def pipelined_forward(
         in_c = [1] + [int(k.shape[0]) for k in kernels]  # entering layer i
         c_max = max(in_c)
         buf_shape = (mb, h0, w0, c_max)
+        n_layers = len(kernels)
+        hf, wf = h0 >> n_layers, w0 >> n_layers
+        cf = int(kernels[-1].shape[0])
 
         def pad_buf(x):
             _, h, w, c = x.shape
@@ -137,11 +145,11 @@ def pipelined_forward(
 
         def stage_fn(s, buf, shifts):
             start, end = bounds[s]
-            h = h0 >> start
-            x = buf[:, :h, :h, : in_c[start]]
+            x = buf[:, : h0 >> start, : w0 >> start, : in_c[start]]
             for li in range(start, end):
                 x = quant.fixed_point_conv_layer(
-                    x, kernels[li], shifts[li], compute_dtype=compute_dtype
+                    x, kernels[li], shifts[li],
+                    accum_wrap=accum_wrap, compute_dtype=compute_dtype,
                 )
             return pad_buf(x)
 
@@ -156,21 +164,35 @@ def pipelined_forward(
                 # neighbour shift on the ICI ring: stage s-1's last output
                 # becomes stage s's input; device 0 gets zeros from ppermute
                 # and takes microbatch t from the feed instead
+                wire, done = carry
                 recv = lax.ppermute(
-                    carry, "pipe", [(i, i + 1) for i in range(n_stages - 1)]
-                ) if n_stages > 1 else carry
+                    wire, "pipe", [(i, i + 1) for i in range(n_stages - 1)]
+                ) if n_stages > 1 else wire
                 mbi = jnp.clip(t, 0, n_micro - 1)
                 feed = lax.dynamic_slice_in_dim(images, mbi * mb, mb, axis=0)
                 buf_in = jnp.where(d == 0, pad_buf(feed[..., None]), recv)
                 out = lax.switch(d, branches, buf_in, shifts)
-                return out, out
+                # microbatch m leaves the LAST stage at step m + S - 1: store
+                # only its real (hf, wf, cf) region. Fill steps (t < S-1)
+                # write garbage to slot 0, overwritten when m=0 lands there —
+                # scan steps run in order, so the final contents are correct.
+                # This keeps the carry O(B_local) in FINAL-feature bytes
+                # instead of stacking every step's full wire buffer.
+                slot = jnp.maximum(t - (n_stages - 1), 0)
+                done = lax.dynamic_update_slice_in_dim(
+                    done, out[None, :, :hf, :wf, :cf], slot, axis=0
+                )
+                return (out, done), None
 
             n_steps = n_micro + n_stages - 1
-            _, ys = lax.scan(
-                step, jnp.zeros(buf_shape, jnp.uint8), jnp.arange(n_steps)
+            done0 = jnp.zeros((n_micro, mb, hf, wf, cf), jnp.uint8)
+            (_, done), _ = lax.scan(
+                step,
+                (jnp.zeros(buf_shape, jnp.uint8), done0),
+                jnp.arange(n_steps),
             )
             # one leading singleton per mesh axis -> stacked over the mesh
-            return ys.reshape((1,) * len(mesh.axis_names) + ys.shape)
+            return done.reshape((1,) * len(mesh.axis_names) + done.shape)
 
         stacked = jax.shard_map(
             per_device,
@@ -180,13 +202,9 @@ def pipelined_forward(
             check_vma=False,
         )(images, shifts)
 
-        # drain: microbatch m leaves the last stage at step m + S - 1
+        # only the last stage's slots hold real outputs
         st = stacked if data_spec else stacked[None]
-        last = st[:, n_stages - 1, n_stages - 1 :]  # (Dd, M, mb, H0, W0, Cmax)
-        n_layers = len(kernels)
-        hf = h0 >> n_layers
-        cf = int(kernels[-1].shape[0])
-        feats = last[..., :hf, :hf, :cf].reshape(b, hf, hf, cf)
-        return jnp.transpose(feats, (0, 3, 1, 2)).reshape(b, cf, hf * hf)
+        feats = st[:, n_stages - 1].reshape(b, hf, wf, cf)
+        return jnp.transpose(feats, (0, 3, 1, 2)).reshape(b, cf, hf * wf)
 
     return jax.jit(fn)

@@ -84,25 +84,13 @@ def check_spatial_split(h: int, n_layers: int, n_devices: int) -> None:
 
 def _halo_conv_layer(x, kernel, shift, *, accum_wrap, compute_dtype):
     """One contract layer on a row band whose first/last rows are HALO rows
-    from the neighbouring bands (or zeros at the image edge). Semantics
-    match ``quant.fixed_point_conv_layer`` on the containing image: the conv
-    runs SAME over the extended band, the two halo-context output rows are
-    discarded, then >>shift/clip/pool exactly as the contract."""
-    cdt = jnp.dtype(compute_dtype)
-    acc_dt = jnp.float32 if cdt == jnp.bfloat16 else cdt
-    rhs = jnp.transpose(kernel, (2, 3, 1, 0)).astype(cdt)
-    conv = lax.conv_general_dilated(
-        x.astype(cdt),
-        rhs,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_dt,
-    )[:, 1:-1]  # rows computed against the conv's own zero pad, not halos
-    if accum_wrap:
-        conv = quant.wrap_accum(conv)
-    out = quant.shift_relu_clamp(conv, shift)
-    return quant.maxpool2x2(out).astype(jnp.uint8)
+    from the neighbouring bands (or zeros at the image edge). Built from the
+    same ``quant.conv3x3_same`` + ``quant.conv_epilogue`` the layer function
+    uses — only the slice of the two halo-context output rows (computed
+    against the conv's own zero pad rather than the true neighbour context)
+    differs, so the contract lives in one place."""
+    conv = quant.conv3x3_same(x, kernel, compute_dtype)[:, 1:-1]
+    return quant.conv_epilogue(conv, shift, accum_wrap=accum_wrap)
 
 
 def spatial_forward(
@@ -154,6 +142,8 @@ def spatial_forward(
         return x  # (B, h_loc >> n_layers, W >> n_layers, C)
 
     def fn(images, shifts):
+        if images.ndim == 4:  # (B, H, W, 1) form, as quant.cnn_forward takes
+            images = images[..., 0]
         b, h, w = images.shape
         check_spatial_split(h, n_layers, n_dev)
         if data_spec and b % mesh.shape["data"]:
