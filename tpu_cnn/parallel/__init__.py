@@ -10,6 +10,10 @@ from tpu_cnn.parallel.pipeline import (
     pipelined_forward,
     split_stages,
 )
+from tpu_cnn.parallel.pipeline_train import (
+    make_pipeline_train_step,
+    pipelined_float_logits,
+)
 from tpu_cnn.parallel.spatial import (
     check_spatial_split,
     make_spatial_mesh,
@@ -25,6 +29,8 @@ __all__ = [
     "make_pipeline_mesh",
     "pipelined_forward",
     "split_stages",
+    "make_pipeline_train_step",
+    "pipelined_float_logits",
     "check_spatial_split",
     "make_spatial_mesh",
     "spatial_forward",

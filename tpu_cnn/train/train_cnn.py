@@ -110,10 +110,19 @@ def loss_fn(params: Params, images, labels, n_layers: int):
     return loss, acc
 
 
-def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None):
+def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
+                    *, microbatch: int = 4):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
-    (params, opt_state, loss, acc)``. With a mesh, inputs/params carry
-    data/model shardings and XLA inserts the gradient psums over ICI."""
+    (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
+    inputs/params carry data/model shardings and XLA inserts the gradient
+    psums over ICI; with a ``pipe`` mesh (``make_pipeline_mesh``), forward
+    AND backward run as a GPipe pipeline with stage-sharded weights
+    (``parallel/pipeline_train.py`` — gradients exactly equal)."""
+    if mesh is not None and "pipe" in mesh.axis_names:
+        from tpu_cnn.parallel.pipeline_train import make_pipeline_train_step
+
+        return make_pipeline_train_step(cfg, optimizer, mesh,
+                                        microbatch=microbatch)
     n_layers = len(cfg.layer_configs)
 
     def step(params, opt_state, images, labels):
@@ -234,7 +243,8 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
 
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           class_names=None, mesh: Mesh | None = None, verbose: bool = True,
-          checkpoint_path: str | None = None, resume: bool = False):
+          checkpoint_path: str | None = None, resume: bool = False,
+          microbatch: int = 4):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -258,7 +268,7 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
         optax.scale(-cfg.lr),
     )
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, optimizer, mesh)
+    step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch)
     n_layers = len(cfg.layer_configs)
 
     @jax.jit
@@ -363,6 +373,15 @@ def main(argv=None):
                         "oc + fc feature dim over 2) or a plain count for "
                         "pure data parallelism. Uses the first DATA*MODEL "
                         "of jax.devices().")
+    p.add_argument("--pipeline", default=None, metavar="[DxS|S]",
+                   help="train as a GPipe pipeline over S stage devices "
+                        "(forward AND backward pipelined, stage-sharded "
+                        "weights; gradients exactly equal the plain step's). "
+                        "'DxS' composes with data parallelism: D independent "
+                        "pipelines, batch sharded across them.")
+    p.add_argument("--microbatch", type=int, default=4,
+                   help="pipeline microbatch size (with --pipeline); "
+                        "batch-size must be a multiple of D x this")
     args = p.parse_args(argv)
 
     from tpu_cnn.models.registry import default_shifts, get_config
@@ -416,6 +435,8 @@ def main(argv=None):
         train_split = (imgs[n_val:], labels[n_val:])
         val_split = (imgs[:n_val], labels[:n_val])
     mesh = None
+    if args.mesh and args.pipeline:
+        p.error("--mesh and --pipeline are mutually exclusive")
     if args.mesh:
         from tpu_cnn.parallel.mesh import make_mesh
 
@@ -428,10 +449,24 @@ def main(argv=None):
             p.error(f"--batch-size {cfg.batch_size} must be a multiple of "
                     f"the data axis ({d})")
         print(f"Mesh: {d} data x {m} model over {d * m} devices")
+    elif args.pipeline:
+        from tpu_cnn.parallel.pipeline import make_pipeline_mesh
+
+        if "x" in args.pipeline:
+            d, s = (int(v) for v in args.pipeline.lower().split("x"))
+        else:
+            d, s = 1, int(args.pipeline)
+        mesh = make_pipeline_mesh(d * s, data_axis=d)
+        if cfg.batch_size % (d * args.microbatch):
+            p.error(f"--batch-size {cfg.batch_size} must be a multiple of "
+                    f"data axis x microbatch ({d} x {args.microbatch})")
+        print(f"Pipeline: {d} data x {s} stages over {d * s} devices "
+              f"(microbatch {args.microbatch})")
 
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
-          checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh)
+          checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
+          microbatch=args.microbatch)
 
 
 if __name__ == "__main__":
