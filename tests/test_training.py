@@ -366,3 +366,74 @@ def test_train_cli_pipeline(tmp_path):
         (1, 16, 32), (16, 32, 16), (32, 64, 8)))
     assert bundle.fc_weight.shape[0] == 6
     assert all(np.isfinite(k).all() for k in bundle.kernels)
+
+
+def test_spatial_train_step_matches_unsharded():
+    """Spatial-parallel training (`parallel/spatial_train.py`): image rows
+    sharded with ppermute halo exchange per layer, GAP as partial-sum +
+    psum — jax.grad through the halo exchange matches the plain step at
+    f32 ulp. Also checks the composite (data, space) mesh."""
+    from tpu_cnn.parallel.spatial import make_spatial_mesh
+    from tpu_cnn.parallel.spatial_train import (
+        make_spatial_train_step,
+        spatial_float_logits,
+    )
+
+    cfg = SMALL_CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    bi, bl = jnp.asarray(imgs[:32]), jnp.asarray(labels[:32].astype(np.int32))
+
+    mesh = make_spatial_mesh(4)  # layer2 rows 8 = 2*4: finest legal split
+    f = spatial_float_logits(mesh, cfg.layer_configs)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(f)(params, bi)),
+        np.asarray(float_forward(params, bi, 3)),
+        rtol=0, atol=1e-5,
+    )
+
+    s_ref = make_train_step(cfg, opt)
+    p1, _, l1, a1 = s_ref(params, opt.init(params), bi, bl)
+    s_sp = make_spatial_train_step(cfg, opt, mesh)
+    p2, _, l2, a2 = s_sp(params, opt.init(params), bi, bl)
+    assert float(l1) == pytest.approx(float(l2), abs=1e-6)
+    assert float(a1) == float(a2)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=0, atol=1e-6
+        )
+
+    # composite dp x sp
+    mesh2 = make_spatial_mesh(8, data_axis=2)
+    f2 = spatial_float_logits(mesh2, cfg.layer_configs)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(f2)(params, bi)),
+        np.asarray(float_forward(params, bi, 3)),
+        rtol=0, atol=1e-5,
+    )
+
+    # illegal split refused (layer2 rows 8 % (2*8) != 0)
+    with pytest.raises(ValueError, match="straddle"):
+        spatial_float_logits(make_spatial_mesh(8), cfg.layer_configs)(
+            params, bi
+        )
+
+
+def test_train_cli_spatial(tmp_path):
+    """--spatial DxN trains with row sharding from the CLI (2 data shards x
+    4 row shards over 8 virtual devices)."""
+    from tpu_cnn.train import train_cnn
+    from tpu_cnn.utils import artifacts as art
+
+    out = str(tmp_path / "out")
+    train_cnn.main([
+        "--synthetic", "--variant", "lyr3-tiny", "--epochs", "1",
+        "--batch-size", "16", "--max-per-class", "100",
+        "--spatial", "2x4", "--output-dir", out,
+    ])
+    bundle = art.load_bundle(out, layer_configs=(
+        (1, 16, 32), (16, 32, 16), (32, 64, 8)))
+    assert bundle.fc_weight.shape[0] == 6
+    assert all(np.isfinite(k).all() for k in bundle.kernels)

@@ -19,6 +19,10 @@ from tpu_cnn.parallel.spatial import (
     make_spatial_mesh,
     spatial_forward,
 )
+from tpu_cnn.parallel.spatial_train import (
+    make_spatial_train_step,
+    spatial_float_logits,
+)
 
 __all__ = [
     "MeshEngine",
@@ -34,4 +38,6 @@ __all__ = [
     "check_spatial_split",
     "make_spatial_mesh",
     "spatial_forward",
+    "make_spatial_train_step",
+    "spatial_float_logits",
 ]

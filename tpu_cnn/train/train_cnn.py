@@ -117,12 +117,18 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
     inputs/params carry data/model shardings and XLA inserts the gradient
     psums over ICI; with a ``pipe`` mesh (``make_pipeline_mesh``), forward
     AND backward run as a GPipe pipeline with stage-sharded weights
-    (``parallel/pipeline_train.py`` — gradients exactly equal)."""
+    (``parallel/pipeline_train.py`` — gradients exactly equal); with a
+    ``space`` mesh (``make_spatial_mesh``), image rows are sharded with
+    halo exchange (``parallel/spatial_train.py``)."""
     if mesh is not None and "pipe" in mesh.axis_names:
         from tpu_cnn.parallel.pipeline_train import make_pipeline_train_step
 
         return make_pipeline_train_step(cfg, optimizer, mesh,
                                         microbatch=microbatch)
+    if mesh is not None and "space" in mesh.axis_names:
+        from tpu_cnn.parallel.spatial_train import make_spatial_train_step
+
+        return make_spatial_train_step(cfg, optimizer, mesh)
     n_layers = len(cfg.layer_configs)
 
     def step(params, opt_state, images, labels):
@@ -382,6 +388,12 @@ def main(argv=None):
     p.add_argument("--microbatch", type=int, default=4,
                    help="pipeline microbatch size (with --pipeline); "
                         "batch-size must be a multiple of D x this")
+    p.add_argument("--spatial", default=None, metavar="[DxN|N]",
+                   help="train with image ROWS sharded over N devices "
+                        "(ppermute halo exchange per conv layer, forward "
+                        "and backward). 'DxN' composes with data "
+                        "parallelism. Every layer's row count must divide "
+                        "by 2xN.")
     args = p.parse_args(argv)
 
     from tpu_cnn.models.registry import default_shifts, get_config
@@ -435,8 +447,8 @@ def main(argv=None):
         train_split = (imgs[n_val:], labels[n_val:])
         val_split = (imgs[:n_val], labels[:n_val])
     mesh = None
-    if args.mesh and args.pipeline:
-        p.error("--mesh and --pipeline are mutually exclusive")
+    if sum(bool(v) for v in (args.mesh, args.pipeline, args.spatial)) > 1:
+        p.error("--mesh, --pipeline, and --spatial are mutually exclusive")
     if args.mesh:
         from tpu_cnn.parallel.mesh import make_mesh
 
@@ -462,6 +474,21 @@ def main(argv=None):
                     f"data axis x microbatch ({d} x {args.microbatch})")
         print(f"Pipeline: {d} data x {s} stages over {d * s} devices "
               f"(microbatch {args.microbatch})")
+    elif args.spatial:
+        from tpu_cnn.parallel.spatial import (
+            check_spatial_split, make_spatial_mesh,
+        )
+
+        if "x" in args.spatial:
+            d, s = (int(v) for v in args.spatial.lower().split("x"))
+        else:
+            d, s = 1, int(args.spatial)
+        check_spatial_split(img_size, len(cfg.layer_configs), s)
+        mesh = make_spatial_mesh(d * s, data_axis=d)
+        if cfg.batch_size % d:
+            p.error(f"--batch-size {cfg.batch_size} must be a multiple of "
+                    f"the data axis ({d})")
+        print(f"Spatial: {d} data x {s} row shards over {d * s} devices")
 
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
