@@ -58,6 +58,39 @@ def main():
         print(f"  devices {n}: {dt * 1e3:8.2f} ms/batch  {fps:10,.0f} FPS  "
               f"(x{fps / base:.2f} vs 1 device)")
 
+    # ── pipe and space axes: same flat-curve evidence (1 host core) ──
+    import jax.numpy as jnp
+
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh, pipelined_forward
+    from tpu_cnn.parallel.spatial import (
+        check_spatial_split, make_spatial_mesh, spatial_forward,
+    )
+
+    kernels = [jnp.asarray(k) for k in model.kernels]
+    shifts = jnp.asarray(model.shifts, jnp.int32)
+    imgs_j = jnp.asarray(imgs)
+
+    def bench(f, label):
+        out = f(imgs_j, shifts)  # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            jax.block_until_ready(f(imgs_j, shifts))
+        dt = (time.perf_counter() - t0) / runs
+        print(f"  {label}: {dt * 1e3:8.2f} ms/batch  {batch / dt:10,.0f} FPS")
+
+    print("  pipeline axis (GPipe forward, microbatch 8):")
+    for n in range(1, len(kernels) + 1):
+        bench(pipelined_forward(make_pipeline_mesh(n), kernels, microbatch=8),
+              f"stages  {n}")
+    print("  spatial axis (row shards + halo exchange):")
+    for n in (1, 2, 4, 8):
+        try:
+            check_spatial_split(imgs.shape[1], len(kernels), n)
+        except ValueError:
+            continue
+        bench(spatial_forward(make_spatial_mesh(n), kernels), f"shards  {n}")
+
 
 if __name__ == "__main__":
     main()

@@ -209,3 +209,67 @@ def test_fuzz_pipeline_and_spatial_random_geometries(seed):
         np.testing.assert_array_equal(
             np.asarray(f_sp(jnp.asarray(imgs), shifts)), ref
         )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_parallel_training_random_geometries(seed):
+    """The pp/sp TRAINING twins across random layer ladders: gradients
+    through the GPipe schedule (any stage count, with and without remat)
+    and through the halo exchange must match the plain float gradient at
+    f32 ulp."""
+    import jax
+    import optax
+
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh
+    from tpu_cnn.parallel.pipeline_train import pipelined_float_logits
+    from tpu_cnn.parallel.spatial_train import spatial_float_logits
+    from tpu_cnn.parallel.spatial import make_spatial_mesh
+    from tpu_cnn.train.train_cnn import TrainConfig, init_params, float_forward
+
+    rs = np.random.RandomState(900 + seed)
+    n_layers = int(rs.randint(2, 5))
+    t = int(rs.choice([4, 8]))
+    size = t * (2 ** n_layers)
+    cfgs, ic = [], 1
+    for _ in range(n_layers):
+        oc = int(rs.choice([8, 16, 32]))
+        cfgs.append((ic, oc, size))
+        ic, size = oc, size // 2
+    cfg = TrainConfig(layer_configs=tuple(cfgs))
+    params = init_params(cfg, jax.random.PRNGKey(seed))
+    s0 = cfgs[0][2]
+    imgs = jnp.asarray(rs.rand(8, s0, s0).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, cfg.num_classes, 8).astype(np.int32))
+
+    def ce(logits):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+
+    g_ref = jax.grad(lambda p: ce(float_forward(p, imgs, n_layers)))(params)
+    scale = {k: max(float(np.abs(g_ref[k]).max()), 1e-3) for k in g_ref}
+
+    n_stages = int(rs.randint(1, n_layers + 1))
+    remat = bool(rs.randint(0, 2))
+    f_pp = pipelined_float_logits(
+        make_pipeline_mesh(n_stages), cfgs, microbatch=4, remat=remat
+    )
+    g_pp = jax.grad(lambda p: ce(f_pp(p, imgs)))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_pp[k]), np.asarray(g_ref[k]),
+            rtol=0, atol=1e-5 * scale[k],
+            err_msg=f"pp grad {k} (stages={n_stages}, remat={remat})",
+        )
+
+    widths = [d for d in (2, 4, 8) if (s0 >> (n_layers - 1)) % (2 * d) == 0]
+    if widths:
+        n_space = int(rs.choice(widths))
+        f_sp = spatial_float_logits(make_spatial_mesh(n_space), cfgs)
+        g_sp = jax.grad(lambda p: ce(f_sp(p, imgs)))(params)
+        for k in g_ref:
+            np.testing.assert_allclose(
+                np.asarray(g_sp[k]), np.asarray(g_ref[k]),
+                rtol=0, atol=1e-5 * scale[k],
+                err_msg=f"sp grad {k} (shards={n_space})",
+            )

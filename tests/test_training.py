@@ -332,6 +332,15 @@ def test_pipeline_train_step_matches_unsharded():
             np.asarray(p1[k]), np.asarray(p2[k]), rtol=0, atol=1e-6
         )
 
+    # remat (GPipe + jax.checkpoint per stage): identical step results
+    s_rm = make_pipeline_train_step(cfg, opt, mesh, microbatch=4, remat=True)
+    p3, _, l3, _ = s_rm(params, opt.init(params), bi, bl)
+    assert float(l2) == pytest.approx(float(l3), abs=1e-6)
+    for k in p2:
+        np.testing.assert_allclose(
+            np.asarray(p2[k]), np.asarray(p3[k]), rtol=0, atol=1e-6
+        )
+
     # composite dp x pp: 2 independent pipelines, batch sharded across them
     mesh2 = make_pipeline_mesh(6, data_axis=2)
     f2 = pipelined_float_logits(mesh2, cfg.layer_configs, microbatch=4)

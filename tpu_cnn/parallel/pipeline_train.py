@@ -60,6 +60,7 @@ def pipelined_float_logits(
     *,
     microbatch: int = 4,
     stages: Sequence[tuple[int, int]] | None = None,
+    remat: bool = False,
 ):
     """Returns ``f(params, images) -> (B, num_classes) float32 logits`` —
     the float phase-1 network as a GPipe pipeline over the mesh's ``pipe``
@@ -70,7 +71,15 @@ def pipelined_float_logits(
     ``fc_b``); ``images`` is (B, H, W) float32 with B a multiple of
     ``microbatch`` times the data-shard count. The conv kernels are packed
     into a (S, Lmax, Co, Ci, 3, 3) stage stack sharded ``P("pipe")`` so each
-    device materialises only its own stage's weights inside the step."""
+    device materialises only its own stage's weights inside the step.
+
+    ``remat=True`` wraps each stage body in ``jax.checkpoint`` — the
+    backward pass recomputes the stage's conv intermediates from its wire
+    input instead of storing them for every scan step, the classic
+    GPipe + rematerialisation pairing: live activation memory drops from
+    O(steps x stage depth) to O(steps) wire buffers, for one extra forward
+    of FLOPs on the MXU (gradients unchanged — recomputation is
+    deterministic)."""
     if mesh.axis_names not in (("pipe",), ("data", "pipe")):
         raise ValueError(
             f"mesh must be ('pipe',) or ('data', 'pipe'), got {mesh.axis_names}"
@@ -137,7 +146,7 @@ def pipelined_float_logits(
                         logits = jnp.zeros((mb, ncls), jnp.float32)
                     return pad_buf(x), logits
 
-                return f
+                return jax.checkpoint(f) if remat else f
 
             branches = [stage_branch(s) for s in range(n_stages)]
 
@@ -184,7 +193,8 @@ def pipelined_float_logits(
     return fn
 
 
-def make_pipeline_train_step(cfg, optimizer, mesh: Mesh, *, microbatch: int = 4):
+def make_pipeline_train_step(cfg, optimizer, mesh: Mesh, *,
+                             microbatch: int = 4, remat: bool = False):
     """Drop-in replacement for ``train_cnn.make_train_step`` that runs the
     float forward AND backward as a GPipe pipeline over the mesh's ``pipe``
     axis (optionally composed with ``data``). Signature and semantics match:
@@ -193,7 +203,7 @@ def make_pipeline_train_step(cfg, optimizer, mesh: Mesh, *, microbatch: int = 4)
     import optax
 
     fwd = pipelined_float_logits(
-        mesh, cfg.layer_configs, microbatch=microbatch
+        mesh, cfg.layer_configs, microbatch=microbatch, remat=remat
     )
 
     def step(params, opt_state, images, labels):

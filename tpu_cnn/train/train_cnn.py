@@ -111,7 +111,7 @@ def loss_fn(params: Params, images, labels, n_layers: int):
 
 
 def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
-                    *, microbatch: int = 4):
+                    *, microbatch: int = 4, remat: bool = False):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
     (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
     inputs/params carry data/model shardings and XLA inserts the gradient
@@ -124,7 +124,7 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
         from tpu_cnn.parallel.pipeline_train import make_pipeline_train_step
 
         return make_pipeline_train_step(cfg, optimizer, mesh,
-                                        microbatch=microbatch)
+                                        microbatch=microbatch, remat=remat)
     if mesh is not None and "space" in mesh.axis_names:
         from tpu_cnn.parallel.spatial_train import make_spatial_train_step
 
@@ -250,7 +250,7 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           class_names=None, mesh: Mesh | None = None, verbose: bool = True,
           checkpoint_path: str | None = None, resume: bool = False,
-          microbatch: int = 4):
+          microbatch: int = 4, remat: bool = False):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -274,7 +274,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
         optax.scale(-cfg.lr),
     )
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch)
+    step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch,
+                           remat=remat)
     n_layers = len(cfg.layer_configs)
 
     @jax.jit
@@ -388,6 +389,11 @@ def main(argv=None):
     p.add_argument("--microbatch", type=int, default=4,
                    help="pipeline microbatch size (with --pipeline); "
                         "batch-size must be a multiple of D x this")
+    p.add_argument("--remat", action="store_true",
+                   help="with --pipeline: rematerialise stage activations "
+                        "in the backward (jax.checkpoint per stage) — "
+                        "GPipe + remat, trading one extra stage forward "
+                        "for O(depth) less live activation memory")
     p.add_argument("--spatial", default=None, metavar="[DxN|N]",
                    help="train with image ROWS sharded over N devices "
                         "(ppermute halo exchange per conv layer, forward "
@@ -493,7 +499,7 @@ def main(argv=None):
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
           checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
-          microbatch=args.microbatch)
+          microbatch=args.microbatch, remat=args.remat)
 
 
 if __name__ == "__main__":
