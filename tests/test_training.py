@@ -446,3 +446,57 @@ def test_train_cli_spatial(tmp_path):
         (1, 16, 32), (16, 32, 16), (32, 64, 8)))
     assert bundle.fc_weight.shape[0] == 6
     assert all(np.isfinite(k).all() for k in bundle.kernels)
+
+
+def test_zero1_optimizer_sharding():
+    """ZeRO-1 (`--zero1`): with a pure-dp mesh the Adam moments are sharded
+    over 'data' (each device stores 1/D), updated params match the plain
+    step at f32 ulp, later steps consume the sharded state, and a dp x tp
+    mesh is refused (moments would fight the model-sharded params)."""
+    cfg = SMALL_CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    bi, bl = jnp.asarray(imgs[:32]), jnp.asarray(labels[:32].astype(np.int32))
+    mesh = make_mesh(8, model_axis=1)
+
+    s_ref = make_train_step(cfg, opt)
+    p1, _, l1, _ = s_ref(params, opt.init(params), bi, bl)
+    s_z = make_train_step(cfg, opt, mesh, zero1=True)
+    p2, o2, l2, _ = s_z(params, opt.init(params), bi, bl)
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=0, atol=1e-6
+        )
+    mu = o2[0].mu
+    assert not mu["conv0"].sharding.is_fully_replicated
+    assert mu["conv0"].addressable_shards[0].data.shape[0] \
+        == mu["conv0"].shape[0] // 8
+    # scalars / indivisible leaves (fc_b is (6,)) stay replicated
+    assert mu["fc_b"].sharding.is_fully_replicated
+
+    p3, _, l3, _ = s_z(p2, o2, bi, bl)  # sharded state round-trips
+    assert np.isfinite(float(l3))
+
+    with pytest.raises(ValueError, match="pure data-parallel"):
+        make_train_step(cfg, opt, make_mesh(8, model_axis=2), zero1=True)
+
+
+def test_train_cli_zero1(tmp_path):
+    """--mesh 8 --zero1 trains with the optimizer state sharded from the
+    CLI."""
+    from tpu_cnn.train import train_cnn
+    from tpu_cnn.utils import artifacts as art
+
+    out = str(tmp_path / "out")
+    train_cnn.main([
+        "--synthetic", "--variant", "lyr3-tiny", "--epochs", "1",
+        "--batch-size", "16", "--max-per-class", "100",
+        "--mesh", "8", "--zero1", "--output-dir", out,
+    ])
+    bundle = art.load_bundle(out, layer_configs=(
+        (1, 16, 32), (16, 32, 16), (32, 64, 8)))
+    assert all(np.isfinite(k).all() for k in bundle.kernels)

@@ -110,8 +110,30 @@ def loss_fn(params: Params, images, labels, n_layers: int):
     return loss, acc
 
 
+def _zero1_constrain(opt_state, mesh: Mesh):
+    """ZeRO-1: pin every shardable optimizer-state leaf (Adam moments) to
+    ``P("data")`` on its leading axis. That single annotation is the whole
+    implementation — GSPMD partitions the elementwise moment update across
+    the data shards and inserts the update all-gather before
+    ``apply_updates``, so each device stores and updates only 1/D of the
+    optimizer state (the scaling-book recipe: annotate, let XLA insert the
+    collectives). Scalars and indivisible leaves stay replicated."""
+    n_data = int(mesh.shape["data"])
+
+    def c(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > 1
+                and x.shape[0] % n_data == 0):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data"))
+            )
+        return x
+
+    return jax.tree.map(c, opt_state)
+
+
 def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
-                    *, microbatch: int = 4, remat: bool = False):
+                    *, microbatch: int = 4, remat: bool = False,
+                    zero1: bool = False):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
     (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
     inputs/params carry data/model shardings and XLA inserts the gradient
@@ -119,7 +141,10 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
     AND backward run as a GPipe pipeline with stage-sharded weights
     (``parallel/pipeline_train.py`` — gradients exactly equal); with a
     ``space`` mesh (``make_spatial_mesh``), image rows are sharded with
-    halo exchange (``parallel/spatial_train.py``)."""
+    halo exchange (``parallel/spatial_train.py``). ``zero1=True`` (pure-dp
+    mesh only) additionally shards the optimizer state over ``data``
+    (``_zero1_constrain``) — each device stores/updates 1/D of the Adam
+    moments."""
     if mesh is not None and "pipe" in mesh.axis_names:
         from tpu_cnn.parallel.pipeline_train import make_pipeline_train_step
 
@@ -129,6 +154,13 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
         from tpu_cnn.parallel.spatial_train import make_spatial_train_step
 
         return make_spatial_train_step(cfg, optimizer, mesh)
+    if zero1 and (mesh is None or "data" not in mesh.axis_names
+                  or int(mesh.shape.get("model", 1)) != 1):
+        raise ValueError(
+            "zero1=True needs a pure data-parallel mesh (model axis 1) — "
+            "moments follow the data axis, which conflicts with "
+            "model-sharded params"
+        )
     n_layers = len(cfg.layer_configs)
 
     def step(params, opt_state, images, labels):
@@ -142,7 +174,11 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, images, labels, n_layers
         )
+        if zero1:
+            opt_state = _zero1_constrain(opt_state, mesh)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if zero1:
+            opt_state = _zero1_constrain(opt_state, mesh)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
 
@@ -250,7 +286,7 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           class_names=None, mesh: Mesh | None = None, verbose: bool = True,
           checkpoint_path: str | None = None, resume: bool = False,
-          microbatch: int = 4, remat: bool = False):
+          microbatch: int = 4, remat: bool = False, zero1: bool = False):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -275,7 +311,7 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     )
     opt_state = optimizer.init(params)
     step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch,
-                           remat=remat)
+                           remat=remat, zero1=zero1)
     n_layers = len(cfg.layer_configs)
 
     @jax.jit
@@ -389,6 +425,11 @@ def main(argv=None):
     p.add_argument("--microbatch", type=int, default=4,
                    help="pipeline microbatch size (with --pipeline); "
                         "batch-size must be a multiple of D x this")
+    p.add_argument("--zero1", action="store_true",
+                   help="with --mesh D (pure dp): shard the optimizer "
+                        "state over the data axis (ZeRO-1) — each device "
+                        "stores/updates 1/D of the Adam moments; GSPMD "
+                        "inserts the update all-gather")
     p.add_argument("--remat", action="store_true",
                    help="with --pipeline: rematerialise stage activations "
                         "in the backward (jax.checkpoint per stage) — "
@@ -499,7 +540,7 @@ def main(argv=None):
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
           checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
-          microbatch=args.microbatch, remat=args.remat)
+          microbatch=args.microbatch, remat=args.remat, zero1=args.zero1)
 
 
 if __name__ == "__main__":
