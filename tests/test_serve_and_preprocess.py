@@ -418,3 +418,78 @@ def test_native_front_end_malformed_inputs(artifact_dir):
         stop.set()
         wt.join()
         front.stop()
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded checkpoints (`checkpoint_sharded.py`): ZeRO-1-sharded
+    optimizer state round-trips per-shard with its sharding intact (no host
+    gather), retention keeps only the last 2 epochs, and metadata
+    (epoch/best_acc) restores."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_cnn.parallel.mesh import make_mesh
+    from tpu_cnn.train.checkpoint_sharded import ShardedCheckpointer
+    from tpu_cnn.train import data as D
+    from tpu_cnn.train.train_cnn import TrainConfig, init_params, make_train_step
+
+    cfg = TrainConfig(layer_configs=((1, 16, 16), (16, 32, 8)), batch_size=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(8, model_axis=1)
+    step = make_train_step(cfg, opt, mesh, zero1=True)
+    ds = D.SyntheticShapes(n_per_class=8, img_size=16)
+    imgs, labels = ds.arrays()
+    bi = jnp.asarray(imgs[:16])
+    bl = jnp.asarray(labels[:16].astype(np.int32))
+    params, state, _, _ = step(params, opt.init(params), bi, bl)
+    assert not state[0].mu["conv0"].sharding.is_fully_replicated
+
+    path = str(tmp_path / "ckdir")
+    with ShardedCheckpointer(path) as ck:
+        for epoch in (1, 2, 3):
+            ck.save(epoch, params, state, 0.25 * epoch, params)
+        p2, s2, epoch, best, bp = ck.restore(params, state)
+        assert epoch == 3 and best == pytest.approx(0.75)
+        assert ck.latest() == 3
+        # retention: only the last 2 epochs remain on disk
+        assert ck._mgr.all_steps() == [2, 3]
+    mu2 = s2[0].mu["conv0"]
+    assert not mu2.sharding.is_fully_replicated  # restored SHARDED
+    np.testing.assert_array_equal(
+        np.asarray(mu2), np.asarray(state[0].mu["conv0"])
+    )
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume_sharded(tmp_path):
+    """The trainer auto-selects the orbax dir format for non-.npz
+    --checkpoint paths and resumes from it (with --mesh --zero1 state)."""
+    from tpu_cnn.parallel.mesh import make_mesh
+    from tpu_cnn.train import data as D
+    from tpu_cnn.train.train_cnn import TrainConfig, train
+
+    ds = D.SyntheticShapes(n_per_class=8, img_size=32)
+    imgs, labels = ds.arrays()
+    cfg = TrainConfig(layer_configs=((1, 16, 16), (16, 32, 8)),
+                      epochs=2, batch_size=16, head_epochs=10)
+    ck = str(tmp_path / "ckdir")
+    out = str(tmp_path / "out")
+    mesh = make_mesh(8, model_axis=1)
+    train(cfg, (imgs[12:], labels[12:]), (imgs[:12], labels[:12]), out,
+          verbose=False, checkpoint_path=ck, mesh=mesh, zero1=True)
+    assert os.path.isdir(ck)
+    cfg2 = TrainConfig(layer_configs=cfg.layer_configs, epochs=3,
+                       batch_size=16, head_epochs=10)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train(cfg2, (imgs[12:], labels[12:]), (imgs[:12], labels[:12]), out,
+              verbose=True, checkpoint_path=ck, resume=True, mesh=mesh,
+              zero1=True)
+    assert "Resumed from" in buf.getvalue()
+    assert "(sharded) at epoch 2" in buf.getvalue()

@@ -500,3 +500,77 @@ def test_train_cli_zero1(tmp_path):
     bundle = art.load_bundle(out, layer_configs=(
         (1, 16, 32), (16, 32, 16), (32, 64, 8)))
     assert all(np.isfinite(k).all() for k in bundle.kernels)
+
+
+def test_bf16_mixed_precision_step():
+    """--bf16: conv math in bf16 (f32 master weights + f32 accumulation) —
+    params stay f32, the loss tracks the f32 run closely, and training
+    descends."""
+    cfg = SMALL_CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    bi, bl = jnp.asarray(imgs[:32]), jnp.asarray(labels[:32].astype(np.int32))
+
+    s16 = make_train_step(cfg, opt, compute_dtype="bfloat16")
+    s32 = make_train_step(cfg, opt)
+    p16, st16, l16, _ = s16(params, opt.init(params), bi, bl)
+    _, _, l32, _ = s32(params, opt.init(params), bi, bl)
+    assert abs(float(l16) - float(l32)) < 0.05  # bf16 rounding, same model
+    assert all(v.dtype == jnp.float32 for v in jax.tree.leaves(p16))
+
+    losses = [float(l16)]
+    for _ in range(14):
+        p16, st16, loss, _ = s16(p16, st16, bi, bl)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    # pipe/space twins are f32-only — requesting bf16 there is refused
+    from tpu_cnn.parallel.pipeline import make_pipeline_mesh
+    with pytest.raises(ValueError, match="bf16"):
+        make_train_step(cfg, opt, make_pipeline_mesh(3),
+                        compute_dtype="bfloat16")
+
+
+def test_grad_accum_matches_big_batch():
+    """--grad-accum K (optax.MultiSteps): K half-batch microsteps produce
+    exactly one update equal to the full-batch step (CE means over
+    equal-size halves average to the concatenated mean); params are frozen
+    until the K-th microstep."""
+    cfg = SMALL_CFG
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    inner = optax.adam(1e-3)
+    opt = optax.MultiSteps(inner, every_k_schedule=2)
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    bi, bl = jnp.asarray(imgs[:32]), jnp.asarray(labels[:32].astype(np.int32))
+
+    step = make_train_step(cfg, opt)
+    p1, st, _, _ = step(params, opt.init(params), bi[:16], bl[:16])
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # frozen
+    p2, st, _, _ = step(p1, st, bi[16:], bl[16:])
+
+    step_big = make_train_step(cfg, inner)
+    p_big, _, _, _ = step_big(params, inner.init(params), bi, bl)
+    for k in p2:
+        np.testing.assert_allclose(
+            np.asarray(p2[k]), np.asarray(p_big[k]), rtol=0, atol=1e-6
+        )
+
+
+def test_train_cli_bf16_grad_accum(tmp_path):
+    """--bf16 --grad-accum 2 end-to-end from the CLI."""
+    from tpu_cnn.train import train_cnn
+    from tpu_cnn.utils import artifacts as art
+
+    out = str(tmp_path / "out")
+    train_cnn.main([
+        "--synthetic", "--variant", "lyr3-tiny", "--epochs", "1",
+        "--batch-size", "16", "--max-per-class", "100",
+        "--bf16", "--grad-accum", "2", "--output-dir", out,
+    ])
+    bundle = art.load_bundle(out, layer_configs=(
+        (1, 16, 32), (16, 32, 16), (32, 64, 8)))
+    assert all(np.isfinite(k).all() for k in bundle.kernels)

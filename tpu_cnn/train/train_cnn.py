@@ -87,24 +87,36 @@ def param_shardings(cfg: TrainConfig, mesh: Mesh) -> Params:
     return sh
 
 
-def float_forward(params: Params, images: jax.Array, n_layers: int) -> jax.Array:
+def float_forward(params: Params, images: jax.Array, n_layers: int,
+                  compute_dtype=jnp.float32) -> jax.Array:
     """Float phase-1 network: conv3x3(SAME) -> relu -> maxpool, x N -> GAP ->
-    linear. images: (B, S, S) float32 in [0, 1]."""
-    x = images[..., None]
+    linear. images: (B, S, S) float32 in [0, 1].
+
+    ``compute_dtype=jnp.bfloat16`` is the TPU mixed-precision mode: params
+    stay f32 (master weights — the optimizer state and updates keep full
+    precision), conv inputs/kernels are cast to bf16 so the MXU runs at its
+    native rate (the MXU accumulates bf16 products in f32 internally), and
+    activations travel bf16 between layers (half the HBM traffic). The GAP
+    + linear head runs f32. Forward and backward convs stay uniformly bf16
+    — mixing a wider accumulator dtype into the HLO would break the conv
+    transpose rule's dtype match."""
+    cdt = jnp.dtype(compute_dtype)
+    x = images[..., None].astype(cdt)
     for i in range(n_layers):
-        k = jnp.transpose(params[f"conv{i}"], (2, 3, 1, 0))  # HWIO
+        k = jnp.transpose(params[f"conv{i}"], (2, 3, 1, 0)).astype(cdt)  # HWIO
         x = jax.lax.conv_general_dilated(
-            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         x = jax.nn.relu(x)
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
-    feats = x.mean(axis=(1, 2))  # GAP (B, C)
+    feats = x.astype(jnp.float32).mean(axis=(1, 2))  # GAP (B, C)
     return feats @ params["fc_w"].T + params["fc_b"]
 
 
-def loss_fn(params: Params, images, labels, n_layers: int):
-    logits = float_forward(params, images, n_layers)
+def loss_fn(params: Params, images, labels, n_layers: int,
+            compute_dtype=jnp.float32):
+    logits = float_forward(params, images, n_layers, compute_dtype)
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     acc = (logits.argmax(-1) == labels).mean()
     return loss, acc
@@ -133,7 +145,7 @@ def _zero1_constrain(opt_state, mesh: Mesh):
 
 def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                     *, microbatch: int = 4, remat: bool = False,
-                    zero1: bool = False):
+                    zero1: bool = False, compute_dtype: str = "float32"):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
     (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
     inputs/params carry data/model shardings and XLA inserts the gradient
@@ -144,7 +156,14 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
     halo exchange (``parallel/spatial_train.py``). ``zero1=True`` (pure-dp
     mesh only) additionally shards the optimizer state over ``data``
     (``_zero1_constrain``) — each device stores/updates 1/D of the Adam
-    moments."""
+    moments. ``compute_dtype="bfloat16"`` runs the conv math in bf16 with
+    f32 master weights and f32 accumulation (``float_forward``)."""
+    if compute_dtype != "float32" and mesh is not None and (
+            "pipe" in mesh.axis_names or "space" in mesh.axis_names):
+        raise ValueError(
+            "bf16 compute is supported on the plain / data / model train "
+            "steps; the pipe/space twins run f32"
+        )
     if mesh is not None and "pipe" in mesh.axis_names:
         from tpu_cnn.parallel.pipeline_train import make_pipeline_train_step
 
@@ -162,6 +181,7 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
             "model-sharded params"
         )
     n_layers = len(cfg.layer_configs)
+    cdt = jnp.dtype(compute_dtype)
 
     def step(params, opt_state, images, labels):
         if mesh is not None:
@@ -172,7 +192,7 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                 labels, NamedSharding(mesh, P("data"))
             )
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels, n_layers
+            params, images, labels, n_layers, cdt
         )
         if zero1:
             opt_state = _zero1_constrain(opt_state, mesh)
@@ -286,7 +306,8 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           class_names=None, mesh: Mesh | None = None, verbose: bool = True,
           checkpoint_path: str | None = None, resume: bool = False,
-          microbatch: int = 4, remat: bool = False, zero1: bool = False):
+          microbatch: int = 4, remat: bool = False, zero1: bool = False,
+          compute_dtype: str = "float32", grad_accum: int = 1):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -302,16 +323,24 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     # cosine must span epochs * steps_per_epoch — not epochs — or LR hits 0
     # after ~2 epochs and the rest of the run makes zero-magnitude updates.
     steps_per_epoch = max(1, len(imgs_t) // cfg.batch_size)
+    # with gradient accumulation the inner optimizer (and so the schedule)
+    # steps once per EFFECTIVE batch, not per microstep
+    updates_per_epoch = max(1, steps_per_epoch // max(1, grad_accum))
     optimizer = optax.chain(
         optax.scale_by_adam(),
         optax.scale_by_schedule(
-            optax.cosine_decay_schedule(1.0, max(cfg.epochs, 1) * steps_per_epoch)
+            optax.cosine_decay_schedule(1.0, max(cfg.epochs, 1) * updates_per_epoch)
         ),
         optax.scale(-cfg.lr),
     )
+    if grad_accum > 1:
+        # optax.MultiSteps: accumulate k gradients, apply one update —
+        # k x the effective batch without k x the activation memory
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accum)
     opt_state = optimizer.init(params)
     step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch,
-                           remat=remat, zero1=zero1)
+                           remat=remat, zero1=zero1,
+                           compute_dtype=compute_dtype)
     n_layers = len(cfg.layer_configs)
 
     @jax.jit
@@ -322,16 +351,38 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     rng = np.random.RandomState(cfg.seed)
     best_acc, best_params = -1.0, params
     start_epoch = 1
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        from tpu_cnn.train import checkpoint as ckpt
+    # .npz -> single-file host snapshot; any other path -> orbax sharded
+    # checkpoint dir (async, per-shard, retention — checkpoint_sharded.py)
+    sharded_ckpt = None
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        from tpu_cnn.train.checkpoint_sharded import ShardedCheckpointer
 
-        params, opt_state, done_epoch, best_acc, best_params = ckpt.load_checkpoint(
-            checkpoint_path, params, opt_state
-        )
-        start_epoch = done_epoch + 1
-        if verbose:
-            print(f"Resumed from {checkpoint_path} at epoch {done_epoch} "
-                  f"(best val {best_acc * 100:.1f}%)")
+        sharded_ckpt = ShardedCheckpointer(checkpoint_path)
+    if resume and checkpoint_path:
+        if sharded_ckpt is not None and sharded_ckpt.latest() is not None:
+            params, opt_state, done_epoch, best_acc, best_params = (
+                sharded_ckpt.restore(params, opt_state)
+            )
+            # decommit to host so the jitted step's explicit shardings can
+            # re-place the leaves (restore commits to the template devices;
+            # one-time cost at resume — per-epoch SAVES stay per-shard)
+            params, opt_state, best_params = jax.tree.map(
+                np.asarray, (params, opt_state, best_params)
+            )
+            start_epoch = done_epoch + 1
+            if verbose:
+                print(f"Resumed from {checkpoint_path} (sharded) at epoch "
+                      f"{done_epoch} (best val {best_acc * 100:.1f}%)")
+        elif sharded_ckpt is None and os.path.exists(checkpoint_path):
+            from tpu_cnn.train import checkpoint as ckpt
+
+            params, opt_state, done_epoch, best_acc, best_params = (
+                ckpt.load_checkpoint(checkpoint_path, params, opt_state)
+            )
+            start_epoch = done_epoch + 1
+            if verbose:
+                print(f"Resumed from {checkpoint_path} at epoch {done_epoch} "
+                      f"(best val {best_acc * 100:.1f}%)")
     if verbose:
         print(f"Phase 1: float training ({cfg.epochs} epochs, "
               f"{len(imgs_t)} train / {len(imgs_v)} val)")
@@ -347,7 +398,9 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
                               jnp.asarray(labels_v.astype(np.int32))))
         if vacc > best_acc:
             best_acc, best_params = vacc, jax.tree.map(lambda x: x, params)
-        if checkpoint_path:
+        if sharded_ckpt is not None:
+            sharded_ckpt.save(epoch, params, opt_state, best_acc, best_params)
+        elif checkpoint_path:
             from tpu_cnn.train import checkpoint as ckpt
 
             ckpt.save_checkpoint(checkpoint_path, params, opt_state, epoch,
@@ -355,6 +408,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
         if verbose:
             print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
                   f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
+    if sharded_ckpt is not None:
+        sharded_ckpt.close()
     params = best_params
     if verbose:
         print(f"  best val acc: {best_acc * 100:.1f}%")
@@ -402,7 +457,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--output-dir", default="artifacts/generated")
     p.add_argument("--checkpoint", default=None,
-                   help="path for per-epoch .npz checkpoints")
+                   help="per-epoch checkpoints: a *.npz path for a "
+                        "single-file host snapshot, any other path for an "
+                        "orbax sharded checkpoint DIR (async per-shard "
+                        "saves, keeps last 2 epochs — pairs with "
+                        "--zero1/--mesh sharded state)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--variant", default="lyr3-std",
                    help="model variant from models.registry (geometry)")
@@ -425,6 +484,13 @@ def main(argv=None):
     p.add_argument("--microbatch", type=int, default=4,
                    help="pipeline microbatch size (with --pipeline); "
                         "batch-size must be a multiple of D x this")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: bf16 conv math on the MXU with "
+                        "f32 master weights and f32 accumulation")
+    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                   help="accumulate K gradients per optimizer update "
+                        "(optax.MultiSteps): K x the effective batch "
+                        "without K x the memory")
     p.add_argument("--zero1", action="store_true",
                    help="with --mesh D (pure dp): shard the optimizer "
                         "state over the data axis (ZeRO-1) — each device "
@@ -540,7 +606,9 @@ def main(argv=None):
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
           checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
-          microbatch=args.microbatch, remat=args.remat, zero1=args.zero1)
+          microbatch=args.microbatch, remat=args.remat, zero1=args.zero1,
+          compute_dtype="bfloat16" if args.bf16 else "float32",
+          grad_accum=args.grad_accum)
 
 
 if __name__ == "__main__":
