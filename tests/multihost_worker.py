@@ -1,0 +1,71 @@
+"""Subprocess worker for tests/test_multihost.py — spawned, not collected.
+
+argv: <process_id> <num_processes> <port> <out_dir>
+
+Each process sees 4 virtual CPU devices (XLA_FLAGS set by the spawning
+test); ``jax.distributed`` joins them into ONE global runtime with Gloo
+cross-process collectives — the same machinery a real multi-host TPU pod
+uses over DCN, minus the chips.
+"""
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override trap
+
+
+def main():
+    pid, nproc, port = (int(v) for v in sys.argv[1:4])
+    out_dir = sys.argv[4]
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
+                               process_id=pid)
+    import numpy as np
+    import optax
+
+    from tpu_cnn.parallel.mesh import make_mesh
+    from tpu_cnn.parallel.multihost import global_batches, is_primary
+    from tpu_cnn.train import data as D
+    from tpu_cnn.train.train_cnn import (
+        TrainConfig, init_params, make_train_step, train,
+    )
+
+    assert jax.device_count() == 4 * nproc, jax.devices()
+    assert jax.local_device_count() == 4
+    cfg = TrainConfig(
+        layer_configs=((1, 16, 32), (16, 32, 16), (32, 64, 8)),
+        epochs=2, batch_size=32, head_epochs=50,
+    )
+    mesh = make_mesh(jax.device_count())
+
+    # 1) ONE global-mesh train step on a fixed batch — every process feeds
+    # its local half, XLA psums the gradients across processes; the
+    # updated (replicated) params land on disk per rank for the test to
+    # compare against each other and the single-process step.
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    rs = np.random.RandomState(7)
+    bi = rs.rand(cfg.batch_size, 32, 32).astype(np.float32)
+    bl = rs.randint(0, cfg.num_classes, cfg.batch_size)
+    step = make_train_step(cfg, opt, mesh)
+    (gbi, gbl), = list(global_batches(mesh, [(bi, bl)]))
+    assert not gbi.is_fully_addressable  # truly cross-process sharded
+    p1, _, loss, _ = step(params, opt.init(params), gbi, gbl)
+    np.savez(f"{out_dir}/step_rank{pid}.npz",
+             loss=np.asarray(loss),
+             **{k: np.asarray(v) for k, v in p1.items()})
+
+    # 2) the FULL two-phase train() across both hosts; primary exports the
+    # bundle, the other rank computes everything but writes nothing.
+    ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+    imgs, labels = ds.arrays()
+    n_val = len(imgs) // 6
+    bundle = train(cfg, (imgs[n_val:], labels[n_val:]),
+                   (imgs[:n_val], labels[:n_val]),
+                   f"{out_dir}/bundle", class_names=ds.class_names,
+                   mesh=mesh, verbose=is_primary())
+    assert bundle is not None
+    print(f"rank {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

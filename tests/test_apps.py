@@ -249,6 +249,19 @@ def test_benchmark_smoke(artifact_dir, capsys):
     assert "M MACs" in out
 
 
+def test_benchmark_train_mode(capsys):
+    """--train measures the phase-1 train step (fwd+bwd+Adam) and reports
+    ms/step, img/s, MFU for both compute dtypes."""
+    from tpu_cnn.apps import benchmark
+
+    for dtype in ("float32", "bfloat16"):
+        res = benchmark.main([
+            "--train", "--train-dtype", dtype, "--batch", "4", "--runs", "2",
+        ])
+        assert res["train_img_per_s"] > 0
+        assert "train step" in capsys.readouterr().out
+
+
 def test_bench_script_importable():
     """bench.py must exist, be importable, and target the required schema."""
     import importlib.util

@@ -225,6 +225,57 @@ def bench_host_ingest(batch: int, runs: int, cam_w: int, cam_h: int,
         ring.close()
 
 
+def bench_train(model: FpgaCNN, batch: int, runs: int, compute_dtype: str,
+                passes: int = 3):
+    """Phase-1 float train step throughput (fwd + bwd + Adam update).
+
+    Chains ``runs`` dependent steps and fetches one value that depends on
+    the whole chain — a single step is dispatch-latency-bound behind a slow
+    host link, so the chain times the device (CLAUDE.md relay rule).
+    Returns (ms_per_step, img_per_s, mfu_pct)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_cnn.train.train_cnn import (
+        TrainConfig, init_params, make_train_step,
+    )
+
+    cfg = TrainConfig(layer_configs=model.config.layer_configs,
+                      batch_size=batch)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    state0 = opt.init(params)
+    step = make_train_step(cfg, opt, compute_dtype=compute_dtype)
+    rs = np.random.RandomState(0)
+    s = model.config.img_size
+    imgs = jnp.asarray(rs.rand(batch, s, s).astype(np.float32))
+    labels = jnp.asarray(
+        rs.randint(0, cfg.num_classes, batch).astype(np.int32))
+
+    def chain():
+        p, st = params, state0
+        for _ in range(runs):
+            p, st, loss, _ = step(p, st, imgs, labels)
+        # fetch a chain-dependent value — block_until_ready does not
+        # reliably sync through the relay
+        return float(np.asarray(p["fc_b"]).sum()) + float(loss)
+
+    chain()  # compile + warm
+    best = float("inf")
+    for _ in range(max(1, passes)):
+        t0 = time.perf_counter()
+        chain()
+        best = min(best, (time.perf_counter() - t0) / runs)
+    # fwd + grad-wrt-input + grad-wrt-weights ~= 3x forward MACs; MFU vs
+    # the bf16 MXU peak (197 TFLOP/s = 98.5e12 MAC/s on v5e) — f32 conv
+    # math also rides the MXU via bf16 passes, so the same denominator
+    # gives a conservative MFU for both dtypes
+    train_macs = 3 * macs_per_image(model.config.layer_configs)
+    mfu = (batch * train_macs / best) / 98.5e12 * 100.0
+    return best * 1e3, batch / best, mfu
+
+
 def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
     """Async-pipelined when the engine supports it (detect_batch_async):
     all batches dispatched, resolved at the end — the relay's ~30 ms
@@ -336,6 +387,12 @@ def main(argv=None):
                         "frame ring (off-GIL preprocess), one consumer "
                         "drains engine batches")
     p.add_argument("--ingest-threads", type=int, default=4)
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the phase-1 TRAIN step (fwd+bwd+Adam) "
+                        "instead of inference: ms/step, img/s, train MFU")
+    p.add_argument("--train-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="--train compute dtype (train_cnn --bf16 twin)")
     p.add_argument("--roofline", action="store_true",
                    help="print the megakernel roofline: MAC bound, per-layer "
                         "VMEM bytes-moved model, measured fused time, "
@@ -379,6 +436,14 @@ def main(argv=None):
               f"^2 gray, {args.ingest_threads} producer threads, native "
               f"ring): {fps:12,.0f} frames/s  ({dropped} dropped)")
         return {"host_ingest": fps}
+
+    if args.train:
+        ms, ips, mfu = bench_train(model, args.batch, args.runs,
+                                   args.train_dtype)
+        print(f"\n  train step ({args.train_dtype}, batch {args.batch}, "
+              f"{args.runs}-step chain): {ms:8.2f} ms/step  "
+              f"{ips:10,.0f} img/s  MFU {mfu:.1f}%")
+        return {"train_img_per_s": ips}
 
     if args.roofline:
         return {"roofline": print_roofline(model, args.batch, args.runs)}

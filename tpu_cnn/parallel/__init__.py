@@ -23,6 +23,12 @@ from tpu_cnn.parallel.spatial_train import (
     make_spatial_train_step,
     spatial_float_logits,
 )
+from tpu_cnn.parallel.multihost import (
+    allgather_to_host,
+    global_batches,
+    init_multihost,
+    is_primary,
+)
 
 __all__ = [
     "MeshEngine",
@@ -40,4 +46,8 @@ __all__ = [
     "spatial_forward",
     "make_spatial_train_step",
     "spatial_float_logits",
+    "allgather_to_host",
+    "global_batches",
+    "init_multihost",
+    "is_primary",
 ]

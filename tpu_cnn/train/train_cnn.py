@@ -303,6 +303,26 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
     return exported
 
 
+def _prefetch_to_device(host_batches, depth: int = 2):
+    """Stage host batches on the device ``depth`` ahead of consumption.
+
+    ``jax.device_put`` is asynchronous — it returns with the H2D transfer in
+    flight — so the copy of batch k+1 overlaps step k's compute instead of
+    serializing behind it. Through this harness's relay a synchronous
+    dispatch costs ~30 ms (CLAUDE.md), which a per-step ``jnp.asarray``
+    would pay in full; on real hardware the same pattern hides PCIe/DMA
+    latency. Labels are cast to int32 on the host (free) before staging."""
+    from collections import deque
+
+    q: deque = deque()
+    for bi, bl in host_batches:
+        q.append(jax.device_put((bi, bl.astype(np.int32))))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           class_names=None, mesh: Mesh | None = None, verbose: bool = True,
           checkpoint_path: str | None = None, resume: bool = False,
@@ -316,6 +336,35 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     class_names = list(class_names or CLASS_NAMES[: cfg.num_classes])
     imgs_t, labels_t = train_data
     imgs_v, labels_v = val_data
+
+    # multi-host: >1 OS process joined via parallel.multihost.init_multihost.
+    # The step function and mesh are unchanged — only the feeding differs
+    # (per-process local shards lifted to global arrays) and host-side
+    # singletons (prints, .npz snapshots, bundle export) run on the primary.
+    multihost = jax.process_count() > 1
+    if multihost:
+        from tpu_cnn.parallel import multihost as mh
+
+        if mesh is None or "data" not in mesh.axis_names or int(
+                mesh.shape.get("model", 1)) != 1 or any(
+                a in mesh.axis_names for a in ("pipe", "space")):
+            raise ValueError(
+                "multi-host training currently rides pure data parallelism "
+                "— pass a data-only mesh (model/pipe/space axes are "
+                "single-process features for now)"
+            )
+        if cfg.batch_size % jax.process_count():
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide by the process "
+                f"count {jax.process_count()}"
+            )
+        if zero1 and checkpoint_path and checkpoint_path.endswith(".npz"):
+            raise ValueError(
+                "multi-host + --zero1 shards the optimizer state across "
+                "hosts; a single-file .npz snapshot cannot hold it — use "
+                "an orbax checkpoint DIR (each host writes its shards)"
+            )
+        verbose = verbose and mh.is_primary()
 
     key = jax.random.PRNGKey(cfg.seed)
     params = init_params(cfg, key)
@@ -386,21 +435,39 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     if verbose:
         print(f"Phase 1: float training ({cfg.epochs} epochs, "
               f"{len(imgs_t)} train / {len(imgs_v)} val)")
+    # the val set is fixed — upload it once, not once per epoch
+    imgs_v_d = jnp.asarray(imgs_v)
+    labels_v_d = jnp.asarray(labels_v.astype(np.int32))
     for epoch in range(start_epoch, cfg.epochs + 1):
         losses, accs = [], []
-        for bi, bl in batches(imgs_t, labels_t, cfg.batch_size, rng):
-            params, opt_state, loss, acc = step(
-                params, opt_state, jnp.asarray(bi), jnp.asarray(bl.astype(np.int32))
-            )
-            losses.append(float(loss))
-            accs.append(float(acc))
-        vacc = float(eval_acc(params, jnp.asarray(imgs_v),
-                              jnp.asarray(labels_v.astype(np.int32))))
+        host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
+        if multihost:
+            # every process walks the SAME permutation (shared seed) and
+            # contributes its slice of each global batch; XLA inserts the
+            # cross-host gradient psum over DCN
+            feed = mh.global_batches(mesh, host_stream)
+        else:
+            feed = _prefetch_to_device(host_stream)
+        for bi, bl in feed:
+            params, opt_state, loss, acc = step(params, opt_state, bi, bl)
+            # keep the metrics as device scalars — a per-step float() would
+            # block the dispatch pipeline on every step (one round-trip per
+            # batch); ONE coalesced fetch happens at epoch end
+            losses.append(loss)
+            accs.append(acc)
+        losses, accs = jax.device_get((losses, accs))
+        # under multihost the dp params are fully replicated: decommit to
+        # host so eval (and phase 2) run as plain LOCAL jits on every
+        # process instead of global programs
+        eval_params = jax.tree.map(np.asarray, params) if multihost else params
+        vacc = float(eval_acc(eval_params, imgs_v_d, labels_v_d))
         if vacc > best_acc:
-            best_acc, best_params = vacc, jax.tree.map(lambda x: x, params)
+            best_acc = vacc
+            best_params = (eval_params if multihost
+                           else jax.tree.map(lambda x: x, params))
         if sharded_ckpt is not None:
             sharded_ckpt.save(epoch, params, opt_state, best_acc, best_params)
-        elif checkpoint_path:
+        elif checkpoint_path and (not multihost or mh.is_primary()):
             from tpu_cnn.train import checkpoint as ckpt
 
             ckpt.save_checkpoint(checkpoint_path, params, opt_state, epoch,
@@ -425,6 +492,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     # head) are only valid at the register setting they were trained at
     bundle = art.ArtifactBundle(q_kernels, fc_w, fc_b, class_names,
                                 shifts=[int(s) for s in cfg.shifts])
+    if multihost and not mh.is_primary():
+        return bundle  # every process computes it; one process writes it
     art.save_bundle(out_dir, bundle)
     n_exp = export_test_images(imgs_v, labels_v, out_dir,
                                num_per_class=10, num_classes=cfg.num_classes)
@@ -507,7 +576,31 @@ def main(argv=None):
                         "and backward). 'DxN' composes with data "
                         "parallelism. Every layer's row count must divide "
                         "by 2xN.")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host training: process 0's coordination "
+                        "address (jax.distributed). Run the SAME command "
+                        "on every host with its own --process-id.")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="total number of host processes in the job")
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("TPU_CNN_PROCESS_ID", "0")),
+                   help="this host's rank (env TPU_CNN_PROCESS_ID)")
     args = p.parse_args(argv)
+
+    if args.num_processes > 1:
+        if not args.coordinator:
+            p.error("--num-processes > 1 needs --coordinator HOST:PORT")
+        if args.pipeline or args.spatial:
+            p.error("multi-host rides pure data parallelism — "
+                    "--pipeline/--spatial are single-process features")
+        from tpu_cnn.parallel.multihost import init_multihost
+
+        # must precede the first device query: the distributed runtime
+        # swaps in the global device list
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+        print(f"process {args.process_id}/{args.num_processes}: "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     from tpu_cnn.models.registry import default_shifts, get_config
 
@@ -562,6 +655,9 @@ def main(argv=None):
     mesh = None
     if sum(bool(v) for v in (args.mesh, args.pipeline, args.spatial)) > 1:
         p.error("--mesh, --pipeline, and --spatial are mutually exclusive")
+    if args.num_processes > 1 and not args.mesh:
+        # default: pure dp over every chip of every host
+        args.mesh = str(jax.device_count())
     if args.mesh:
         from tpu_cnn.parallel.mesh import make_mesh
 
