@@ -54,7 +54,34 @@ def main():
              loss=np.asarray(loss),
              **{k: np.asarray(v) for k, v in p1.items()})
 
-    # 2) the FULL two-phase train() across both hosts; primary exports the
+    # 2) multi-host INFERENCE: the xla datapath sharded over both hosts;
+    # each host feeds its own images and fetches ONLY its own rows back.
+    import jax.numpy as jnp
+
+    from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+    from tpu_cnn.parallel.mesh import sharded_forward
+    from tpu_cnn.parallel.multihost import global_image_batch, local_rows
+
+    k_rs = np.random.RandomState(11)
+    kernels = [
+        k_rs.randint(-128, 128, (oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    shifts = (2, 4, 6)
+    all_imgs = k_rs.randint(0, 256, (16, 32, 32)).astype(np.uint8)
+    half = all_imgs[pid * 8:(pid + 1) * 8]
+    g = global_image_batch(mesh, half)
+    assert not g.is_fully_addressable
+    f = sharded_forward(mesh, [jnp.asarray(k) for k in kernels])
+    mine = local_rows(f(g, jnp.asarray(shifts, jnp.int32)))
+    assert mine.shape[0] == 8
+    for b in range(8):
+        np.testing.assert_array_equal(
+            mine[b], numpy_cnn_forward(half[b], kernels, shifts)
+        )
+    print(f"rank {pid} inference parity ok", flush=True)
+
+    # 3) the FULL two-phase train() across both hosts; primary exports the
     # bundle, the other rank computes everything but writes nothing.
     ds = D.SyntheticShapes(n_per_class=16, img_size=32)
     imgs, labels = ds.arrays()

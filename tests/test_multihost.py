@@ -51,6 +51,10 @@ def test_two_process_train(tmp_path):
     for pr, out in zip(procs, outs):
         assert pr.returncode == 0, out
     assert "rank 0 done" in outs[0] and "rank 1 done" in outs[1]
+    # cross-host inference parity ran on both ranks (each host's rows
+    # checked against the numpy oracle inside the worker)
+    for out in outs:
+        assert "inference parity ok" in out
 
     # both ranks fetched the SAME replicated post-step params
     r0 = np.load(tmp_path / "step_rank0.npz")

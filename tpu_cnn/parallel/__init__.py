@@ -26,8 +26,10 @@ from tpu_cnn.parallel.spatial_train import (
 from tpu_cnn.parallel.multihost import (
     allgather_to_host,
     global_batches,
+    global_image_batch,
     init_multihost,
     is_primary,
+    local_rows,
 )
 
 __all__ = [
@@ -48,6 +50,8 @@ __all__ = [
     "spatial_float_logits",
     "allgather_to_host",
     "global_batches",
+    "global_image_batch",
+    "local_rows",
     "init_multihost",
     "is_primary",
 ]

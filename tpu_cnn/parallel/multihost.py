@@ -92,6 +92,37 @@ def global_batches(mesh: Mesh, host_batches, num_classes_dtype=np.int32):
         )
 
 
+def global_image_batch(mesh: Mesh, images: np.ndarray):
+    """Lift this process's image slice to one global inference batch,
+    sharded over EVERY mesh axis flattened — the pure-batch layout the
+    production megakernel path uses (``mesh.shard_batch(all_axes=True)``),
+    which a data-only mesh reduces to plain dp. The global batch is the
+    concatenation of the per-process slices in process order."""
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return jax.make_array_from_process_local_data(
+        sh, np.ascontiguousarray(images)
+    )
+
+
+def local_rows(global_out) -> np.ndarray:
+    """This process's rows of a batch-sharded global result — the inverse
+    of ``global_image_batch`` on the output side: each host fetches ONLY
+    the results for the images it fed (no cross-host traffic). Use
+    ``allgather_to_host`` when every host needs every row instead.
+
+    Only valid for results sharded on dim 0 alone (pred/conf/probs/bbox
+    from the detect paths, features from the pure-dp megakernel): with a
+    replicated output every device holds the same rows, so shards are
+    deduplicated by their dim-0 slice.
+    """
+    blocks = {}
+    for s in global_out.addressable_shards:
+        start = s.index[0].start if s.index[0].start is not None else 0
+        if start not in blocks:
+            blocks[start] = np.asarray(s.data)
+    return np.concatenate([blocks[k] for k in sorted(blocks)], axis=0)
+
+
 def allgather_to_host(x) -> np.ndarray:
     """Fetch a (possibly cross-host sharded) global array to host numpy on
     EVERY process — one all-gather over DCN, then a local device_get."""
