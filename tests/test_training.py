@@ -574,3 +574,41 @@ def test_train_cli_bf16_grad_accum(tmp_path):
     bundle = art.load_bundle(out, layer_configs=(
         (1, 16, 32), (16, 32, 16), (32, 64, 8)))
     assert all(np.isfinite(k).all() for k in bundle.kernels)
+
+
+def test_augment_batch_semantics():
+    """augment_batch: deterministic under a seeded rng, shape/dtype/range
+    preserved, content is a flip+shift of the original (edge padding), and
+    two rngs at the same seed agree — the multihost lockstep property."""
+    from tpu_cnn.train.data import augment_batch
+
+    rs = np.random.RandomState(3)
+    imgs = rs.rand(8, 32, 32).astype(np.float32)
+    a1 = augment_batch(imgs, np.random.RandomState(42))
+    a2 = augment_batch(imgs, np.random.RandomState(42))
+    np.testing.assert_array_equal(a1, a2)
+    assert a1.shape == imgs.shape and a1.dtype == imgs.dtype
+    assert a1.min() >= 0.0 and a1.max() <= 1.0
+    assert not np.array_equal(a1, imgs)  # something actually moved
+    # every augmented image's interior must appear in the original (or its
+    # flip) — translation only moves content, edge padding only replicates
+    for i in range(len(imgs)):
+        inner = a1[i, 8:24, 8:24]
+        found = any(
+            np.array_equal(inner, src[y:y + 16, x:x + 16])
+            for src in (imgs[i], imgs[i, :, ::-1])
+            for y in range(4, 13) for x in range(4, 13)
+        )
+        assert found, f"image {i} is not a flip+shift of the original"
+
+
+def test_train_cli_augment(tmp_path):
+    """--augment end-to-end from the CLI."""
+    from tpu_cnn.train.train_cnn import main as train_main
+
+    out = str(tmp_path / "aug")
+    train_main([
+        "--synthetic", "--epochs", "1", "--batch-size", "8",
+        "--max-per-class", "50", "--augment", "--output-dir", out,
+    ])
+    assert os.path.exists(os.path.join(out, "weights.bin"))

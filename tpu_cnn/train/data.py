@@ -304,3 +304,32 @@ def batches(
     for s in range(0, end, batch_size):
         sel = idx[s : s + batch_size]
         yield images[sel], labels[sel]
+
+
+def augment_batch(images: np.ndarray, rng: np.random.RandomState,
+                  max_shift: int = 4) -> np.ndarray:
+    """Label-preserving train-time augmentation, on the HOST.
+
+    Per image: random horizontal flip + random integer translation up to
+    ±``max_shift`` px with edge-replicated padding (no synthetic black
+    border enters the quantized input range). Host-side keeps the train
+    step's signature unchanged, so it composes with every parallel axis —
+    and with multi-host, where each process draws from the same shared-seed
+    stream and so augments its slice of the global batch consistently.
+
+    Beyond-reference: the reference trainer uses no augmentation
+    (``training/train_cnn.py:226-229`` — grayscale/resize/totensor only);
+    this is opt-in via ``train_cnn --augment`` and defaults off.
+    """
+    out = np.empty_like(images)
+    n, h, w = images.shape
+    flips = rng.rand(n) < 0.5
+    dys = rng.randint(-max_shift, max_shift + 1, n)
+    dxs = rng.randint(-max_shift, max_shift + 1, n)
+    p = max_shift
+    for i in range(n):
+        img = images[i, :, ::-1] if flips[i] else images[i]
+        padded = np.pad(img, p, mode="edge")
+        out[i] = padded[p + dys[i]: p + dys[i] + h,
+                        p + dxs[i]: p + dxs[i] + w]
+    return out

@@ -327,7 +327,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           class_names=None, mesh: Mesh | None = None, verbose: bool = True,
           checkpoint_path: str | None = None, resume: bool = False,
           microbatch: int = 4, remat: bool = False, zero1: bool = False,
-          compute_dtype: str = "float32", grad_accum: int = 1):
+          compute_dtype: str = "float32", grad_accum: int = 1,
+          augment: bool = False):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -441,6 +442,14 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     for epoch in range(start_epoch, cfg.epochs + 1):
         losses, accs = [], []
         host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
+        if augment:
+            from tpu_cnn.train.data import augment_batch
+
+            # same shared-seed rng as the permutation: multihost processes
+            # stay in lockstep, and phase 2 / eval see clean images only
+            host_stream = (
+                (augment_batch(bi, rng), bl) for bi, bl in host_stream
+            )
         if multihost:
             # every process walks the SAME permutation (shared seed) and
             # contributes its slice of each global batch; XLA inserts the
@@ -576,6 +585,11 @@ def main(argv=None):
                         "and backward). 'DxN' composes with data "
                         "parallelism. Every layer's row count must divide "
                         "by 2xN.")
+    p.add_argument("--augment", action="store_true",
+                   help="train-time augmentation (host-side random h-flip "
+                        "+ ±4 px edge-padded translation per image; "
+                        "phase-2 QAT features stay clean). The reference "
+                        "trainer has no augmentation — opt-in.")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host training: process 0's coordination "
                         "address (jax.distributed). Run the SAME command "
@@ -704,7 +718,7 @@ def main(argv=None):
           checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
           microbatch=args.microbatch, remat=args.remat, zero1=args.zero1,
           compute_dtype="bfloat16" if args.bf16 else "float32",
-          grad_accum=args.grad_accum)
+          grad_accum=args.grad_accum, augment=args.augment)
 
 
 if __name__ == "__main__":
