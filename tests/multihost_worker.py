@@ -49,7 +49,7 @@ def main():
     step = make_train_step(cfg, opt, mesh)
     (gbi, gbl), = list(global_batches(mesh, [(bi, bl)]))
     assert not gbi.is_fully_addressable  # truly cross-process sharded
-    p1, _, loss, _ = step(params, opt.init(params), gbi, gbl)
+    p1, o1, loss, _ = step(params, opt.init(params), gbi, gbl)
     np.savez(f"{out_dir}/step_rank{pid}.npz",
              loss=np.asarray(loss),
              **{k: np.asarray(v) for k, v in p1.items()})
@@ -81,7 +81,23 @@ def main():
         )
     print(f"rank {pid} inference parity ok", flush=True)
 
-    # 3) the FULL two-phase train() across both hosts; primary exports the
+    # 3) orbax sharded checkpointing UNDER multi-host: every rank joins the
+    # collective save (each host writes its shards), restore comes back
+    # with the template shardings and the exact values.
+    from tpu_cnn.train.checkpoint_sharded import ShardedCheckpointer
+
+    ck = ShardedCheckpointer(f"{out_dir}/mh_ckpt")
+    ck.save(1, p1, o1, 0.5, p1)
+    ck.close()
+    ck2 = ShardedCheckpointer(f"{out_dir}/mh_ckpt")
+    rp, _, ep, acc, _ = ck2.restore(p1, o1)
+    ck2.close()
+    assert ep == 1 and abs(acc - 0.5) < 1e-9
+    for k in p1:
+        np.testing.assert_array_equal(np.asarray(rp[k]), np.asarray(p1[k]))
+    print(f"rank {pid} ckpt roundtrip ok", flush=True)
+
+    # 4) the FULL two-phase train() across both hosts; primary exports the
     # bundle, the other rank computes everything but writes nothing.
     ds = D.SyntheticShapes(n_per_class=16, img_size=32)
     imgs, labels = ds.arrays()

@@ -55,6 +55,8 @@ def test_two_process_train(tmp_path):
     # checked against the numpy oracle inside the worker)
     for out in outs:
         assert "inference parity ok" in out
+        # orbax collective save/restore round-tripped on every rank
+        assert "ckpt roundtrip ok" in out
 
     # both ranks fetched the SAME replicated post-step params
     r0 = np.load(tmp_path / "step_rank0.npz")

@@ -612,3 +612,54 @@ def test_train_cli_augment(tmp_path):
         "--max-per-class", "50", "--augment", "--output-dir", out,
     ])
     assert os.path.exists(os.path.join(out, "weights.bin"))
+
+
+def test_sigterm_graceful_checkpoint(tmp_path):
+    """Preemption safety: SIGTERM mid-training finishes the current epoch,
+    leaves a valid checkpoint, and exits cleanly (train() returns None);
+    a --resume run picks up after the stopped epoch."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "pre.npz")
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repo!r})
+from tpu_cnn.train import data as D
+from tpu_cnn.train.train_cnn import TrainConfig, train
+cfg = TrainConfig(layer_configs=((1, 16, 32), (16, 32, 16), (32, 64, 8)),
+                  epochs=500, batch_size=16, head_epochs=5)
+ds = D.SyntheticShapes(n_per_class=16, img_size=32)
+imgs, labels = ds.arrays()
+out = train(cfg, (imgs[24:], labels[24:]), (imgs[:24], labels[:24]),
+            {str(tmp_path / "out")!r}, checkpoint_path={ckpt!r})
+print("RETURNED_NONE", out is None, flush=True)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 300
+        while not os.path.exists(ckpt) and time.time() < deadline:
+            assert proc.poll() is None, proc.communicate()[0]
+            time.sleep(0.5)
+        assert os.path.exists(ckpt), "no checkpoint appeared within 300 s"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "RETURNED_NONE True" in out
+    assert "re-run with --resume" in out
+
+    # the snapshot is a valid resumable checkpoint with >= 1 epoch done
+    import json
+
+    meta = json.loads(bytes(np.load(ckpt)["__meta"]).decode())
+    assert meta["epoch"] >= 1

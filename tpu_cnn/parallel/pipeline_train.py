@@ -47,7 +47,8 @@ def _float_layer(x: jax.Array, k: jax.Array) -> jax.Array:
     the pipelined logits must equal the plain forward's exactly)."""
     k = jnp.transpose(k, (2, 3, 1, 0))  # (oc, ic, 3, 3) -> HWIO
     x = lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,  # match float_forward on TPU
     )
     x = jax.nn.relu(x)
     b, h, w, c = x.shape
@@ -141,7 +142,10 @@ def pipelined_float_logits(
                         ic_li, oc_li, _ = layer_configs[li]
                         x = _float_layer(x, stack[j, :oc_li, :ic_li])
                     if end == n_layers:  # last stage: GAP -> linear head
-                        logits = x.mean(axis=(1, 2)) @ fc_w.T + fc_b
+                        logits = jnp.matmul(
+                            x.mean(axis=(1, 2)), fc_w.T,
+                            precision=lax.Precision.HIGHEST,
+                        ) + fc_b
                     else:
                         logits = jnp.zeros((mb, ncls), jnp.float32)
                     return pad_buf(x), logits

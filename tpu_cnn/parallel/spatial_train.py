@@ -85,13 +85,16 @@ def spatial_float_logits(
                 c = lax.conv_general_dilated(
                     ext, k, (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=lax.Precision.HIGHEST,  # match float_forward
                 )[:, 1:-1]  # drop the two halo-context output rows
                 c = jax.nn.relu(c)
                 bb, hh, ww, cc = c.shape
                 x = c.reshape(bb, hh // 2, 2, ww // 2, 2, cc).max(axis=(2, 4))
             # GAP over the FULL image: local partial sum + psum over 'space'
             feats = lax.psum(x.sum(axis=(1, 2)), "space") / (hf * wf)
-            return feats @ fc_w.T + fc_b  # identical on every row shard
+            # identical on every row shard
+            return jnp.matmul(feats, fc_w.T,
+                              precision=lax.Precision.HIGHEST) + fc_b
 
         return jax.shard_map(
             per_device,

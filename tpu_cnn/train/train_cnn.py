@@ -99,19 +99,30 @@ def float_forward(params: Params, images: jax.Array, n_layers: int,
     activations travel bf16 between layers (half the HBM traffic). The GAP
     + linear head runs f32. Forward and backward convs stay uniformly bf16
     — mixing a wider accumulator dtype into the HLO would break the conv
-    transpose rule's dtype match."""
+    transpose rule's dtype match.
+
+    f32 requests ``Precision.HIGHEST`` explicitly: the TPU default would
+    silently run the conv inputs at bf16, and a backbone trained under
+    that noise quantizes BADLY in phase 2 (measured on the realphoto set:
+    94.8% held-out from the true-f32 backbone vs 64.8% from a
+    default-precision TPU run of the same protocol). bf16 remains the
+    explicit opt-in (``--bf16``) with the QAT caveat documented there."""
     cdt = jnp.dtype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     x = images[..., None].astype(cdt)
     for i in range(n_layers):
         k = jnp.transpose(params[f"conv{i}"], (2, 3, 1, 0)).astype(cdt)  # HWIO
         x = jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=prec,
         )
         x = jax.nn.relu(x)
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
     feats = x.astype(jnp.float32).mean(axis=(1, 2))  # GAP (B, C)
-    return feats @ params["fc_w"].T + params["fc_b"]
+    return jnp.matmul(feats, params["fc_w"].T,
+                      precision=jax.lax.Precision.HIGHEST) + params["fc_b"]
 
 
 def loss_fn(params: Params, images, labels, n_layers: int,
@@ -263,7 +274,12 @@ def fit_head(features: np.ndarray, labels: np.ndarray, cfg: TrainConfig,
             w, b, state = carry
 
             def loss(p):
-                logits = X @ p[0].T + p[1]
+                # HIGHEST: features span [0, 255]; the TPU default bf16
+                # matmul underfits this head (same failure class as
+                # float_forward's precision note)
+                logits = jnp.matmul(
+                    X, p[0].T, precision=jax.lax.Precision.HIGHEST
+                ) + p[1]
                 return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
 
             g = jax.grad(loss)((w, b))
@@ -277,8 +293,11 @@ def fit_head(features: np.ndarray, labels: np.ndarray, cfg: TrainConfig,
 
     w, b = train_scan(w, b, state)
     if verbose:
-        va = float(((Xv @ w.T + b).argmax(-1) == yv).mean())
-        ta = float(((X @ w.T + b).argmax(-1) == y).mean())
+        hp = jax.lax.Precision.HIGHEST
+        va = float(((jnp.matmul(Xv, w.T, precision=hp) + b)
+                    .argmax(-1) == yv).mean())
+        ta = float(((jnp.matmul(X, w.T, precision=hp) + b)
+                    .argmax(-1) == y).mean())
         print(f"  head: train {ta * 100:.1f}%  val {va * 100:.1f}%")
     return np.asarray(w), np.asarray(b)
 
@@ -401,6 +420,22 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     rng = np.random.RandomState(cfg.seed)
     best_acc, best_params = -1.0, params
     start_epoch = 1
+    # preemption safety: SIGTERM (the cluster-manager eviction signal)
+    # finishes the CURRENT epoch, writes the per-epoch checkpoint as usual,
+    # and returns cleanly for a later --resume — instead of dying mid-step
+    # with a torn run. Signal handlers only install from the main thread
+    # (serving/test harnesses may train from workers); phase 2 is skipped
+    # on preemption (the bundle export belongs to the resumed run).
+    import signal
+    import threading
+
+    preempted = threading.Event()
+    _old_sigterm = None
+    if threading.current_thread() is threading.main_thread():
+        _old_sigterm = signal.signal(
+            signal.SIGTERM, lambda signum, frame: preempted.set()
+        )
+
     # .npz -> single-file host snapshot; any other path -> orbax sharded
     # checkpoint dir (async, per-shard, retention — checkpoint_sharded.py)
     sharded_ckpt = None
@@ -439,6 +474,7 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     # the val set is fixed — upload it once, not once per epoch
     imgs_v_d = jnp.asarray(imgs_v)
     labels_v_d = jnp.asarray(labels_v.astype(np.int32))
+    epoch = start_epoch - 1  # stays if SIGTERM lands before the first epoch
     for epoch in range(start_epoch, cfg.epochs + 1):
         losses, accs = [], []
         host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
@@ -484,8 +520,18 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
         if verbose:
             print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
                   f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
+        if preempted.is_set():
+            break
+    if _old_sigterm is not None:
+        signal.signal(signal.SIGTERM, _old_sigterm)
     if sharded_ckpt is not None:
         sharded_ckpt.close()
+    if preempted.is_set():
+        if verbose:
+            where = checkpoint_path or "(no --checkpoint given!)"
+            print(f"SIGTERM: stopped after epoch {epoch}, state in {where} "
+                  f"— re-run with --resume to continue")
+        return None
     params = best_params
     if verbose:
         print(f"  best val acc: {best_acc * 100:.1f}%")
