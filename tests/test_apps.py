@@ -91,6 +91,29 @@ def test_dump_then_retrain_loop(artifact_dir, tmp_path, capsys):
     assert acc > 0.5, f"retrained head accuracy {acc}"
 
 
+def test_retrain_optimizer_adam(artifact_dir, tmp_path):
+    """--optimizer adam: the beyond-reference adaptive Adam head fit
+    through the SAME retrain CLI — measured 95.3% vs 78.2% held-out on
+    the hard augmented-backbone realphoto features (ROADMAP probes)."""
+    from tpu_cnn.apps import dump_features, retrain_classifier
+    from tpu_cnn.head.classify import classify_np
+
+    npz = str(tmp_path / "feats.npz")
+    dump_features.main(["--artifacts", artifact_dir, "--image-dir", artifact_dir,
+                        "--output", npz, "--mode", "cpu"])
+    out_dir = str(tmp_path / "adam")
+    retrain_classifier.main([
+        "--features", npz, "--output-dir", out_dir, "--optimizer", "adam",
+        "--classes", os.path.join(artifact_dir, "classes.json"),
+    ])
+    w = np.load(os.path.join(out_dir, "fc_weight.npy"))
+    b = np.load(os.path.join(out_dir, "fc_bias.npy"))
+    assert w.shape == (6, 1024) and b.shape == (6,)
+    features, labels, _, _ = art.load_feature_dump(npz)
+    idx, _, _ = classify_np(features, w, b)
+    assert (idx == labels).mean() > 0.5
+
+
 def test_retrain_prefix(artifact_dir, tmp_path):
     """--prefix arm_ names the outputs arm_fc_*.npy (engine-specific heads)."""
     from tpu_cnn.apps import dump_features, retrain_classifier

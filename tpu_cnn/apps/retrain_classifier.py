@@ -161,6 +161,14 @@ def main(argv=None):
                    default=os.path.join(default_artifacts(), "classes.json"),
                    help="class-name override when the feature dump has none")
     p.add_argument("--prefix", default="", help="e.g. 'arm_' -> arm_fc_weight.npy")
+    p.add_argument("--optimizer", default="ref", choices=("ref", "adam"),
+                   help="ref (default) = the reference trainer's exact "
+                        "semantics (SGD momentum 0.9, L2 1e-3, LR "
+                        "halving). adam = the trainer's unregularized "
+                        "adaptive Adam head fit (beyond-reference) — "
+                        "converges where the reference recipe under-fits "
+                        "hard feature matrices (docs/ROADMAP.md round-3 "
+                        "probes)")
     args = p.parse_args(argv)
 
     print("=" * 60)
@@ -184,11 +192,17 @@ def main(argv=None):
         with open(args.classes) as f:
             class_names = json.load(f)
 
-    print(f"\nTraining linear head (lr={args.lr}, epochs={args.epochs}) "
-          f"on {pooled.shape} features...")
-    W, bias = train_linear_classifier(
-        pooled, labels, num_classes, lr=args.lr, epochs=args.epochs
-    )
+    print(f"\nTraining linear head ({args.optimizer}, lr={args.lr}, "
+          f"epochs={args.epochs}) on {pooled.shape} features...")
+    if args.optimizer == "adam":
+        from tpu_cnn.train.train_cnn import TrainConfig, fit_head
+
+        cfg = TrainConfig(num_classes=num_classes, head_lr=args.lr)
+        W, bias = fit_head(pooled.astype(np.float32), labels, cfg)
+    else:
+        W, bias = train_linear_classifier(
+            pooled, labels, num_classes, lr=args.lr, epochs=args.epochs
+        )
     report(pooled, labels, W, bias, class_names)
 
     os.makedirs(args.output_dir, exist_ok=True)
