@@ -703,3 +703,20 @@ def test_train_cli_qat(tmp_path):
         "--max-per-class", "50", "--qat", "--output-dir", out,
     ])
     assert os.path.exists(os.path.join(out, "weights.bin"))
+
+
+def test_prefetch_preserves_stream():
+    """_prefetch_to_device must yield exactly the host stream's batches, in
+    order, with labels cast to int32 — staging ahead must never reorder or
+    drop (the training loop's correctness depends on it)."""
+    from tpu_cnn.train.train_cnn import _prefetch_to_device
+
+    rs = np.random.RandomState(0)
+    host = [(rs.rand(4, 8, 8).astype(np.float32),
+             rs.randint(0, 6, 4).astype(np.int64)) for _ in range(5)]
+    out = list(_prefetch_to_device(iter(host)))
+    assert len(out) == len(host)
+    for (hi, hl), (di, dl) in zip(host, out):
+        np.testing.assert_array_equal(np.asarray(di), hi)
+        np.testing.assert_array_equal(np.asarray(dl), hl.astype(np.int32))
+        assert np.asarray(dl).dtype == np.int32
