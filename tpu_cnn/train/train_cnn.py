@@ -586,6 +586,18 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
         if verbose:
             print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
                   f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
+        if multihost:
+            # consensus: cluster managers usually signal every host, but a
+            # rank that stops ALONE would hang the others' next collective
+            # — take the OR of the flag across processes, so everyone
+            # breaks (and checkpoints) together
+            from jax.experimental import multihost_utils
+
+            flag = multihost_utils.process_allgather(
+                jnp.asarray([1 if preempted.is_set() else 0], jnp.int32)
+            )
+            if int(np.asarray(flag).max()):
+                preempted.set()
         if preempted.is_set():
             break
     if _old_sigterm is not None:
