@@ -107,7 +107,10 @@ def test_realphoto_gate_trips_on_wrong_shifts():
     """The gate must actually depend on the shift register: scoring the
     same head at a different setting — (1, 5, 8), the PREVIOUS bundle's
     tuned register (measured 31.6% with this head) — lands well under the
-    floor, proving a silently dropped/corrupted shifts.json cannot pass."""
+    floor, proving a CORRUPTED shifts.json cannot pass. (A deleted
+    shifts.json is harmless for this bundle: its tuned register happens
+    to equal the default ladder (2, 4, 6) that load_model falls back to,
+    so the behaviour is identical either way.)"""
     from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
     from tpu_cnn.head.classify import classify_np

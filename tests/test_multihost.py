@@ -47,7 +47,14 @@ def test_two_process_train(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [pr.communicate(timeout=600)[0] for pr in procs]
+    try:
+        outs = [pr.communicate(timeout=600)[0] for pr in procs]
+    finally:
+        # a wedged rank must not outlive the test: its peer would block in
+        # the next collective forever and poison later runs
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
     for pr, out in zip(procs, outs):
         assert pr.returncode == 0, out
     assert "rank 0 done" in outs[0] and "rank 1 done" in outs[1]

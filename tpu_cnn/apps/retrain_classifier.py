@@ -192,14 +192,20 @@ def main(argv=None):
         with open(args.classes) as f:
             class_names = json.load(f)
 
-    print(f"\nTraining linear head ({args.optimizer}, lr={args.lr}, "
-          f"epochs={args.epochs}) on {pooled.shape} features...")
     if args.optimizer == "adam":
         from tpu_cnn.train.train_cnn import TrainConfig, fit_head
 
-        cfg = TrainConfig(num_classes=num_classes, head_lr=args.lr)
+        # --epochs is the per-chunk step count here; fit_head runs up to
+        # 10 chunks, keeping the chunk-boundary best-val weights
+        print(f"\nTraining linear head (adam, lr={args.lr}, "
+              f"{args.epochs}-step chunks, best-val) on "
+              f"{pooled.shape} features...")
+        cfg = TrainConfig(num_classes=num_classes, head_lr=args.lr,
+                          head_epochs=args.epochs)
         W, bias = fit_head(pooled.astype(np.float32), labels, cfg)
     else:
+        print(f"\nTraining linear head (ref, lr={args.lr}, "
+              f"epochs={args.epochs}) on {pooled.shape} features...")
         W, bias = train_linear_classifier(
             pooled, labels, num_classes, lr=args.lr, epochs=args.epochs
         )

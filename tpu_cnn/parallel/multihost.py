@@ -31,6 +31,8 @@ __all__ = [
     "init_multihost",
     "is_primary",
     "global_batches",
+    "global_image_batch",
+    "local_rows",
     "allgather_to_host",
 ]
 
@@ -76,13 +78,17 @@ def global_batches(mesh: Mesh, host_batches, num_classes_dtype=np.int32):
     """
     n_proc = jax.process_count()
     pid = jax.process_index()
+    n_dev = mesh.devices.size
     sh = NamedSharding(mesh, P("data"))
     for bi, bl in host_batches:
-        k = len(bi) // n_proc
-        if k == 0:
+        if len(bi) % n_dev:
+            # no silent row drop: the data axis spans every device of
+            # every host, so the global batch must tile exactly
             raise ValueError(
-                f"global batch {len(bi)} smaller than process count {n_proc}"
+                f"global batch {len(bi)} must divide by the mesh's device "
+                f"count {n_dev} ({n_proc} processes)"
             )
+        k = len(bi) // n_proc
         sl = slice(pid * k, (pid + 1) * k)
         yield (
             jax.make_array_from_process_local_data(sh, np.ascontiguousarray(bi[sl])),

@@ -294,11 +294,14 @@ def fit_head(features: np.ndarray, labels: np.ndarray, cfg: TrainConfig,
     """Adam-fit the linear head on frozen features (``train_cnn.py:320-334``).
 
     Runs ``cfg.head_epochs`` full-batch steps per chunk and keeps going
-    (up to ``max_chunks``) while the TRAIN accuracy still improves:
-    feature matrices from different backbones differ wildly in
-    conditioning, and a fixed step count measured fragile — the same 600
-    steps landed at 65% on one backbone's features and 100% on another's
-    (ROADMAP round-3 second half, finding b)."""
+    (up to ``max_chunks``) while the train CE still improves: feature
+    matrices from different backbones differ wildly in conditioning, and
+    a fixed step count measured fragile — the same 600 steps landed at
+    65% train on one backbone's features and 100% on another's (ROADMAP
+    round-3 second half, finding b). Returns the chunk-boundary weights
+    with the BEST internal-val accuracy, so running long cannot overfit
+    past the best point (overfit onset measured around 6k steps on the
+    augmented realphoto features)."""
     n = len(features)
     rng = np.random.RandomState(cfg.seed)
     idx = rng.permutation(n)
@@ -343,22 +346,33 @@ def fit_head(features: np.ndarray, labels: np.ndarray, cfg: TrainConfig,
         logits = jnp.matmul(X, w.T, precision=hp) + b
         return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
 
+    @jax.jit
+    def val_acc(w, b):
+        return ((jnp.matmul(Xv, w.T, precision=hp) + b)
+                .argmax(-1) == yv).mean()
+
     # stop on the LOSS with patience 2, not accuracy: argmax accuracy can
     # sit on long plateaus while CE still descends, and the CE trajectory
     # itself can stall a full chunk before escaping (both measured on the
     # QAT-backbone features: accuracy flat near 50% for thousands of
-    # steps, one ~flat 3000-step CE chunk, then 95%+)
+    # steps, one ~flat 3000-step CE chunk, then 95%+). The returned head
+    # is the chunk-boundary best-val one — the reference trainer's
+    # best-val selection, applied at our granularity.
     prev, flat = float("inf"), 0
+    best = (-1.0, w, b)
     for _ in range(max(1, max_chunks)):
         w, b, state = train_scan(w, b, state)
+        va = float(val_acc(w, b))
+        if va > best[0]:
+            best = (va, w, b)
         cur = float(train_loss(w, b))
         flat = flat + 1 if prev - cur < 1e-4 else 0
         if flat >= 2:  # converged (or fully fit)
             break
         prev = cur
+    _, w, b = best
     if verbose:
-        va = float(((jnp.matmul(Xv, w.T, precision=hp) + b)
-                    .argmax(-1) == yv).mean())
+        va = float(val_acc(w, b))
         ta = float(((jnp.matmul(X, w.T, precision=hp) + b)
                     .argmax(-1) == y).mean())
         print(f"  head: train {ta * 100:.1f}%  val {va * 100:.1f}%")
@@ -385,6 +399,20 @@ def export_test_images(images: np.ndarray, labels: np.ndarray, out_dir: str,
     return exported
 
 
+def _lookahead(it, depth: int = 2):
+    """Pull ``depth`` items ahead of the consumer so the (asynchronous)
+    device placement of item k+1 starts while step k computes."""
+    from collections import deque
+
+    q: deque = deque()
+    for item in it:
+        q.append(item)
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def _prefetch_to_device(host_batches, depth: int = 2):
     """Stage host batches on the device ``depth`` ahead of consumption.
 
@@ -394,15 +422,10 @@ def _prefetch_to_device(host_batches, depth: int = 2):
     dispatch costs ~30 ms (CLAUDE.md), which a per-step ``jnp.asarray``
     would pay in full; on real hardware the same pattern hides PCIe/DMA
     latency. Labels are cast to int32 on the host (free) before staging."""
-    from collections import deque
-
-    q: deque = deque()
-    for bi, bl in host_batches:
-        q.append(jax.device_put((bi, bl.astype(np.int32))))
-        if len(q) >= depth:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+    return _lookahead(
+        (jax.device_put((bi, bl.astype(np.int32))) for bi, bl in host_batches),
+        depth,
+    )
 
 
 def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
@@ -436,10 +459,11 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
                 "— pass a data-only mesh (model/pipe/space axes are "
                 "single-process features for now)"
             )
-        if cfg.batch_size % jax.process_count():
+        if cfg.batch_size % jax.device_count():
             raise ValueError(
-                f"batch_size {cfg.batch_size} must divide by the process "
-                f"count {jax.process_count()}"
+                f"batch_size {cfg.batch_size} must divide by the GLOBAL "
+                f"device count {jax.device_count()} (the data axis spans "
+                "every chip of every host)"
             )
         if zero1 and checkpoint_path and checkpoint_path.endswith(".npz"):
             raise ValueError(
@@ -534,6 +558,23 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
             if verbose:
                 print(f"Resumed from {checkpoint_path} at epoch {done_epoch} "
                       f"(best val {best_acc * 100:.1f}%)")
+    if multihost:
+        # resume consensus: only the primary WRITES .npz snapshots, so a
+        # per-host local disk can make the file visible to some ranks
+        # only — divergent start epochs would hang the per-epoch
+        # collectives (each rank would run a different iteration count)
+        from jax.experimental import multihost_utils
+
+        seen = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([start_epoch], jnp.int32)
+        )).ravel()
+        if int(seen.min()) != int(seen.max()):
+            raise RuntimeError(
+                "resume desync: ranks disagree on the checkpoint state "
+                f"(start epochs {sorted(set(seen.tolist()))}) — put the "
+                "checkpoint on storage visible to every host (or copy it "
+                "to each) before --resume"
+            )
     if verbose:
         print(f"Phase 1: float training ({cfg.epochs} epochs, "
               f"{len(imgs_t)} train / {len(imgs_v)} val)")
@@ -541,67 +582,78 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     imgs_v_d = jnp.asarray(imgs_v)
     labels_v_d = jnp.asarray(labels_v.astype(np.int32))
     epoch = start_epoch - 1  # stays if SIGTERM lands before the first epoch
-    for epoch in range(start_epoch, cfg.epochs + 1):
-        losses, accs = [], []
-        host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
-        if augment:
-            from tpu_cnn.train.data import augment_batch
+    try:
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            losses, accs = [], []
+            host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
+            if augment:
+                from tpu_cnn.train.data import augment_batch
 
-            # same shared-seed rng as the permutation: multihost processes
-            # stay in lockstep, and phase 2 / eval see clean images only
-            host_stream = (
-                (augment_batch(bi, rng), bl) for bi, bl in host_stream
-            )
-        if multihost:
-            # every process walks the SAME permutation (shared seed) and
-            # contributes its slice of each global batch; XLA inserts the
-            # cross-host gradient psum over DCN
-            feed = mh.global_batches(mesh, host_stream)
-        else:
-            feed = _prefetch_to_device(host_stream)
-        for bi, bl in feed:
-            params, opt_state, loss, acc = step(params, opt_state, bi, bl)
-            # keep the metrics as device scalars — a per-step float() would
-            # block the dispatch pipeline on every step (one round-trip per
-            # batch); ONE coalesced fetch happens at epoch end
-            losses.append(loss)
-            accs.append(acc)
-        losses, accs = jax.device_get((losses, accs))
-        # under multihost the dp params are fully replicated: decommit to
-        # host so eval (and phase 2) run as plain LOCAL jits on every
-        # process instead of global programs
-        eval_params = jax.tree.map(np.asarray, params) if multihost else params
-        vacc = float(eval_acc(eval_params, imgs_v_d, labels_v_d))
-        if vacc > best_acc:
-            best_acc = vacc
-            best_params = (eval_params if multihost
-                           else jax.tree.map(lambda x: x, params))
-        if sharded_ckpt is not None:
-            sharded_ckpt.save(epoch, params, opt_state, best_acc, best_params)
-        elif checkpoint_path and (not multihost or mh.is_primary()):
-            from tpu_cnn.train import checkpoint as ckpt
+                # same shared-seed rng as the permutation: multihost processes
+                # stay in lockstep, and phase 2 / eval see clean images only.
+                # (Under multihost every rank augments the full global batch
+                # before slicing — O(global batch) host work per rank, kept
+                # deliberately: the rng stream must stay identical across
+                # ranks, and the per-image pad/crop is microseconds at these
+                # sizes.)
+                host_stream = (
+                    (augment_batch(bi, rng), bl) for bi, bl in host_stream
+                )
+            if multihost:
+                # every process walks the SAME permutation (shared seed) and
+                # contributes its slice of each global batch; XLA inserts the
+                # cross-host gradient psum over DCN. Staged one ahead so the
+                # global-array assembly overlaps the previous step.
+                feed = _lookahead(mh.global_batches(mesh, host_stream))
+            else:
+                feed = _prefetch_to_device(host_stream)
+            for bi, bl in feed:
+                params, opt_state, loss, acc = step(params, opt_state, bi, bl)
+                # keep the metrics as device scalars — a per-step float() would
+                # block the dispatch pipeline on every step (one round-trip per
+                # batch); ONE coalesced fetch happens at epoch end
+                losses.append(loss)
+                accs.append(acc)
+            losses, accs = jax.device_get((losses, accs))
+            # under multihost the dp params are fully replicated: decommit to
+            # host so eval (and phase 2) run as plain LOCAL jits on every
+            # process instead of global programs
+            eval_params = jax.tree.map(np.asarray, params) if multihost else params
+            vacc = float(eval_acc(eval_params, imgs_v_d, labels_v_d))
+            if vacc > best_acc:
+                best_acc = vacc
+                best_params = (eval_params if multihost
+                               else jax.tree.map(lambda x: x, params))
+            if sharded_ckpt is not None:
+                sharded_ckpt.save(epoch, params, opt_state, best_acc, best_params)
+            elif checkpoint_path and (not multihost or mh.is_primary()):
+                from tpu_cnn.train import checkpoint as ckpt
 
-            ckpt.save_checkpoint(checkpoint_path, params, opt_state, epoch,
-                                 best_acc, best_params)
-        if verbose:
-            print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
-                  f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
-        if multihost:
-            # consensus: cluster managers usually signal every host, but a
-            # rank that stops ALONE would hang the others' next collective
-            # — take the OR of the flag across processes, so everyone
-            # breaks (and checkpoints) together
-            from jax.experimental import multihost_utils
+                ckpt.save_checkpoint(checkpoint_path, params, opt_state, epoch,
+                                     best_acc, best_params)
+            if verbose:
+                print(f"  epoch {epoch:3d}: loss {np.mean(losses):.3f}  "
+                      f"train {np.mean(accs) * 100:.1f}%  val {vacc * 100:.1f}%")
+            if multihost:
+                # consensus: cluster managers usually signal every host, but a
+                # rank that stops ALONE would hang the others' next collective
+                # — take the OR of the flag across processes, so everyone
+                # breaks (and checkpoints) together
+                from jax.experimental import multihost_utils
 
-            flag = multihost_utils.process_allgather(
-                jnp.asarray([1 if preempted.is_set() else 0], jnp.int32)
-            )
-            if int(np.asarray(flag).max()):
-                preempted.set()
-        if preempted.is_set():
-            break
-    if _old_sigterm is not None:
-        signal.signal(signal.SIGTERM, _old_sigterm)
+                flag = multihost_utils.process_allgather(
+                    jnp.asarray([1 if preempted.is_set() else 0], jnp.int32)
+                )
+                if int(np.asarray(flag).max()):
+                    preempted.set()
+            if preempted.is_set():
+                break
+    finally:
+        # ALWAYS restore the previous SIGTERM disposition — an
+        # epoch-loop exception must not leave the process
+        # permanently swallowing the cluster manager's signal
+        if _old_sigterm is not None:
+            signal.signal(signal.SIGTERM, _old_sigterm)
     if sharded_ckpt is not None:
         sharded_ckpt.close()
     if preempted.is_set():
