@@ -81,6 +81,31 @@ def main():
         )
     print(f"rank {pid} inference parity ok", flush=True)
 
+    # 2b) the MultiHostEngine facade: per-host feed, per-host results,
+    # UNEVEN local batches (padding consensus), oracle parity per rank.
+    from tpu_cnn.models.cnn import CNNConfig, FpgaCNN
+    from tpu_cnn.parallel.multihost import MultiHostEngine
+
+    model = FpgaCNN(
+        kernels,
+        np.random.RandomState(5).randn(6, 64).astype(np.float32) * 0.05,
+        np.zeros(6, np.float32),
+        shifts=shifts,
+        config=CNNConfig(layer_configs=cfg.layer_configs),
+    )
+    eng = MultiHostEngine(model, backend="xla")
+    n_local = 5 if pid == 0 else 3  # deliberately uneven across hosts
+    sub = half[:n_local]
+    feats = eng.run_batch(sub)
+    assert feats.shape[0] == n_local
+    for i in range(n_local):
+        np.testing.assert_array_equal(
+            feats[i], numpy_cnn_forward(sub[i], kernels, shifts)
+        )
+    res = eng.detect_batch(sub)
+    assert res.pred.shape == (n_local,) and res.bbox.shape == (n_local, 4)
+    print(f"rank {pid} engine ok", flush=True)
+
     # 3) orbax sharded checkpointing UNDER multi-host: every rank joins the
     # collective save (each host writes its shards), restore comes back
     # with the template shardings and the exact values.

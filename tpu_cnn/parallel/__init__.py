@@ -24,6 +24,7 @@ from tpu_cnn.parallel.spatial_train import (
     spatial_float_logits,
 )
 from tpu_cnn.parallel.multihost import (
+    MultiHostEngine,
     allgather_to_host,
     global_batches,
     global_image_batch,
@@ -48,6 +49,7 @@ __all__ = [
     "spatial_forward",
     "make_spatial_train_step",
     "spatial_float_logits",
+    "MultiHostEngine",
     "allgather_to_host",
     "global_batches",
     "global_image_batch",

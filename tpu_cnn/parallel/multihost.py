@@ -28,6 +28,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "MultiHostEngine",
     "init_multihost",
     "is_primary",
     "global_batches",
@@ -135,3 +136,78 @@ def allgather_to_host(x) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+class MultiHostEngine:
+    """SPMD per-host inference engine over EVERY chip of every host.
+
+    Construct it identically on every process (after ``init_multihost``)
+    and call ``detect_batch``/``run_batch`` COLLECTIVELY — the calls are
+    one global SPMD program, so all ranks must make them together. Each
+    host feeds its OWN frames and receives results for exactly those
+    frames (``local_rows`` — no cross-host result traffic; the natural
+    shape for one serving front end per host). Uneven per-host batches
+    are handled by a padding consensus (every rank pads to the largest
+    padded local count, so the global shape agrees).
+
+    Pure data parallelism over the global device list — the multi-host
+    lift of ``MeshEngine``, whose compiled detect/forward programs and
+    backend selection (production megakernel vs XLA path) it reuses.
+    Reference analogue: none — SURVEY §2.5's comm backend is a single
+    AXI bus; this is TPU-native scale-out across DCN.
+    """
+
+    def __init__(self, model, backend: str = "auto", box_mode: str = "ref"):
+        import jax.numpy as jnp  # noqa: F401 — mesh engine needs jax live
+
+        from tpu_cnn.parallel.mesh import MeshEngine, make_mesh
+
+        self._inner = MeshEngine(
+            model, mesh=make_mesh(model_axis=1), backend=backend,
+            box_mode=box_mode,
+        )
+        self.model = model
+        self.mesh = self._inner.mesh
+        self.backend = "multihost:" + self._inner.backend
+
+    def set_shifts(self, *shifts: int) -> None:
+        self._inner.set_shifts(*shifts)
+
+    def _stage(self, images: np.ndarray):
+        """Pad this host's frames by consensus and lift them to ONE global
+        batch (process-local shards stay on their host)."""
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        images = np.ascontiguousarray(np.asarray(images, np.uint8))
+        b = len(images)
+        m = max(1, self._inner._batch_mult // jax.process_count())
+        pb = ((b + m - 1) // m) * m
+        pb = int(np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([pb], jnp.int32)
+        )).max())
+        if pb != b:
+            images = np.concatenate(
+                [images, np.zeros((pb - b, *images.shape[1:]), np.uint8)]
+            )
+        return global_image_batch(self.mesh, images), b
+
+    def warmup(self, batch: int = 1) -> None:
+        s = self.model.config.img_size
+        self.detect_batch(np.zeros((batch, s, s), np.uint8))
+
+    def run_batch(self, images: np.ndarray) -> np.ndarray:
+        g, b = self._stage(images)
+        return local_rows(
+            self._inner._forward(g, self._inner._shifts)
+        )[:b]
+
+    def detect_batch(self, images: np.ndarray):
+        from tpu_cnn.engine.tpu import DetectResult
+
+        g, b = self._stage(images)
+        pred, conf, probs, bbox = self._inner._detect(g, self._inner._shifts)
+        return DetectResult(
+            local_rows(pred)[:b], local_rows(conf)[:b],
+            local_rows(probs)[:b], local_rows(bbox)[:b],
+        )
