@@ -188,3 +188,20 @@ def test_gate_trips_on_corrupted_head(tmp_path):
     np.save(d / "fc_weight.npy", rs.permutation(w.ravel()).reshape(w.shape))
     acc = _score_bundle(str(d), str(d))
     assert acc < 0.5, f"corrupted head still scored {acc:.3f}"
+
+
+def test_flagship_adam_head_floor():
+    """The opt-in adam_ head (`--head-prefix adam_`; produced by
+    `retrain_classifier --optimizer adam` on a seed-777 synthetic dump,
+    disjoint from the seed-123 eval) must keep its measured lift over the
+    reference-recipe default head: 83.3% eval accuracy vs 76.7% (CAM IoU
+    0.379 vs 0.352). The default head stays the reference artifact."""
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.eval_detection import evaluate
+
+    model = load_model(PRETRAINED, head_prefix="adam_")
+    out = evaluate(model, mode="cpu", n_per_class=20, verbose=False,
+                   box="ref")
+    assert out["accuracy"] >= 0.78, (
+        f"adam_ head regressed: {out['accuracy']:.3f}"
+    )
