@@ -104,6 +104,11 @@ def main():
         )
     res = eng.detect_batch(sub)
     assert res.pred.shape == (n_local,) and res.bbox.shape == (n_local, 4)
+    # a host with NOTHING to feed this tick must still join the collective
+    # call and get an empty result back (the uneven extreme)
+    n0 = 4 if pid == 0 else 0
+    feats0 = eng.run_batch(half[:n0])
+    assert feats0.shape[0] == n0
     print(f"rank {pid} engine ok", flush=True)
 
     # 3) orbax sharded checkpointing UNDER multi-host: every rank joins the

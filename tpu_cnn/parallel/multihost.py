@@ -158,8 +158,6 @@ class MultiHostEngine:
     """
 
     def __init__(self, model, backend: str = "auto", box_mode: str = "ref"):
-        import jax.numpy as jnp  # noqa: F401 — mesh engine needs jax live
-
         from tpu_cnn.parallel.mesh import MeshEngine, make_mesh
 
         self._inner = MeshEngine(
@@ -169,6 +167,27 @@ class MultiHostEngine:
         self.model = model
         self.mesh = self._inner.mesh
         self.backend = "multihost:" + self._inner.backend
+        # this host's pad multiple: its LOCAL device count x the backend's
+        # per-shard batch tile (hosts may join with unequal device counts
+        # via init_multihost's local_device_ids — deriving from the local
+        # count keeps each host's rows matching its own shards)
+        shard_tile = self._inner._batch_mult // self.mesh.devices.size
+        self._local_mult = max(1, jax.local_device_count() * shard_tile)
+        if jax.process_count() > 1:
+            # the equal-rows padding consensus below assumes every host
+            # owns an equal share of the data axis — refuse an uneven
+            # topology up front instead of mis-sharding at the first batch
+            import jax.numpy as jnp
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([jax.local_device_count()], jnp.int32)
+            )).ravel()
+            if int(counts.min()) != int(counts.max()):
+                raise ValueError(
+                    "MultiHostEngine needs a homogeneous topology (equal "
+                    f"local device counts per host; saw {counts.tolist()})"
+                )
 
     def set_shifts(self, *shifts: int) -> None:
         self._inner.set_shifts(*shifts)
@@ -179,16 +198,23 @@ class MultiHostEngine:
         import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
-        images = np.ascontiguousarray(np.asarray(images, np.uint8))
+        s = self.model.config.img_size
+        images = np.ascontiguousarray(
+            np.asarray(images, np.uint8).reshape(-1, s, s)
+        )  # reshape pins the frame dims even for an EMPTY local batch
         b = len(images)
-        m = max(1, self._inner._batch_mult // jax.process_count())
+        m = self._local_mult
         pb = ((b + m - 1) // m) * m
-        pb = int(np.asarray(multihost_utils.process_allgather(
-            jnp.asarray([pb], jnp.int32)
-        )).max())
+        if jax.process_count() > 1:
+            # consensus: the SPMD program's global shape must agree even
+            # with uneven (or zero) per-host tails
+            pb = int(np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([pb], jnp.int32)
+            )).max())
+        pb = max(pb, m)
         if pb != b:
             images = np.concatenate(
-                [images, np.zeros((pb - b, *images.shape[1:]), np.uint8)]
+                [images, np.zeros((pb - b, s, s), np.uint8)]
             )
         return global_image_batch(self.mesh, images), b
 
@@ -198,15 +224,17 @@ class MultiHostEngine:
 
     def run_batch(self, images: np.ndarray) -> np.ndarray:
         g, b = self._stage(images)
-        return local_rows(
-            self._inner._forward(g, self._inner._shifts)
-        )[:b]
+        feats = self._inner._forward(g, self._inner._shifts)
+        feats.copy_to_host_async()
+        return local_rows(feats)[:b]
 
     def detect_batch(self, images: np.ndarray):
         from tpu_cnn.engine.tpu import DetectResult
 
         g, b = self._stage(images)
         pred, conf, probs, bbox = self._inner._detect(g, self._inner._shifts)
+        for a in (pred, conf, probs, bbox):  # overlap the four D2H copies
+            a.copy_to_host_async()
         return DetectResult(
             local_rows(pred)[:b], local_rows(conf)[:b],
             local_rows(probs)[:b], local_rows(bbox)[:b],
