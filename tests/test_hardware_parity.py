@@ -191,3 +191,40 @@ def test_device_preprocess_parity_on_hardware(rng):
         if (min(h, w) % 128) != 0:  # nearest path: exact vs host twin
             for b in range(4):
                 np.testing.assert_array_equal(got3[b], np_pp(f3[b], 128))
+
+
+@pytest.mark.parametrize("art_dir,variant,image_dir,floor", [
+    ("artifacts/pretrained", "lyr3-std", "artifacts/pretrained", 0.80),
+    ("artifacts/realphoto/bundle-qat", "lyr3-std",
+     "artifacts/realphoto/val_bins", 0.90),
+    ("artifacts/pretrained-lyr2", "lyr2-small",
+     "artifacts/pretrained-lyr2", 0.80),
+    ("artifacts/pretrained-lyr4", "lyr4-wide",
+     "artifacts/pretrained-lyr4", 0.90),
+])
+def test_shipped_bundle_accuracy_on_hardware(art_dir, variant, image_dir,
+                                             floor):
+    """Every shipped bundle must hit its accuracy-gate floor ON CHIP
+    through the production engine's fused detect path — the hardware twin
+    of tests/test_accuracy_gates.py (which scores via the CPU oracle).
+    Catches any on-chip head/shift divergence the oracle cannot."""
+    import glob
+    import os
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.utils.artifacts import label_from_filename
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = load_model(os.path.join(repo, art_dir), variant)
+    eng = make_engine(model, "auto")
+    s = model.config.img_size
+    files = sorted(glob.glob(
+        os.path.join(repo, image_dir, "test_image_*.bin")
+    ))
+    assert files
+    imgs = np.stack([np.fromfile(p, np.uint8).reshape(s, s) for p in files])
+    labels = np.asarray([label_from_filename(p) for p in files])
+    res = eng.detect_batch(imgs)
+    acc = float((np.asarray(res.pred) == labels).mean())
+    assert acc >= floor, f"{art_dir} on hardware: {acc:.3f} < {floor}"
