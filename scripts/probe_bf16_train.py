@@ -1,6 +1,10 @@
 """Real-TPU A/B: f32 vs bf16 phase-1 train step (train_cnn --bf16).
 
 Interleaved best-of-N in ONE process (relay variance rule, CLAUDE.md).
+The shipped single-dtype twin of this measurement is
+``tpu_cnn.apps.benchmark --train`` (bench_train); this probe exists for
+the INTERLEAVED f32-vs-bf16 A/B, which bench_train's one-dtype-per-call
+shape cannot provide — keep the chain/fetch discipline in sync with it.
 Each measurement queues a chain of dependent train steps and blocks once at
 the end — a single step is ~relay-latency-bound (~30 ms dispatch), so the
 chain amortises the tunnel and times the device.

@@ -241,6 +241,7 @@ def bench_train(model: FpgaCNN, batch: int, runs: int, compute_dtype: str,
         TrainConfig, init_params, make_train_step,
     )
 
+    runs = max(1, runs)  # a 0-step chain would leave `loss` unbound
     cfg = TrainConfig(layer_configs=model.config.layer_configs,
                       batch_size=batch)
     params = init_params(cfg, jax.random.PRNGKey(0))

@@ -465,6 +465,18 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
                 f"device count {jax.device_count()} (the data axis spans "
                 "every chip of every host)"
             )
+        from jax.experimental import multihost_utils
+
+        # global_batches slices EQUAL per-process shares — refuse an
+        # uneven topology up front instead of mis-sharding at step 1
+        counts = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([jax.local_device_count()], jnp.int32)
+        )).ravel()
+        if int(counts.min()) != int(counts.max()):
+            raise ValueError(
+                "multi-host training needs a homogeneous topology (equal "
+                f"local device counts per host; saw {counts.tolist()})"
+            )
         if zero1 and checkpoint_path and checkpoint_path.endswith(".npz"):
             raise ValueError(
                 "multi-host + --zero1 shards the optimizer state across "
@@ -525,64 +537,64 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
         _old_sigterm = signal.signal(
             signal.SIGTERM, lambda signum, frame: preempted.set()
         )
-
-    # .npz -> single-file host snapshot; any other path -> orbax sharded
-    # checkpoint dir (async, per-shard, retention — checkpoint_sharded.py)
-    sharded_ckpt = None
-    if checkpoint_path and not checkpoint_path.endswith(".npz"):
-        from tpu_cnn.train.checkpoint_sharded import ShardedCheckpointer
-
-        sharded_ckpt = ShardedCheckpointer(checkpoint_path)
-    if resume and checkpoint_path:
-        if sharded_ckpt is not None and sharded_ckpt.latest() is not None:
-            params, opt_state, done_epoch, best_acc, best_params = (
-                sharded_ckpt.restore(params, opt_state)
-            )
-            # decommit to host so the jitted step's explicit shardings can
-            # re-place the leaves (restore commits to the template devices;
-            # one-time cost at resume — per-epoch SAVES stay per-shard)
-            params, opt_state, best_params = jax.tree.map(
-                np.asarray, (params, opt_state, best_params)
-            )
-            start_epoch = done_epoch + 1
-            if verbose:
-                print(f"Resumed from {checkpoint_path} (sharded) at epoch "
-                      f"{done_epoch} (best val {best_acc * 100:.1f}%)")
-        elif sharded_ckpt is None and os.path.exists(checkpoint_path):
-            from tpu_cnn.train import checkpoint as ckpt
-
-            params, opt_state, done_epoch, best_acc, best_params = (
-                ckpt.load_checkpoint(checkpoint_path, params, opt_state)
-            )
-            start_epoch = done_epoch + 1
-            if verbose:
-                print(f"Resumed from {checkpoint_path} at epoch {done_epoch} "
-                      f"(best val {best_acc * 100:.1f}%)")
-    if multihost:
-        # resume consensus: only the primary WRITES .npz snapshots, so a
-        # per-host local disk can make the file visible to some ranks
-        # only — divergent start epochs would hang the per-epoch
-        # collectives (each rank would run a different iteration count)
-        from jax.experimental import multihost_utils
-
-        seen = np.asarray(multihost_utils.process_allgather(
-            jnp.asarray([start_epoch], jnp.int32)
-        )).ravel()
-        if int(seen.min()) != int(seen.max()):
-            raise RuntimeError(
-                "resume desync: ranks disagree on the checkpoint state "
-                f"(start epochs {sorted(set(seen.tolist()))}) — put the "
-                "checkpoint on storage visible to every host (or copy it "
-                "to each) before --resume"
-            )
-    if verbose:
-        print(f"Phase 1: float training ({cfg.epochs} epochs, "
-              f"{len(imgs_t)} train / {len(imgs_v)} val)")
-    # the val set is fixed — upload it once, not once per epoch
-    imgs_v_d = jnp.asarray(imgs_v)
-    labels_v_d = jnp.asarray(labels_v.astype(np.int32))
-    epoch = start_epoch - 1  # stays if SIGTERM lands before the first epoch
     try:
+
+        # .npz -> single-file host snapshot; any other path -> orbax sharded
+        # checkpoint dir (async, per-shard, retention — checkpoint_sharded.py)
+        sharded_ckpt = None
+        if checkpoint_path and not checkpoint_path.endswith(".npz"):
+            from tpu_cnn.train.checkpoint_sharded import ShardedCheckpointer
+
+            sharded_ckpt = ShardedCheckpointer(checkpoint_path)
+        if resume and checkpoint_path:
+            if sharded_ckpt is not None and sharded_ckpt.latest() is not None:
+                params, opt_state, done_epoch, best_acc, best_params = (
+                    sharded_ckpt.restore(params, opt_state)
+                )
+                # decommit to host so the jitted step's explicit shardings can
+                # re-place the leaves (restore commits to the template devices;
+                # one-time cost at resume — per-epoch SAVES stay per-shard)
+                params, opt_state, best_params = jax.tree.map(
+                    np.asarray, (params, opt_state, best_params)
+                )
+                start_epoch = done_epoch + 1
+                if verbose:
+                    print(f"Resumed from {checkpoint_path} (sharded) at epoch "
+                          f"{done_epoch} (best val {best_acc * 100:.1f}%)")
+            elif sharded_ckpt is None and os.path.exists(checkpoint_path):
+                from tpu_cnn.train import checkpoint as ckpt
+
+                params, opt_state, done_epoch, best_acc, best_params = (
+                    ckpt.load_checkpoint(checkpoint_path, params, opt_state)
+                )
+                start_epoch = done_epoch + 1
+                if verbose:
+                    print(f"Resumed from {checkpoint_path} at epoch {done_epoch} "
+                          f"(best val {best_acc * 100:.1f}%)")
+        if multihost:
+            # resume consensus: only the primary WRITES .npz snapshots, so a
+            # per-host local disk can make the file visible to some ranks
+            # only — divergent start epochs would hang the per-epoch
+            # collectives (each rank would run a different iteration count)
+            from jax.experimental import multihost_utils
+
+            seen = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([start_epoch], jnp.int32)
+            )).ravel()
+            if int(seen.min()) != int(seen.max()):
+                raise RuntimeError(
+                    "resume desync: ranks disagree on the checkpoint state "
+                    f"(start epochs {sorted(set(seen.tolist()))}) — put the "
+                    "checkpoint on storage visible to every host (or copy it "
+                    "to each) before --resume"
+                )
+        if verbose:
+            print(f"Phase 1: float training ({cfg.epochs} epochs, "
+                  f"{len(imgs_t)} train / {len(imgs_v)} val)")
+        # the val set is fixed — upload it once, not once per epoch
+        imgs_v_d = jnp.asarray(imgs_v)
+        labels_v_d = jnp.asarray(labels_v.astype(np.int32))
+        epoch = start_epoch - 1  # stays if SIGTERM lands before the first epoch
         for epoch in range(start_epoch, cfg.epochs + 1):
             losses, accs = [], []
             host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
