@@ -624,3 +624,20 @@ def test_train_bbox_cli(tmp_path, artifact_dir):
         shutil.copy(os.path.join(artifact_dir, f), tmp_path / f)
     bundle = art.load_bundle(str(tmp_path))
     assert bundle.bbox_weight is not None and bundle.bbox_weight.shape == (1025, 4)
+
+
+def test_doctor_cli(capsys):
+    """apps.doctor: all checks pass on the healthy CPU harness (exit 0);
+    a corrupted bundle flips it to exit 1 with the failure named."""
+    from tpu_cnn.apps import doctor
+
+    rc = doctor.main([])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "all checks passed" in out
+    assert "host oracles" in out and "device dispatch" in out
+
+    rc = doctor.main(["--host-only", "--artifacts", "/nonexistent-bundle"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "device dispatch" not in out
