@@ -1,11 +1,11 @@
 """Subprocess worker for tests/test_multihost.py — spawned, not collected.
 
-argv: <process_id> <num_processes> <port> <out_dir>
+argv: <process_id> <num_processes> <port> <out_dir> <local_devices>
 
-Each process sees 4 virtual CPU devices (XLA_FLAGS set by the spawning
-test); ``jax.distributed`` joins them into ONE global runtime with Gloo
-cross-process collectives — the same machinery a real multi-host TPU pod
-uses over DCN, minus the chips.
+Each process sees <local_devices> virtual CPU devices (XLA_FLAGS set by
+the spawning test); ``jax.distributed`` joins them into ONE global
+runtime with Gloo cross-process collectives — the same machinery a real
+multi-host TPU pod uses over DCN, minus the chips.
 """
 import sys
 
@@ -17,6 +17,7 @@ jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override trap
 def main():
     pid, nproc, port = (int(v) for v in sys.argv[1:4])
     out_dir = sys.argv[4]
+    n_local = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
                                process_id=pid)
     import numpy as np
@@ -29,8 +30,8 @@ def main():
         TrainConfig, init_params, make_train_step, train,
     )
 
-    assert jax.device_count() == 4 * nproc, jax.devices()
-    assert jax.local_device_count() == 4
+    assert jax.device_count() == n_local * nproc, jax.devices()
+    assert jax.local_device_count() == n_local
     cfg = TrainConfig(
         layer_configs=((1, 16, 32), (16, 32, 16), (32, 64, 8)),
         epochs=2, batch_size=32, head_epochs=50,
@@ -69,13 +70,14 @@ def main():
     ]
     shifts = (2, 4, 6)
     all_imgs = k_rs.randint(0, 256, (16, 32, 32)).astype(np.uint8)
-    half = all_imgs[pid * 8:(pid + 1) * 8]
+    per = 16 // nproc
+    half = all_imgs[pid * per:(pid + 1) * per]
     g = global_image_batch(mesh, half)
     assert not g.is_fully_addressable
     f = sharded_forward(mesh, [jnp.asarray(k) for k in kernels])
     mine = local_rows(f(g, jnp.asarray(shifts, jnp.int32)))
-    assert mine.shape[0] == 8
-    for b in range(8):
+    assert mine.shape[0] == per
+    for b in range(per):
         np.testing.assert_array_equal(
             mine[b], numpy_cnn_forward(half[b], kernels, shifts)
         )
@@ -94,7 +96,7 @@ def main():
         config=CNNConfig(layer_configs=cfg.layer_configs),
     )
     eng = MultiHostEngine(model, backend="xla")
-    n_local = 5 if pid == 0 else 3  # deliberately uneven across hosts
+    n_local = min(per, [5, 3, 2, 4][pid % 4])  # uneven across hosts
     sub = half[:n_local]
     feats = eng.run_batch(sub)
     assert feats.shape[0] == n_local
@@ -106,7 +108,7 @@ def main():
     assert res.pred.shape == (n_local,) and res.bbox.shape == (n_local, 4)
     # a host with NOTHING to feed this tick must still join the collective
     # call and get an empty result back (the uneven extreme)
-    n0 = 4 if pid == 0 else 0
+    n0 = 4 if pid == 0 else 0  # other ranks feed nothing
     feats0 = eng.run_batch(half[:n0])
     assert feats0.shape[0] == n0
     print(f"rank {pid} engine ok", flush=True)

@@ -11,6 +11,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 import jax
 import optax
@@ -31,21 +32,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train(tmp_path):
+@pytest.mark.parametrize("nproc,local_dev", [(2, 4), (4, 2)])
+def test_multi_process_train(tmp_path, nproc, local_dev):
     env = dict(
         os.environ,
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={local_dev}",
         PYTHONPATH=REPO,
     )
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-             str(pid), "2", str(port), str(tmp_path)],
+             str(pid), str(nproc), str(port), str(tmp_path), str(local_dev)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     try:
         outs = [pr.communicate(timeout=600)[0] for pr in procs]
@@ -57,7 +59,8 @@ def test_two_process_train(tmp_path):
                 pr.kill()
     for pr, out in zip(procs, outs):
         assert pr.returncode == 0, out
-    assert "rank 0 done" in outs[0] and "rank 1 done" in outs[1]
+    for pid in range(nproc):
+        assert f"rank {pid} done" in outs[pid]
     # cross-host inference parity ran on both ranks (each host's rows
     # checked against the numpy oracle inside the worker)
     for out in outs:
@@ -67,11 +70,12 @@ def test_two_process_train(tmp_path):
         # orbax collective save/restore round-tripped on every rank
         assert "ckpt roundtrip ok" in out
 
-    # both ranks fetched the SAME replicated post-step params
+    # every rank fetched the SAME replicated post-step params
     r0 = np.load(tmp_path / "step_rank0.npz")
-    r1 = np.load(tmp_path / "step_rank1.npz")
-    for k in r0.files:
-        np.testing.assert_array_equal(r0[k], r1[k])
+    for pid in range(1, nproc):
+        rn = np.load(tmp_path / f"step_rank{pid}.npz")
+        for k in r0.files:
+            np.testing.assert_array_equal(r0[k], rn[k])
 
     # ... and the cross-process step equals the single-process step (the
     # gradient psum spans two OS processes; only summation order differs)
