@@ -95,6 +95,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpu_cnn.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # cold-start megakernel: 137.7 s -> 1.6 s warm
     from tpu_cnn.models.cnn import DEFAULT_SHIFTS
     from tpu_cnn.ops import detect_head, pallas_poly
     from tpu_cnn.utils import artifacts as art

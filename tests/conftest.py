@@ -8,6 +8,9 @@ the first jax import anywhere in the test session.
 import os
 
 os.environ["JAX_PLATFORMS"] = os.environ.get("TPU_CNN_TEST_PLATFORM", "cpu")
+# Hermetic tests: no on-disk XLA cache unless a lane opts in explicitly
+# (the -m tpu hardware lane may set TPU_CNN_COMPILE_CACHE=1 to cut reruns).
+os.environ.setdefault("TPU_CNN_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -66,6 +66,9 @@ class TPUEngine:
         timeout_s: float | None = 300.0,  # first call includes XLA compile
         box_mode: str = "ref",  # reference CAM | "centroid" | "reg" (learned)
     ):
+        from tpu_cnn.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()  # bitstream analogue: skip recompiles
         self.model = model
         self.compute_dtype = compute_dtype
         self.max_batch = max_batch

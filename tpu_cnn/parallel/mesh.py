@@ -189,6 +189,9 @@ class MeshEngine:
                  backend: str = "auto", box_mode: str = "ref"):
         import jax.numpy as jnp
 
+        from tpu_cnn.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()  # bitstream analogue: skip recompiles
         self.model = model
         self.box_mode = box_mode
         if box_mode == "reg" and model.bbox_weight is None:

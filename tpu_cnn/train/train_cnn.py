@@ -794,6 +794,10 @@ def main(argv=None):
                    help="this host's rank (env TPU_CNN_PROCESS_ID)")
     args = p.parse_args(argv)
 
+    from tpu_cnn.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # resumed runs skip the train-step recompile
+
     if args.num_processes > 1:
         if not args.coordinator:
             p.error("--num-processes > 1 needs --coordinator HOST:PORT")
