@@ -61,6 +61,44 @@ def test_idempotent_first_caller_wins(fresh, monkeypatch, tmp_path):
     assert len(fresh) == n_calls
 
 
+def test_cache_round_trip_in_subprocesses(tmp_path):
+    """Functional: a second process reuses the first's serialized executable.
+
+    Two fresh CPU-only interpreters jit the same program against one cache
+    dir; the first populates it, the second must report a cache hit (the
+    task-local JAX logger records 'Persistent compilation cache hit').
+    """
+    import subprocess
+    import sys
+
+    cache = tmp_path / "xla"
+    child = (
+        "import os, logging\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "logging.basicConfig(level=logging.DEBUG)\n"
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from tpu_cnn.utils.compile_cache import enable_persistent_cache\n"
+        "assert enable_persistent_cache() is not None\n"
+        "print(jax.jit(lambda x: x * 2 + 1)(jnp.arange(8.0)))\n"
+    )
+    env = dict(
+        os.environ,
+        TPU_CNN_COMPILE_CACHE=str(cache),
+        PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
+    )
+    first = subprocess.run([sys.executable, "-c", child], env=env,
+                           capture_output=True, text=True)
+    assert first.returncode == 0, first.stderr
+    entries = os.listdir(cache)
+    assert entries, "first process must populate the cache dir"
+    second = subprocess.run([sys.executable, "-c", child], env=env,
+                            capture_output=True, text=True)
+    assert second.returncode == 0, second.stderr
+    assert os.listdir(cache) == entries  # no recompile-and-rewrite
+    assert "cache hit" in second.stderr.lower(), second.stderr[-2000:]
+
+
 def test_engine_ctor_respects_opt_out(monkeypatch, stock_kernels, rng):
     """TPUEngine construction with the conftest's opt-out must not enable."""
     import numpy as np
