@@ -272,6 +272,22 @@ def test_benchmark_smoke(artifact_dir, capsys):
     assert "M MACs" in out
 
 
+def test_benchmark_camera_pipeline_pitch(artifact_dir, capsys):
+    """--camera-pipeline accepts --cam-pitch (padded-row staging) and the
+    measured path still produces boxes: plumbing check for the pad-width
+    preprocess lever (the perf claim itself is probed on hardware,
+    scripts/probe_preprocess_phase.py)."""
+    from tpu_cnn.apps import benchmark
+
+    res = benchmark.main([
+        "--artifacts", artifact_dir, "--batch", "4", "--runs", "1",
+        "--camera-pipeline", "--cam-res", "320x240", "--cam-pitch", "336",
+        "--modes", "xla",
+    ])
+    assert res["camera_pipeline"] > 0
+    assert "320x240x4@336" in capsys.readouterr().out
+
+
 def test_benchmark_train_mode(capsys):
     """--train measures the phase-1 train step (fwd+bwd+Adam) and reports
     ms/step, img/s, MFU for both compute dtypes."""

@@ -127,6 +127,16 @@ def test_fuzz_preprocess_resolutions(seed):
         np.asarray(preprocess_frames(jnp.asarray(pack_bgrx(f4)), 128)), got
     )
 
+    # a random padded row pitch (valid_w) never changes the result and
+    # never reads the pad words
+    pitch = w + int(rs.randint(1, 40))
+    staged = np.full((2, h, pitch), 0xA5A5A5A5, np.uint32)
+    staged[:, :, :w] = pack_bgrx(f4)
+    np.testing.assert_array_equal(
+        np.asarray(preprocess_frames(jnp.asarray(staged), 128, valid_w=w)),
+        got,
+    )
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_mega_plan_random_geometries(seed):

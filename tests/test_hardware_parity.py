@@ -181,7 +181,10 @@ def test_device_preprocess_parity_on_hardware(rng):
     from tpu_cnn.ops.luma import pack_bgrx
     from tpu_cnn.ops.preprocess import preprocess_frames
 
-    for h, w in ((512, 640), (480, 640)):
+    # area (512), dense nearest (480x640: lane-aligned pitch), and the
+    # phase-sliced nearest path (320x240 q=8; 480x640 staged at a
+    # 656-word pitch via valid_w — the pad-width production layout)
+    for h, w in ((512, 640), (480, 640), (240, 320)):
         f3 = rng.randint(0, 256, size=(4, h, w, 3)).astype(np.uint8)
         got3 = np.asarray(preprocess_frames(jnp.asarray(f3), 128))
         got_packed = np.asarray(
@@ -191,6 +194,14 @@ def test_device_preprocess_parity_on_hardware(rng):
         if (min(h, w) % 128) != 0:  # nearest path: exact vs host twin
             for b in range(4):
                 np.testing.assert_array_equal(got3[b], np_pp(f3[b], 128))
+
+    f3 = rng.randint(0, 256, size=(4, 480, 640, 3)).astype(np.uint8)
+    f4 = np.concatenate([f3, np.zeros_like(f3[..., :1])], axis=-1)
+    staged = np.full((4, 480, 656), 0xFFFFFFFF, np.uint32)
+    staged[:, :, :640] = pack_bgrx(f4)
+    got = np.asarray(preprocess_frames(jnp.asarray(staged), 128, valid_w=640))
+    for b in range(4):
+        np.testing.assert_array_equal(got[b], np_pp(f3[b], 128))
 
 
 @pytest.mark.parametrize("art_dir,variant,image_dir,floor", [

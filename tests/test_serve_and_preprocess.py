@@ -65,6 +65,64 @@ def test_device_preprocess_packed_bgrx():
             )
 
 
+def test_device_preprocess_nearest_geometry_sweep():
+    """The nearest-resize path is bit-identical to the host twin across
+    camera geometries exercising both gate branches (see ops/preprocess):
+    phase-sliced (240^2 q=8, 288^2 q=4), dense for lane-aligned pitch
+    (480x640), for q>8 (200^2 q=16), and for nearly-coprime sizes
+    (131^2, 127^2)."""
+    from tpu_cnn.apps.realtime import preprocess as host_pre
+    from tpu_cnn.ops.luma import pack_bgrx
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    rs = np.random.RandomState(7)
+    for h, w in ((480, 640), (240, 320), (288, 352), (200, 300),
+                 (131, 177), (127, 127)):
+        f3 = rs.randint(0, 256, size=(2, h, w, 3)).astype(np.uint8)
+        ref = np.stack([host_pre(f3[b], 128) for b in range(2)])
+        np.testing.assert_array_equal(
+            np.asarray(preprocess_frames(f3, 128)), ref, err_msg=f"{h}x{w}"
+        )
+        f4 = np.concatenate([f3, np.zeros_like(f3[..., :1])], axis=-1)
+        np.testing.assert_array_equal(
+            np.asarray(preprocess_frames(pack_bgrx(f4), 128)), ref,
+            err_msg=f"{h}x{w} packed",
+        )
+        g2 = rs.randint(0, 256, size=(2, h, w)).astype(np.uint8)
+        refg = np.stack([host_pre(g2[b], 128) for b in range(2)])
+        np.testing.assert_array_equal(
+            np.asarray(preprocess_frames(g2, 128)), refg,
+            err_msg=f"{h}x{w} gray",
+        )
+
+
+def test_device_preprocess_padded_pitch():
+    """valid_w: frames staged at a wider row pitch (V4L2 bytesperline, or
+    deliberate pad-width staging to dodge the lane-aligned slow path) give
+    bit-identical results to the unpadded frame; pad bytes are never read."""
+    from tpu_cnn.apps.realtime import preprocess as host_pre
+    from tpu_cnn.ops.luma import pack_bgrx
+    from tpu_cnn.ops.preprocess import preprocess_frames
+
+    rs = np.random.RandomState(11)
+    for h, w, pitch in ((480, 640, 656), (240, 320, 336), (96, 128, 144)):
+        f4 = rs.randint(0, 256, size=(2, h, w, 4)).astype(np.uint8)
+        ref = np.stack([host_pre(f4[b, :, :, :3], 128) for b in range(2)])
+        packed = pack_bgrx(f4)
+        staged = np.full((2, h, pitch), 0xDEADBEEF, np.uint32)
+        staged[:, :, :w] = packed
+        np.testing.assert_array_equal(
+            np.asarray(preprocess_frames(staged, 128, valid_w=w)), ref,
+            err_msg=f"{h}x{w}@{pitch}",
+        )
+        # valid_w == full pitch is the default path
+        np.testing.assert_array_equal(
+            np.asarray(preprocess_frames(packed, 128, valid_w=w)), ref
+        )
+    with pytest.raises(ValueError):
+        preprocess_frames(np.zeros((1, 8, 8), np.uint32), 4, valid_w=9)
+
+
 def test_device_preprocess_grayscale_passthrough():
     from tpu_cnn.ops.preprocess import preprocess_frames
 

@@ -301,13 +301,17 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
 
 
 def bench_camera_pipeline(model: FpgaCNN, mode: str, batch: int, runs: int,
-                          cam_w: int, cam_h: int, channels: int = 4):
+                          cam_w: int, cam_h: int, channels: int = 4,
+                          pitch: int | None = None):
     """Raw camera frames -> boxes, everything on device: fused preprocess
     (center-crop/gray/area-resize) + CNN + head. Frames staged in HBM;
     async-pipelined like bench.py. channels=4 measures the packed-BGRX
     ingest (one u32 word per pixel — the production layout; a free
     ``.view`` on the host, ``ops.luma.pack_bgrx``); channels=3 the plain
-    (B, H, W, 3) u8 layout a naive port would use."""
+    (B, H, W, 3) u8 layout a naive port would use. ``pitch``: stage rows
+    at a wider word pitch (V4L2 bytesperline-style padding) — a
+    non-128-aligned pitch unlocks the phase-sliced resize, ~2.4x faster
+    preprocess at 480p (see ops/preprocess gate + probe_preprocess_phase)."""
     import jax
     import jax.numpy as jnp
 
@@ -323,9 +327,11 @@ def bench_camera_pipeline(model: FpgaCNN, mode: str, batch: int, runs: int,
     # not fusion). Both are jitted; dispatches pipeline asynchronously.
     engine = TPUEngine(model, backend=mode)
     shifts = jnp.asarray(model.shifts, jnp.int32)
+    pitch = cam_w if pitch is None else pitch
 
     def pipeline(frames):
-        small = preprocess_frames(frames, model.config.img_size)
+        small = preprocess_frames(frames, model.config.img_size,
+                                  valid_w=cam_w)
         pred, conf, probs, bbox = engine._detect(small, shifts)
         return pred, conf, bbox
 
@@ -333,14 +339,14 @@ def bench_camera_pipeline(model: FpgaCNN, mode: str, batch: int, runs: int,
     if channels == 4:  # packed u32 BGRX words (random bytes incl. pad)
         pools = [
             jnp.asarray(
-                rng.randint(0, 2**32, (batch, cam_h, cam_w), dtype=np.uint32)
+                rng.randint(0, 2**32, (batch, cam_h, pitch), dtype=np.uint32)
             )
             for _ in range(2)
         ]
     else:
         pools = [
             jnp.asarray(
-                rng.randint(0, 256, (batch, cam_h, cam_w, 3), dtype=np.uint8)
+                rng.randint(0, 256, (batch, cam_h, pitch, 3), dtype=np.uint8)
             )
             for _ in range(2)
         ]
@@ -380,6 +386,11 @@ def main(argv=None):
     p.add_argument("--cam-channels", type=int, default=4, choices=(3, 4),
                    help="camera pixel format: 4 = BGRX packed fast path, "
                         "3 = plain BGR")
+    p.add_argument("--cam-pitch", type=int, default=None,
+                   help="stage camera rows at this word pitch (> width; "
+                        "V4L2 bytesperline-style). A non-128-aligned pitch "
+                        "(e.g. 656 for 640) unlocks the phase-sliced "
+                        "resize — ~2.4x faster 480p preprocess")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the measured loop")
     p.add_argument("--host-ingest", action="store_true",
@@ -503,12 +514,16 @@ def main(argv=None):
                     f"(auto/mega/hybrid/pallas/xla), not {mode!r}")
         from tpu_cnn.utils.profiling import jax_trace
 
+        if args.cam_pitch is not None and args.cam_pitch < cam_w:
+            p.error(f"--cam-pitch {args.cam_pitch} < camera width {cam_w}")
         with jax_trace(args.trace_dir):
             dt = bench_camera_pipeline(model, mode, args.batch, args.runs,
-                                       cam_w, cam_h, args.cam_channels)
+                                       cam_w, cam_h, args.cam_channels,
+                                       args.cam_pitch)
         fps = args.batch / dt
-        print(f"\n  camera pipeline ({cam_w}x{cam_h}x{args.cam_channels} "
-              f"-> boxes, {mode}): "
+        pitch_s = f"@{args.cam_pitch}" if args.cam_pitch else ""
+        print(f"\n  camera pipeline ({cam_w}x{cam_h}x{args.cam_channels}"
+              f"{pitch_s} -> boxes, {mode}): "
               f"{dt * 1e3:9.3f} ms/batch{args.batch}  {fps:12,.0f} FPS  "
               f"({fps / FPGA_FPS:,.0f}x reference)")
         return {"camera_pipeline": fps}

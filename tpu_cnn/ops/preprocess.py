@@ -14,6 +14,7 @@ mean when the crop size is a multiple of 128 (the common camera geometries).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -69,9 +70,10 @@ def bt601_gray_packed(words: jax.Array, channel_order: str = "bgr") -> jax.Array
     return y.astype(jnp.uint16)
 
 
-@partial(jax.jit, static_argnames=("out_size", "channel_order"))
+@partial(jax.jit, static_argnames=("out_size", "channel_order", "valid_w"))
 def preprocess_frames(
-    frames: jax.Array, out_size: int = 128, channel_order: str = "bgr"
+    frames: jax.Array, out_size: int = 128, channel_order: str = "bgr",
+    valid_w: int | None = None,
 ) -> jax.Array:
     """(B, H, W[, 3|4]) uint8 — or (B, H, W) uint32 packed BGRX — to
     (B, out_size, out_size) uint8.
@@ -83,6 +85,13 @@ def preprocess_frames(
     reinterpret for 4-channel sources) is the production ingest layout:
     a trailing 3/4-wide channel dim wastes most of each 128-lane register
     on TPU, while packed words demux with plain shifts.
+
+    ``valid_w``: real frame width when the staged row pitch W is wider
+    (V4L2 ``bytesperline`` padding, or deliberate pad-width staging —
+    see the phase-path gate below: a 128-word-aligned pitch defeats the
+    fast strided-slice lowering, so staging 640-wide camera rows at a
+    648/656-word pitch makes 480p preprocess ~2.4x faster). Columns
+    beyond ``valid_w`` are never read.
     """
     # Crop FIRST (static lax.slice on the raw input), then demux: the luma
     # only runs on the kept square, and the static slice fuses into the
@@ -92,43 +101,109 @@ def preprocess_frames(
     # dynamic op on TPU even with constant start indices, materialising the
     # full-frame gray and blocking fusion.
     b, h, w = frames.shape[:3]
-    s = min(h, w)
-    y0, x0 = (h - s) // 2, (w - s) // 2
-    cropped = jax.lax.slice(
-        frames, (0, y0, x0) + (0,) * (frames.ndim - 3),
-        (b, y0 + s, x0 + s) + tuple(frames.shape[3:]),
-    )
-    if frames.ndim == 3 and frames.dtype == jnp.uint32:
-        crop = bt601_gray_packed(cropped, channel_order)
-    elif frames.ndim == 4 and frames.shape[-1] == 4:
-        crop = bt601_gray_packed(cropped, channel_order)
-    elif frames.ndim == 4:
-        crop = bt601_gray(cropped, channel_order)
-    else:
-        crop = cropped.astype(jnp.uint16)
+    vw = w if valid_w is None else valid_w
+    if not 0 < vw <= w:
+        raise ValueError(f"valid_w {vw} out of range for staged width {w}")
+    s = min(h, vw)
+    y0, x0 = (h - s) // 2, (vw - s) // 2
+
+    def to_gray(a: jax.Array) -> jax.Array:
+        if a.ndim == 3 and a.dtype == jnp.uint32:
+            return bt601_gray_packed(a, channel_order)
+        if a.ndim == 4 and a.shape[-1] == 4:
+            return bt601_gray_packed(a, channel_order)
+        if a.ndim == 4:
+            return bt601_gray(a, channel_order)
+        return a.astype(jnp.uint16)
 
     if s % out_size == 0:
+        cropped = jax.lax.slice(
+            frames, (0, y0, x0) + (0,) * (frames.ndim - 3),
+            (b, y0 + s, x0 + s) + tuple(frames.shape[3:]),
+        )
+        crop = to_gray(cropped)
         f = s // out_size
         # exact integer area mean over f x f blocks
         blocks = crop.reshape(b, out_size, f, out_size, f).astype(jnp.uint32)
         small = blocks.sum(axis=(2, 4)) // (f * f)
-    else:
-        # nearest sampling as two one-hot selection MATMULS on the MXU —
-        # bit-identical to the gather formulation (one-hot bf16 weights,
-        # f32 accumulate: each output is a single exact 0..255 product)
-        # but ~20x faster on TPU, where spatial gathers lower poorly
-        # (measured 18.8 us/img and ~8 min of XLA compile for the
-        # gather pair at 480^2 -> 128^2; see docs/ROADMAP.md).
-        idx = (jnp.arange(out_size) * s // out_size).clip(0, s - 1)
-        sel = (jnp.arange(s)[:, None] == idx[None, :]).astype(jnp.bfloat16)
-        rows = jax.lax.dot_general(  # contract s_y -> (b, s_x, out_y)
-            crop.astype(jnp.bfloat16), sel,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        small = jax.lax.dot_general(  # contract s_x -> (b, out_y, out_x)
-            rows, sel,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        return small.astype(jnp.uint8)
+
+    # Nearest sampling. Column selection is a one-hot MATMUL on the MXU —
+    # bit-identical to the gather formulation (one-hot bf16 weights, f32
+    # accumulate: each output is a single exact 0..255 product) but ~20x
+    # faster on TPU, where spatial gathers lower poorly (measured 18.8
+    # us/img and ~8 min of XLA compile for a gather pair at 480^2 ->
+    # 128^2; see docs/ROADMAP.md).
+    col_idx = (jnp.arange(out_size) * s // out_size).clip(0, s - 1)
+    col_sel = (jnp.arange(s)[:, None] == col_idx[None, :]).astype(jnp.bfloat16)
+
+    g = math.gcd(s, out_size)
+    q = out_size // g  # row-selection phase count
+    stride = s // g
+    # Phase-path gate, measured on the v5e (scripts/probe_preprocess_phase.py,
+    # interleaved best-of-N, batch 2048 packed-BGRX): the phase path wins
+    # UNLESS the staged row pitch W is a multiple of the 128-lane width
+    # (the strided row slices then lower to a ~2-5x slower code path —
+    # plausibly a degenerate VMEM-bank/layout choice when every kept row
+    # starts lane-aligned) or the phase count q exceeds 8 (slice overhead
+    # dominates). 12/12 measured points separate on exactly this rule,
+    # us/img dense vs phase: 640x480 2.03/4.47, 384x240 0.95/1.78,
+    # 512x416 1.55/3.56, 640x448 2.04/4.30 (all pitch%128==0 -> dense);
+    # 300x200 1.46/3.81 q=16, 177x131 and 127x127 q>=128 (-> dense);
+    # 320x240 1.81/0.80, 352x288 ~1.2/1.02, 480x352 3.02/0.81,
+    # 720x560 6.93/0.95, 656x480 5.08/0.83 (-> phase). An earlier
+    # s*stride<=4096 gate was falsified at 640x448 (3136, loses) vs
+    # 720x560 (19600, wins); a jnp.take row gather loses everywhere
+    # (2.4-29.5 us). W here is the full staged pitch, not valid_w — the
+    # lowering follows the physical layout.
+    if q <= 8 and w % 128 != 0:
+        # Row selection as q phase-strided slices BEFORE the luma: the
+        # nearest resize keeps only out_size of s rows, and because
+        # idx[j] = j*s//out_size satisfies idx[j+q] = idx[j] + s//g
+        # exactly, the kept rows decompose into q stride-(s//g) lax.slices
+        # of g rows each. The demux+luma then touches s/out_size x fewer
+        # pixels and XLA reads only the kept rows from HBM (the full-crop
+        # formulation below materialises the whole bf16 crop as the row-
+        # matmul operand). Bit-identical: same selected pixels, same luma,
+        # same one-hot column contraction. Output row j = q*m + r comes
+        # from phase r, slice-row m, so a stack on axis 2 re-interleaves.
+        phases = []
+        for r in range(q):
+            off = r * s // out_size
+            sl = jax.lax.slice(
+                frames,
+                (0, y0 + off, x0) + (0,) * (frames.ndim - 3),
+                (b, y0 + off + (g - 1) * stride + 1, x0 + s)
+                + tuple(frames.shape[3:]),
+                (1, stride, 1) + (1,) * (frames.ndim - 3),
+            )
+            gray = to_gray(sl)  # (b, g, s) uint16
+            phases.append(jax.lax.dot_general(  # contract s_x -> (b, g, out)
+                gray.astype(jnp.bfloat16), col_sel,
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        small = jnp.stack(phases, axis=2).reshape(b, out_size, out_size)
+        return small.astype(jnp.uint8)
+
+    # Dense path (lane-aligned pitch or q > 8, incl. nearly-coprime sizes
+    # where phase slices degenerate toward one per row): two one-hot
+    # matmuls over the full grayscale crop. At 640x480 this measures
+    # 2.03 us/img — the luma-operand materialisation bound — while the
+    # phase path's stride-15 reads over the aligned pitch lower to 4.47.
+    cropped = jax.lax.slice(
+        frames, (0, y0, x0) + (0,) * (frames.ndim - 3),
+        (b, y0 + s, x0 + s) + tuple(frames.shape[3:]),
+    )
+    crop = to_gray(cropped)
+    rows = jax.lax.dot_general(  # contract s_y -> (b, s_x, out_y)
+        crop.astype(jnp.bfloat16), col_sel,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    small = jax.lax.dot_general(  # contract s_x -> (b, out_y, out_x)
+        rows, col_sel,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     return small.astype(jnp.uint8)
