@@ -12,6 +12,18 @@ Variants (interleaved best-of-N, one process; pass a comma subset as argv[1]
   slicedot the ROLL-FREE redesign shape probe: input staged once into a
            lane-padded int8 buffer, 9 per-tap MXU dots on m-aligned static
            slices (WRONG at phase-carry boundaries — no masks/corrections)
+  poolbf16 activation narrowed to bf16 before the 4-slice max — the one
+           narrowing that COMPILES (float max legalizes at 16-bit where
+           integer max does not) and is bit-exact. REJECTED on timing:
+           healthy-relay interleaved A/B measures it SLOWER than the i32
+           production pool in both configs (forward 3.945 vs 3.575
+           us/img here; detect e2e 3.803 vs 3.676 in
+           probe_detect_pool_ab.py). CAUTION: one degraded-relay session
+           (baselines inflated to 5.56/6.40 us/img) measured the
+           OPPOSITE sign (-0.84) — re-probe only on a session whose
+           "full" lands in the normal 3.3-4.0 band.
+  pool8/pool16  integer-narrowed pool operand — both REJECTED: Mosaic
+           cannot legalize vector maxui/maxsi at i8/i16 on this build
 
 full - noroll   = cost of the rotate ops alone
 full - nocorr   = cost of the boundary corrections
@@ -71,7 +83,7 @@ def main():
         )
         jax.block_until_ready(fwd[v](pools[0]))
         msg = ""
-        if v in ("full", "pool8", "pool16"):
+        if v in ("full", "pool8", "pool16", "poolbf16"):
             got = np.asarray(fwd[v](jnp.asarray(gate)))
             msg = (" — parity BIT-EXACT" if np.array_equal(got, want)
                    else f" — parity MISMATCH ({(got != want).sum()} values)")

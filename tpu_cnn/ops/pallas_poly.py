@@ -256,8 +256,10 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = ""):
                 )
 
 
-def _pool_blocks(act_i32, g, t, rows):
-    """(rows, g*g*m) i32 -> pooled blocks (list of (rows, m) values to
+def _pool_blocks(act, g, t, rows):
+    """(rows, g*g*m) activation (i32 in production; any max-able dtype —
+    the poolbf16 ablation routes bf16 through here) -> pooled blocks
+    (list of (rows, m) values to
     store). The 2x2 pool of phase block (2ry, 2rx) is the elementwise max
     of its 4 neighbour blocks — computed as 4 static lane slices + max per
     target block. This replaces the earlier 3 full-width rolls + max +
@@ -270,7 +272,7 @@ def _pool_blocks(act_i32, g, t, rows):
     for ry2 in range(g2):
         for rx2 in range(g2):
             vals = [
-                jax.lax.slice(act_i32, (0, src * m), (rows, (src + 1) * m))
+                jax.lax.slice(act, (0, src * m), (rows, (src + 1) * m))
                 for src in (
                     (2 * ry2 + by) * g + (2 * rx2 + bx)
                     for by in (0, 1) for bx in (0, 1)
@@ -359,6 +361,21 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
         elif ablate == "pool16":
             # same idea at i16 width (halves the act spill + pool reads)
             act = act.astype(jnp.int16)
+        elif ablate == "poolbf16":
+            # bf16 pooling — the one narrowing that COMPILES (float max at
+            # 16-bit width legalizes where integer i8/i16 max does not;
+            # 0..255 is exact in bf16, bit-exact + hardware-parity-gated).
+            # PROBED AND REJECTED for production: on a healthy relay
+            # session it measures SLOWER than i32 in both configs
+            # (forward 3.945 vs 3.575 us/img, detect e2e 3.803 vs 3.676 —
+            # interleaved best-of-N, scripts/probe_mega_ablate.py
+            # full,poolbf16 / scripts/probe_detect_pool_ab.py): the
+            # cvt-to-bf16 chain plus the i32 re-widen at the u8 store
+            # costs more than the halved pool-read width saves. (An
+            # earlier degraded-relay session measured the OPPOSITE sign,
+            # -0.84 us/img — which is why this stays a one-flag re-probe
+            # for future toolchains rather than a deleted idea.)
+            act = act.astype(jnp.bfloat16)
         blocks = _pool_blocks(act, g, t, tb * oc)
         # In detect mode (with_feats=False) the u8 feature map is dead —
         # the CAM reads the f32 twin and the classifier the fused bins —
@@ -367,15 +384,17 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
         target = (out_ref if li == n_layers - 1 else act_refs[li])
         if target is not None:
             for d, b in enumerate(blocks):
+                if b.dtype == jnp.bfloat16:  # poolbf16: hop via i32
+                    b = b.astype(jnp.int32)
                 target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
         if with_f32 and li == n_layers - 1:
             # f32 twin of the final features, written while they are still
             # i32 in VMEM: spares the head's CAM the (slow) XLA u8->f32
             # relayout of the feature map
             blk0 = blocks[0]
-            if blk0.dtype != jnp.int32:  # pool8: u8->f32 must hop via i32
+            if blk0.dtype == jnp.uint8:  # pool8: u8->f32 must hop via i32
                 blk0 = blk0.astype(jnp.int32)
-            f32_ref[:] = blk0.astype(jnp.float32)
+            f32_ref[:] = blk0.astype(jnp.float32)  # bf16/i32->f32: exact
         if with_bins and li == n_layers - 1:
             # fused head pooling: 4x4 spatial-bin means of the final 16x16
             # map, via a selection matmul (exact integer sums, then the same
@@ -387,7 +406,7 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
             sel = ((p_i // s // npx) * 4 + (p_i % s) // npx) == b_i
             mb = sel.astype(jnp.float32)
             blk0f = blocks[0]
-            if blk0f.dtype != jnp.int32:
+            if blk0f.dtype == jnp.uint8:  # pool8: u8->f32 hops via i32
                 blk0f = blk0f.astype(jnp.int32)
             sums = jnp.dot(blk0f.astype(jnp.float32), mb,
                            preferred_element_type=jnp.float32)
