@@ -118,11 +118,11 @@ def main():
     rs = np.random.RandomState(0)
 
     def production_path(images):
-        feats, pooled, feats_f32 = pallas_poly.cnn_forward_polyphase_pallas(
-            images, kernels, shifts, with_bins=True, with_f32=True
+        feats, pooled, feats_twin = pallas_poly.cnn_forward_polyphase_pallas(
+            images, kernels, shifts, with_bins=True, with_twin=True
         )
         pred, conf, probs, bbox = detect_head.detect_with_pooled(
-            feats, pooled, fc_w, fc_b, img_size, features_f32=feats_f32
+            feats, pooled, fc_w, fc_b, img_size, features_twin=feats_twin
         )
         return feats, pooled, pred, conf, probs, bbox
 

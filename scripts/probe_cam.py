@@ -165,12 +165,13 @@ def probe_f32_twin():
 
     def full(im):
         _, pooled, f32 = pallas_poly.cnn_forward_polyphase_pallas(
-            im, kernels, shifts, with_bins=True, with_f32=True)
+            im, kernels, shifts, with_bins=True, with_twin=True)
         logits = detect_head._fc_logits(pooled, fc_w, fc_b)
         probs = jax.nn.softmax(logits, -1)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         conf = probs.max(-1)
-        bbox = detect_head.cam_bbox_f32(f32, pred, fc_w, 128)
+        bbox = detect_head.cam_bbox_f32(f32.astype(jnp.float32), pred,
+                                        fc_w, 128)
         return pred, conf, bbox
 
     jf = jax.jit(full)

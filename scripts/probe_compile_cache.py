@@ -39,11 +39,11 @@ shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
 
 @jax.jit
 def detect(images):  # same program bench.py measures
-    feats, pooled, feats_f32 = pallas_poly.cnn_forward_polyphase_pallas(
-        images, kernels, shifts, with_bins=True, with_f32=True
+    feats, pooled, feats_twin = pallas_poly.cnn_forward_polyphase_pallas(
+        images, kernels, shifts, with_bins=True, with_twin=True
     )
     _, _, pred, conf, _, bbox = (feats, pooled) + detect_head.detect_with_pooled(
-        feats, pooled, fc_w, fc_b, 128, features_f32=feats_f32
+        feats, pooled, fc_w, fc_b, 128, features_twin=feats_twin
     )
     return pred, conf, bbox
 

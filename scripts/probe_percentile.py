@@ -47,7 +47,7 @@ def main():
         @jax.jit
         def detect(images):
             feats, pooled, f32 = pallas_poly.cnn_forward_polyphase_pallas(
-                images, kernels, shifts, with_bins=True, with_f32=True
+                images, kernels, shifts, with_bins=True, with_twin=True
             )
             logits = detect_head._fc_logits(pooled, fc_w, fc_b)
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -18,7 +18,7 @@ from tpu_cnn.utils.paths import default_artifacts
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--with-bins", action="store_true")
-    p.add_argument("--with-f32", action="store_true")
+    p.add_argument("--with-twin", action="store_true")
     p.add_argument("--rounds", type=int, default=30)
     p.add_argument("--batch", type=int, default=2048)
     args = p.parse_args()
@@ -32,7 +32,7 @@ def main():
     def fwd(images):
         out = pallas_poly.cnn_forward_polyphase_pallas(
             images, kernels, shifts,
-            with_bins=args.with_bins, with_f32=args.with_f32,
+            with_bins=args.with_bins, with_twin=args.with_twin,
         )
         if isinstance(out, tuple):
             # return only tiny reductions to keep HBM outputs small
@@ -55,7 +55,7 @@ def main():
 
     us = min(measure() for _ in range(2))
     print(f"forward {'with bins ' if args.with_bins else ''}"
-          f"{'with f32 ' if args.with_f32 else ''}"
+          f"{'with f32 ' if args.with_twin else ''}"
           f"{us:.3f} us/img ({1e6 / us:,.0f} FPS)")
 
 

@@ -154,7 +154,7 @@ def test_variant_megakernel(name, rng):
 
 def test_mega_fits_budgets_both_engine_paths(rng):
     """TPUEngine._mega_fits must budget both the features config and the
-    exact detect config (with_feats follows with_f32): the stock geometry
+    exact detect config (with_feats follows with_twin): the stock geometry
     plans whole-net, lyr4-wide plans the head-layer + tail-megakernel
     chain (round 3), and a geometry with no fitting tail at any batch tile
     drives the hybrid fallback."""
@@ -185,7 +185,7 @@ def test_mega_fits_budgets_both_engine_paths(rng):
     cfg4 = get_config("lyr4-wide")
     assert pallas_poly.polyphase_plan(cfg4.layer_configs, with_bins=False) == (1, 1)
     assert pallas_poly.polyphase_plan(
-        cfg4.layer_configs, with_bins=True, with_f32=True, with_feats=True
+        cfg4.layer_configs, with_bins=True, with_twin=True, with_feats=True
     ) == (1, 1)
 
 
@@ -204,7 +204,7 @@ def test_variant_megakernel_chained_parity(rng):
     kj = [jnp.asarray(k) for k in kernels]
     sj = jnp.asarray(shifts, jnp.int32)
     feats, bins, f32 = pallas_poly.cnn_forward_mega(
-        jnp.asarray(imgs), kj, sj, with_bins=True, with_f32=True,
+        jnp.asarray(imgs), kj, sj, with_bins=True, with_twin=True,
         interpret=True,
     )
     want = np.stack(

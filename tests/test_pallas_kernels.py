@@ -132,7 +132,7 @@ def test_megakernel_fused_bins(stock_kernels, rng):
 
 
 def test_megakernel_f32_twin(stock_kernels, rng):
-    """with_f32: the kernel's f32 feature twin must equal the u8 features
+    """with_twin: the kernel's f32 feature twin must equal the u8 features
     exactly, and the f32-twin CAM path must produce the same boxes as the
     u8 path (the production detect wiring)."""
     from tpu_cnn.ops import detect_head
@@ -143,7 +143,7 @@ def test_megakernel_f32_twin(stock_kernels, rng):
     shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
     feats, bins, f32 = cnn_forward_polyphase_pallas(
         jnp.asarray(imgs), kj, shifts, interpret=True,
-        with_bins=True, with_f32=True,
+        with_bins=True, with_twin=True,
     )
     np.testing.assert_array_equal(
         np.asarray(f32), np.asarray(feats).astype(np.float32)
@@ -154,7 +154,7 @@ def test_megakernel_f32_twin(stock_kernels, rng):
     fc_b = jnp.asarray(np.zeros(6, np.float32))
     pu = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128)
     pf = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128,
-                                        features_f32=f32)
+                                        features_twin=f32)
     np.testing.assert_array_equal(np.asarray(pu[0]), np.asarray(pf[0]))
     np.testing.assert_array_equal(np.asarray(pu[3]), np.asarray(pf[3]))
 
@@ -173,11 +173,11 @@ def test_megakernel_no_feats_output(stock_kernels, rng):
     shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
     feats, bins, f32 = cnn_forward_polyphase_pallas(
         jnp.asarray(imgs), kj, shifts, interpret=True,
-        with_bins=True, with_f32=True,
+        with_bins=True, with_twin=True,
     )
     bins2, f32_2 = cnn_forward_polyphase_pallas(
         jnp.asarray(imgs), kj, shifts, interpret=True,
-        with_bins=True, with_f32=True, with_feats=False,
+        with_bins=True, with_twin=True, with_feats=False,
     )
     np.testing.assert_array_equal(np.asarray(bins2), np.asarray(bins))
     np.testing.assert_array_equal(np.asarray(f32_2), np.asarray(f32))
@@ -195,7 +195,7 @@ def test_megakernel_no_feats_output(stock_kernels, rng):
     fc_w = jnp.asarray(rs.randn(6, 1024).astype(np.float32) * 0.1)
     fc_b = jnp.asarray(np.zeros(6, np.float32))
     pf = detect_head.detect_with_pooled(None, bins2, fc_w, fc_b, 128,
-                                        features_f32=f32_2)
+                                        features_twin=f32_2)
     pu = detect_head.detect_with_pooled(feats, bins, fc_w, fc_b, 128)
     np.testing.assert_array_equal(np.asarray(pu[0]), np.asarray(pf[0]))
     np.testing.assert_array_equal(np.asarray(pu[3]), np.asarray(pf[3]))

@@ -84,7 +84,7 @@ def test_full_forward_polyphase_random(rng):
 
 def test_vmem_estimate_counts_every_output_block():
     """The VMEM gate must model the EXACT kernel configuration the engine
-    requests: the fused bins and the f32 feature twin are extra
+    requests: the fused bins and the bf16 feature twin are extra
     double-buffered output blocks, so each must strictly grow the estimate,
     and the flagship geometry must fit with all of them counted."""
     from tpu_cnn.models.cnn import LAYER_CONFIGS
@@ -98,11 +98,11 @@ def test_vmem_estimate_counts_every_output_block():
     lp, t = _poly_layer_params(LAYER_CONFIGS)
     base = poly_vmem_estimate(lp, t)
     bins = poly_vmem_estimate(lp, t, with_bins=True)
-    full = poly_vmem_estimate(lp, t, with_bins=True, with_f32=True)
+    full = poly_vmem_estimate(lp, t, with_bins=True, with_twin=True)
     assert base < bins < full
-    # f32 twin of the (tb, oc, m) features, double-buffered
+    # bf16 twin of the (tb, oc, m) features, double-buffered
     tb = 4
     oc, m = lp[-1][1], t * t
-    assert full - bins == 2 * tb * oc * m * 4
+    assert full - bins == 2 * tb * oc * m * 2
     assert full <= POLY_VMEM_BUDGET
-    assert polyphase_supported(LAYER_CONFIGS, with_bins=True, with_f32=True)
+    assert polyphase_supported(LAYER_CONFIGS, with_bins=True, with_twin=True)

@@ -51,16 +51,16 @@ def build_detect_fn(model, backend: str, box_mode: str):
     head_mode = model.head_mode
 
     if backend == "mega":
-        with_f32 = box_mode != "reg"
+        with_twin = box_mode != "reg"
 
         def detect(images, shifts):
             out = pallas_poly.cnn_forward_mega(
-                images, kernels, shifts, with_bins=True, with_f32=with_f32,
-                with_feats=with_f32, interpret=False,
+                images, kernels, shifts, with_bins=True, with_twin=with_twin,
+                with_feats=with_twin, interpret=False,
             )
-            pooled, f32 = (out[1], out[2]) if with_f32 else (out, None)
+            pooled, f32 = (out[1], out[2]) if with_twin else (out, None)
             return detect_head.detect_with_pooled(
-                None, pooled, fc_w, fc_b, img_size, features_f32=f32,
+                None, pooled, fc_w, fc_b, img_size, features_twin=f32,
                 box_mode=box_mode, bbox_weight=bbox_w,
             )
     else:

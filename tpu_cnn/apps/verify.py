@@ -151,10 +151,10 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
         @jax.jit
         def head_fn(images):
             feats, pooled, f32 = pallas_poly.cnn_forward_mega(
-                images, kj, sj, with_bins=True, with_f32=True
+                images, kj, sj, with_bins=True, with_twin=True
             )
             return (pooled,) + detect_head.detect_with_pooled(
-                feats, pooled, fc_w, fc_b, img_size, features_f32=f32
+                feats, pooled, fc_w, fc_b, img_size, features_twin=f32
             )
 
         label = "mega(+fused bins)"

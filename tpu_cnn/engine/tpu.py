@@ -130,12 +130,12 @@ class TPUEngine:
         # megakernel chain for big geometries like lyr4-wide).
         cfgs = self.model.config.layer_configs
         with_bins = self.model.head_mode == "bins"
-        with_f32 = with_bins and self.box_mode != "reg"
+        with_twin = with_bins and self.box_mode != "reg"
         return (
             pallas_poly.polyphase_plan(cfgs, with_bins=False) is not None
             and pallas_poly.polyphase_plan(
-                cfgs, with_bins=with_bins, with_f32=with_f32,
-                with_feats=with_f32,
+                cfgs, with_bins=with_bins, with_twin=with_twin,
+                with_feats=with_twin,
             ) is not None
         )
 
@@ -186,16 +186,16 @@ class TPUEngine:
                 # way, but A/B on hardware (docs/ROADMAP.md) shows dropping
                 # it only pays in reg mode (+1%); next to the f32 twin the
                 # 3-output grid pipelines better WITH it (-1%) — so the u8
-                # store tracks with_f32.
-                with_f32 = box_mode != "reg"
+                # store tracks with_twin.
+                with_twin = box_mode != "reg"
                 out = pallas_poly.cnn_forward_mega(
                     images, self._kernels_dev, shifts,
-                    with_bins=True, with_f32=with_f32, with_feats=with_f32
+                    with_bins=True, with_twin=with_twin, with_feats=with_twin
                 )
-                pooled, feats_f32 = (out[1], out[2]) if with_f32 else (out, None)
+                pooled, feats_twin = (out[1], out[2]) if with_twin else (out, None)
                 pred, conf, probs, bbox = detect_head.detect_with_pooled(
                     None, pooled, self._fc_w_dev, self._fc_b_dev, img_size,
-                    features_f32=feats_f32, box_mode=box_mode,
+                    features_twin=feats_twin, box_mode=box_mode,
                     bbox_weight=self._bbox_w_dev,
                 )
             else:

@@ -117,8 +117,9 @@ def cam_bbox_f32(
       — then a constant per-lane bin mask selects ``j = bin(p)``. An XLA
       middle-axis reduce of (B, 64, 256) costs ~0.8 us/img on the VPU;
       the matmul form costs ~0.09 (234k -> 287k FPS end-to-end).
-    * The features arrive as the megakernel's in-kernel f32 twin
-      (``with_f32``), sparing the u8->f32 feature relayout.
+    * The features arrive as the megakernel's in-kernel feature twin
+      (``with_twin``, bf16 — exact for 0..255, upcast to f32 by the
+      caller), sparing the u8->f32 feature relayout.
 
     Same products, same reduction set as the reference CAM
     (``software/realtime_detect.py:85-116``) — only the evaluation order
@@ -269,19 +270,22 @@ def bbox_regress(
 
 def detect_with_pooled(
     features: jax.Array | None,  # (B, C, S*S) uint8 (CAM fallback); may be
-    #                              None when features_f32 is given or reg box
+    #                              None when features_twin is given or reg box
     pooled: jax.Array,  # (B, C*16) f32 — kernel-fused bin pooling
     fc_weight: jax.Array,
     fc_bias: jax.Array,
     img_size: int = 128,
-    features_f32: jax.Array | None = None,  # kernel-emitted f32 twin
+    features_twin: jax.Array | None = None,  # kernel-emitted feature twin
+    #                              (bf16 in production, f32 accepted)
     box_mode: str = "ref",
     bbox_weight: jax.Array | None = None,  # required for box_mode="reg"
 ):
     """Fused classify + bbox when the bin pooling already happened inside
-    the conv megakernel (``pallas_poly`` with_bins). Pass the kernel's f32
-    feature twin (``with_f32``) to skip the u8->f32 relayout in the CAM;
-    the u8 ``features`` may then be omitted entirely (the megakernel's
+    the conv megakernel (``pallas_poly`` with_bins). Pass the kernel's
+    feature twin (``with_twin``, bf16) to skip the u8->f32 relayout in the
+    CAM — it is upcast to f32 here, exactly (twin values are 0..255
+    integers, exact in bf16), so the CAM math is unchanged; the u8
+    ``features`` may then be omitted entirely (the megakernel's
     ``with_feats=False`` detect mode)."""
     logits = _fc_logits(pooled, fc_weight, fc_bias)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -289,14 +293,14 @@ def detect_with_pooled(
     conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
     if box_mode == "reg":
         bbox = bbox_regress(pooled, bbox_weight, img_size)
-    elif features_f32 is not None:
-        bbox = cam_bbox_f32(features_f32, pred, fc_weight, img_size,
-                            box_mode=box_mode)
+    elif features_twin is not None:
+        bbox = cam_bbox_f32(features_twin.astype(jnp.float32), pred,
+                            fc_weight, img_size, box_mode=box_mode)
     elif features is not None:
         bbox = cam_bbox(features, pred, fc_weight, img_size,
                         box_mode=box_mode)
     else:
-        raise ValueError("CAM box modes need features or features_f32")
+        raise ValueError("CAM box modes need features or features_twin")
     return pred, conf, probs, bbox
 
 

@@ -54,7 +54,7 @@ def _poly_layer_params(layer_configs):
 
 def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
                        with_bins: bool = False,
-                       with_f32: bool = False,
+                       with_twin: bool = False,
                        with_feats: bool = True) -> int:
     """Peak-VMEM model (bytes) for the megakernel at batch tile ``tb``.
 
@@ -73,7 +73,9 @@ def poly_vmem_estimate(layer_params, t, tb: int = POLY_TB,
     oc_last = layer_params[-1][1]
     out_blk = 2 * ((tb * oc_last * m if with_feats else 0)
                    + (tb * oc_last * 16 * 4 if with_bins else 0)
-                   + (tb * oc_last * m * 4 if with_f32 else 0))
+                   # bf16 feature twin (the twinf32 ablation doubles this;
+                   # budget for production)
+                   + (tb * oc_last * m * 2 if with_twin else 0))
     kmats = sum(tb * oc * 9 * tb * ic + 4 * tb * oc for ic, oc, g in layer_params)
     # transient peak: widened i32 input + i32 accumulator + one i32 pool temp
     peak = max(
@@ -114,13 +116,13 @@ def poly_vmem_traffic(layer_configs, tb: int = POLY_TB):
 
 
 def polyphase_supported(layer_configs, with_bins: bool = True,
-                        with_f32: bool = False,
+                        with_twin: bool = False,
                         with_feats: bool = True,
                         tb: int = POLY_TB) -> bool:
     """True when the megakernel's working set fits VMEM for this geometry
     (e.g. lyr4-wide's tap scratches alone exceed it -> use hybrid). Pass
-    the SAME with_bins/with_f32/with_feats the production call will use —
-    the f32 feature twin is a double-buffered output block the model must
+    the SAME with_bins/with_twin/with_feats the production call will use —
+    the bf16 feature twin is a double-buffered output block the model must
     count (and a dropped u8 feature output frees one)."""
     layer_params, t = _poly_layer_params(layer_configs)
     if t < 2 or (with_bins and t % 4):
@@ -128,13 +130,13 @@ def polyphase_supported(layer_configs, with_bins: bool = True,
     if tb * layer_params[0][0] < 4:
         # Mosaic miscompiles int8 staging for tiles with < 4 sublane rows
         return False
-    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32,
+    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_twin,
                              with_feats)
     return est <= POLY_VMEM_BUDGET
 
 
 def polyphase_plan(layer_configs, with_bins: bool = False,
-                   with_f32: bool = False, with_feats: bool = True):
+                   with_twin: bool = False, with_feats: bool = True):
     """Production megakernel plan for a geometry: ``(n_head, tb)`` where the
     first ``n_head`` layers run per-layer (``pallas_int8.fused_conv_layer``
     with its own tiling/reroute rules) and the remaining tail runs in ONE
@@ -148,7 +150,7 @@ def polyphase_plan(layer_configs, with_bins: bool = False,
     for n_head in range(0, n - 1):
         tail = layer_configs[n_head:]
         for tb in (POLY_TB, 2, 1):
-            if polyphase_supported(tail, with_bins, with_f32, with_feats,
+            if polyphase_supported(tail, with_bins, with_twin, with_feats,
                                    tb=tb):
                 return n_head, tb
     return None
@@ -284,21 +286,21 @@ def _pool_blocks(act, g, t, rows):
 
 
 def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
-               with_f32=False, with_feats=True, roll_dtype=jnp.int32,
+               with_twin=False, with_feats=True, roll_dtype=jnp.int32,
                ablate=""):
     n_layers = len(layer_params)
     k_refs = rest[:n_layers]
     corr_refs = rest[n_layers : 2 * n_layers]
     off = 2 * n_layers
-    out_ref = bins_ref = f32_ref = None
+    out_ref = bins_ref = twin_ref = None
     if with_feats:
         out_ref = rest[off]
         off += 1
     if with_bins:
         bins_ref = rest[off]
         off += 1
-    if with_f32:
-        f32_ref = rest[off]
+    if with_twin:
+        twin_ref = rest[off]
         off += 1
     xs_refs = rest[off : off + n_layers]
     act_refs = rest[off + n_layers :]  # inter-layer phase rows (u8)
@@ -387,14 +389,16 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
                 if b.dtype == jnp.bfloat16:  # poolbf16: hop via i32
                     b = b.astype(jnp.int32)
                 target[:, d * m : (d + 1) * m] = b.astype(jnp.uint8)
-        if with_f32 and li == n_layers - 1:
-            # f32 twin of the final features, written while they are still
-            # i32 in VMEM: spares the head's CAM the (slow) XLA u8->f32
-            # relayout of the feature map
+        if with_twin and li == n_layers - 1:
+            # feature twin of the final features (bf16 in production,
+            # f32 under the twinf32 ablation), written while they are
+            # still i32 in VMEM: spares the head's CAM the (slow) XLA
+            # u8->f32 relayout of the feature map
             blk0 = blocks[0]
             if blk0.dtype == jnp.uint8:  # pool8: u8->f32 must hop via i32
                 blk0 = blk0.astype(jnp.int32)
-            f32_ref[:] = blk0.astype(jnp.float32)  # bf16/i32->f32: exact
+            # i32 -> bf16/f32: exact for 0..255 either way
+            twin_ref[:] = blk0.astype(twin_ref.dtype)
         if with_bins and li == n_layers - 1:
             # fused head pooling: 4x4 spatial-bin means of the final 16x16
             # map, via a selection matmul (exact integer sums, then the same
@@ -445,7 +449,7 @@ def phase_split_nchw(x: jax.Array, g: int) -> jax.Array:
 
 
 @partial(jax.jit,
-         static_argnames=("interpret", "with_bins", "with_f32", "with_feats",
+         static_argnames=("interpret", "with_bins", "with_twin", "with_feats",
                           "roll_dtype", "ablate", "tb"))
 def cnn_forward_polyphase_pallas(
     images: jax.Array,  # (B, S, S) / (B, S, S, 1) u8; (B, ic0, S, S) if ic0>1
@@ -454,7 +458,7 @@ def cnn_forward_polyphase_pallas(
     *,
     interpret: bool | None = None,
     with_bins: bool = False,
-    with_f32: bool = False,
+    with_twin: bool = False,
     with_feats: bool = True,
     roll_dtype: str = "int32",
     ablate: str = "",
@@ -465,14 +469,16 @@ def cnn_forward_polyphase_pallas(
     phase's flat (Y, X) order IS the feature layout). With ``with_bins``,
     additionally returns the fused-head spatial-bin pooling
     (B, oc_last*16) f32 (matching ``detect_head.bin_pool``). With
-    ``with_f32``, additionally returns an f32 twin of the features (same
-    values, written in-kernel) so the head's CAM skips XLA's slow u8->f32
-    feature relayout. ``with_feats=False`` drops the u8 feature output
-    entirely (detect mode: the head consumes only bins/f32 twin, and XLA
+    ``with_twin``, additionally returns a bf16 twin of the features (same
+    values — 0..255 is exact in bf16 — written in-kernel) so the head's
+    CAM skips XLA's slow u8->f32 feature relayout; consumers upcast to
+    f32 exactly (``detect_head.detect_with_pooled`` does it internally).
+    ``with_feats=False`` drops the u8 feature output
+    entirely (detect mode: the head consumes only bins/twin, and XLA
     cannot dead-code-eliminate a Pallas output buffer). Outputs come back
-    in (feats, bins, f32) order, a bare array when only one is requested."""
-    if not (with_feats or with_bins or with_f32):
-        raise ValueError("at least one of with_feats/with_bins/with_f32 "
+    in (feats, bins, twin) order, a bare array when only one is requested."""
+    if not (with_feats or with_bins or with_twin):
+        raise ValueError("at least one of with_feats/with_bins/with_twin "
                          "must be requested")
     ic0 = int(kernels[0].shape[1])
     if ic0 == 1:
@@ -508,7 +514,7 @@ def cnn_forward_polyphase_pallas(
             f"batch tile {tb} x ic0 {ic0} gives < 4 sublane rows — Mosaic "
             f"miscompiles int8 staging below 4 rows on this build"
         )
-    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_f32,
+    est = poly_vmem_estimate(layer_params, t, tb, with_bins, with_twin,
                              with_feats)
     if not interpret and est > POLY_VMEM_BUDGET:
         raise ValueError(
@@ -559,8 +565,16 @@ def cnn_forward_polyphase_pallas(
             pl.BlockSpec((tb * oc_last, 16), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
         )
-    if with_f32:
-        out_shapes.append(jax.ShapeDtypeStruct((pb * oc_last, m), jnp.float32))
+    if with_twin:
+        # PRODUCTION: the feature twin is bf16 — 0..255 is exact in bf16,
+        # the consumer-side upcast to f32 is exact (and fuses into the
+        # CAM matmul read), and halving the kernel's widest output
+        # measured -0.09 us/img detect e2e (283.4k vs 275.8k FPS,
+        # re-confirmed in a second process at -0.084 — healthy-session
+        # interleaved A/Bs, scripts/probe_twin_bf16.py). ablate=twinf32
+        # keeps the old full-width twin measurable.
+        twin_dt = jnp.float32 if ablate == "twinf32" else jnp.bfloat16
+        out_shapes.append(jax.ShapeDtypeStruct((pb * oc_last, m), twin_dt))
         out_specs.append(
             pl.BlockSpec((tb * oc_last, m), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -569,7 +583,7 @@ def cnn_forward_polyphase_pallas(
     multi = len(out_shapes) > 1
     res = pl.pallas_call(
         partial(_mega_body, layer_params=layer_params, tb=tb, t=t,
-                with_bins=with_bins, with_f32=with_f32,
+                with_bins=with_bins, with_twin=with_twin,
                 with_feats=with_feats,
                 roll_dtype=jnp.dtype(roll_dtype).type, ablate=ablate),
         out_shape=tuple(out_shapes) if multi else out_shapes[0],
@@ -597,13 +611,13 @@ def cnn_forward_polyphase_pallas(
         ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
     if with_bins:
         ret.append(parts.pop(0).reshape(pb, oc_last * 16)[:b])
-    if with_f32:
+    if with_twin:
         ret.append(parts.pop(0).reshape(pb, oc_last, m)[:b])
     return tuple(ret) if multi else ret[0]
 
 
 @partial(jax.jit,
-         static_argnames=("interpret", "with_bins", "with_f32", "with_feats"))
+         static_argnames=("interpret", "with_bins", "with_twin", "with_feats"))
 def cnn_forward_mega(
     images: jax.Array,  # (B, S, S) or (B, S, S, 1) uint8
     kernels: Sequence[jax.Array],
@@ -611,7 +625,7 @@ def cnn_forward_mega(
     *,
     interpret: bool | None = None,
     with_bins: bool = False,
-    with_f32: bool = False,
+    with_twin: bool = False,
     with_feats: bool = True,
 ) -> jax.Array:
     """The general production mega entry: the WHOLE net in one polyphase
@@ -629,7 +643,7 @@ def cnn_forward_mega(
     layer_configs = tuple(
         (int(k.shape[1]), int(k.shape[0]), sz) for k, sz in zip(kernels, sizes)
     )
-    plan = polyphase_plan(layer_configs, with_bins, with_f32, with_feats)
+    plan = polyphase_plan(layer_configs, with_bins, with_twin, with_feats)
     if plan is None:
         raise ValueError(
             f"no megakernel plan fits VMEM for {layer_configs} — use the "
@@ -639,7 +653,7 @@ def cnn_forward_mega(
     if n_head == 0:
         return cnn_forward_polyphase_pallas(
             images, kernels, shifts, interpret=interpret, with_bins=with_bins,
-            with_f32=with_f32, with_feats=with_feats, tb=tb,
+            with_twin=with_twin, with_feats=with_feats, tb=tb,
         )
     from tpu_cnn.ops import pallas_int8
 
@@ -650,5 +664,5 @@ def cnn_forward_mega(
                                          interpret=interpret)
     return cnn_forward_polyphase_pallas(
         x, kernels[n_head:], shifts[n_head:], interpret=interpret,
-        with_bins=with_bins, with_f32=with_f32, with_feats=with_feats, tb=tb,
+        with_bins=with_bins, with_twin=with_twin, with_feats=with_feats, tb=tb,
     )

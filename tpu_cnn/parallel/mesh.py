@@ -147,19 +147,19 @@ def sharded_detect_mega(
     # the f32 feature twin only feeds the CAM box modes; the regression
     # head reads the pooled bins, so skip the extra kernel store (same
     # rule as TPUEngine._make_detect)
-    with_f32 = box_mode != "reg"
+    with_twin = box_mode != "reg"
 
     def per_shard(images, shifts):
         if head_mode == "bins":
-            # with_feats follows with_f32 — the same A/B-measured rule as
+            # with_feats follows with_twin — the same A/B-measured rule as
             # TPUEngine._make_detect
             out = pallas_poly.cnn_forward_mega(
-                images, kernels, shifts, with_bins=True, with_f32=with_f32,
-                with_feats=with_f32,
+                images, kernels, shifts, with_bins=True, with_twin=with_twin,
+                with_feats=with_twin,
             )
-            pooled, feats_f32 = (out[1], out[2]) if with_f32 else (out, None)
+            pooled, feats_twin = (out[1], out[2]) if with_twin else (out, None)
             return detect_head.detect_with_pooled(
-                None, pooled, fc_w, fc_b, img_size, features_f32=feats_f32,
+                None, pooled, fc_w, fc_b, img_size, features_twin=feats_twin,
                 box_mode=box_mode, bbox_weight=bbox_w,
             )
         feats = pallas_poly.cnn_forward_mega(images, kernels, shifts)
@@ -211,14 +211,14 @@ class MeshEngine:
             # TPUEngine._mega_fits
             cfgs = model.config.layer_configs
             with_bins = model.head_mode == "bins"
-            with_f32 = with_bins and box_mode != "reg"
+            with_twin = with_bins and box_mode != "reg"
             backend = (
                 "mega"
                 if (pallas_poly.polyphase_plan(cfgs, with_bins=False)
                     is not None
                     and pallas_poly.polyphase_plan(
-                        cfgs, with_bins=with_bins, with_f32=with_f32,
-                        with_feats=with_f32) is not None)
+                        cfgs, with_bins=with_bins, with_twin=with_twin,
+                        with_feats=with_twin) is not None)
                 else "xla"
             )
         fc_w = jnp.asarray(model.fc_weight)
