@@ -657,3 +657,97 @@ def test_doctor_cli(capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAIL" in out and "device dispatch" not in out
+
+
+# ── multi-object surface (beyond-reference) ──────────────────────────
+
+
+def test_infer_cli_multi(artifact_dir, capsys, tmp_path):
+    """--multi prints a detections list and writes a multi-box overlay."""
+    import glob as _glob
+    import shutil
+
+    from tpu_cnn.apps import infer
+
+    src = sorted(_glob.glob(os.path.join(artifact_dir, "test_image_*.bin")))[0]
+    img = os.path.join(tmp_path, os.path.basename(src))
+    shutil.copy(src, img)
+    infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
+                "--image", img, "--multi", "--multi-thresh", "0.166"])
+    out = capsys.readouterr().out
+    assert "Detections (prob >= 17%):" in out
+    result = img.replace(".bin", "_result.jpg")
+    assert os.path.exists(result)
+
+
+def test_infer_cli_multi_rejects_gap_head(artifact_dir, tmp_path, capsys):
+    import numpy as _np
+
+    from tpu_cnn.apps import infer
+
+    d = str(tmp_path / "gapbundle")
+    os.makedirs(d)
+    for f in ("weights.bin", "fc_bias.npy", "classes.json"):
+        import shutil
+
+        shutil.copy(os.path.join(artifact_dir, f), os.path.join(d, f))
+    _np.save(os.path.join(d, "fc_weight.npy"),
+             _np.zeros((6, 64), _np.float32))
+    with pytest.raises(SystemExit):
+        infer.main(["--artifacts", d, "--mode", "cpu", "--multi"])
+
+
+def test_realtime_multi_smoke(artifact_dir, capsys):
+    """--multi runs in both protocols (host twin and fused device head)."""
+    from tpu_cnn.apps import realtime
+
+    for extra in ([], ["--fused", "--mode", "xla"]):
+        realtime.main([
+            "--artifacts", artifact_dir, "--mode", "cpu",
+            "--source", "synthetic", "--frames", "3", "--no-serve",
+            "--multi",
+        ] + extra)
+        out = capsys.readouterr().out
+        assert "Done. 3 frames." in out
+
+
+def test_composite_scenes_properties():
+    """CompositeScenes: distinct classes per scene, near-disjoint analytic
+    boxes, images contain both objects' bright pixels."""
+    from tpu_cnn.apps.eval_detection import iou
+    from tpu_cnn.train.data import CompositeScenes
+
+    ds = CompositeScenes(n_scenes=12, seed=3)
+    imgs, truths = ds.arrays()
+    assert imgs.shape == (12, 128, 128) and imgs.dtype == np.float32
+    total = 0
+    for i, truth in enumerate(truths):
+        classes = [c for c, _ in truth]
+        assert len(set(classes)) == len(classes)
+        total += len(truth)
+        for (c1, b1), (c2, b2) in zip(truth, truth[1:]):
+            assert iou(b1, b2) < 0.15
+        for _, (x1, y1, x2, y2) in truth:
+            assert 0 <= x1 <= x2 <= 127 and 0 <= y1 <= y2 <= 127
+            # the object region must be brighter than the noise background
+            assert imgs[i, y1:y2 + 1, x1:x2 + 1].max() > 0.4
+    assert total >= 12 * 2 * 0.9, "rejection sampling dropped too many objects"
+
+
+def test_eval_detection_multi(artifact_dir):
+    """Multi-object eval: metrics well-formed, and at thresh <= 1/6 the
+    multi detector's recall provably dominates the single-box ceiling
+    (its detection set always contains the argmax class)."""
+    from tpu_cnn.apps.eval_detection import evaluate_multi
+    from tpu_cnn.models.cnn import FpgaCNN
+
+    bundle = art.load_bundle(artifact_dir)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names)
+    out = evaluate_multi(model, mode="xla", n_scenes=10, thresh=1 / 6,
+                         verbose=False)
+    assert out["objects"] >= 18
+    assert 0.0 <= out["recall"] <= 1.0
+    assert out["recall"] >= out["single_box_recall_ceiling"]
+    assert 0.0 <= out["matched_iou"] <= 1.0
+    assert out["overall_iou"] <= out["matched_iou"] + 1e-9

@@ -251,3 +251,96 @@ def test_reg_bbox_beats_cam_iou():
     reg = evaluate(model, mode="xla", n_per_class=10, verbose=False, box="reg")
     assert reg["mean_iou"] > ref["mean_iou"] + 0.15
     assert reg["mean_iou"] > 0.5
+
+
+# ── multi-object head (beyond-reference: one CAM box per class) ──────
+
+
+def test_multi_detect_matches_host_twin(bins_model, images):
+    """detect_multi_batch: per-class boxes equal the host twin, and the
+    argmax class's row equals the single-box production path."""
+    eng = TPUEngine(bins_model, backend="xla")
+    res = eng.detect_multi_batch(images)
+    assert res.boxes.shape == (len(images), 6, 4)
+    feats = eng.run_batch(images)
+    single = eng.detect_batch(images)
+    np.testing.assert_array_equal(res.pred, single.pred)
+    np.testing.assert_allclose(res.probs, single.probs, rtol=1e-6)
+    for b in range(len(images)):
+        want = host_cam.cam_bbox_multi(feats[b], bins_model.fc_weight)
+        np.testing.assert_array_equal(res.boxes[b], want)
+        np.testing.assert_array_equal(res.boxes[b, res.pred[b]],
+                                      single.bbox[b])
+
+
+def test_multi_detect_mega_matches_xla(bins_model, images):
+    """The kernel-fused multi path (bins + twin epilogue) agrees with the
+    XLA path box-for-box."""
+    ref = TPUEngine(bins_model, backend="xla").detect_multi_batch(images)
+    got = TPUEngine(bins_model, backend="mega").detect_multi_batch(images)
+    np.testing.assert_array_equal(got.pred, ref.pred)
+    np.testing.assert_array_equal(got.boxes, ref.boxes)
+
+
+def test_multi_detect_centroid_mode(bins_model, images):
+    """box_mode='centroid' engines produce centroid-profile multi boxes."""
+    eng = TPUEngine(bins_model, backend="xla", box_mode="centroid")
+    res = eng.detect_multi_batch(images)
+    feats = eng.run_batch(images)
+    for b in range(len(images)):
+        want = host_cam.cam_bbox_multi(feats[b], bins_model.fc_weight,
+                                       box_mode="centroid")
+        assert np.abs(res.boxes[b].astype(np.int64)
+                      - want.astype(np.int64)).max() <= 1
+
+
+def test_multi_detections_filter_and_sort(bins_model, images):
+    """MultiDetectResult.detections: thresholded, descending by prob, and
+    always contains the argmax class at thresh <= 1/num_classes."""
+    eng = TPUEngine(bins_model, backend="xla")
+    res = eng.detect_multi_batch(images)
+    dets = res.detections(threshold=1 / 6)
+    for b, d in enumerate(dets):
+        assert d, "argmax prob >= 1/6 must always pass a 1/6 threshold"
+        assert d[0][0] == res.pred[b]
+        probs = [p for _, p, _ in d]
+        assert probs == sorted(probs, reverse=True)
+        assert all(p >= 1 / 6 for p in probs)
+        for k, p, box in d:
+            np.testing.assert_array_equal(np.asarray(box), res.boxes[b, k])
+    # threshold above the max prob -> no detections
+    hi = res.probs.max() + 0.01
+    assert all(len(d) == 0 for d in res.detections(threshold=hi))
+
+
+def test_multi_detect_gap_head(gap_model, images):
+    """GAP-head multi mode: the CAM has no per-class spatial weights, so
+    all classes share the unweighted activation box (detect() fallback)."""
+    eng = TPUEngine(gap_model, backend="xla")
+    res = eng.detect_multi_batch(images)
+    assert res.boxes.shape == (len(images), 6, 4)
+    for b in range(len(images)):
+        assert (res.boxes[b] == res.boxes[b, 0]).all()
+
+
+def test_multi_detect_reg_engine_uses_ref_cam(bins_model, images):
+    """A box_mode='reg' engine still produces CAM multi boxes (the learned
+    regressor is class-agnostic), matching the 'ref' profile."""
+    from tpu_cnn.models.cnn import FpgaCNN as _F
+
+    bbox_w = np.random.RandomState(0).randn(1025, 4).astype(np.float32) * 0.01
+    model = _F(bins_model.kernels, bins_model.fc_weight, bins_model.fc_bias,
+               CLASS_NAMES, bbox_weight=bbox_w)
+    reg = TPUEngine(model, backend="xla", box_mode="reg")
+    ref = TPUEngine(bins_model, backend="xla")
+    np.testing.assert_array_equal(reg.detect_multi_batch(images).boxes,
+                                  ref.detect_multi_batch(images).boxes)
+
+
+def test_multi_detect_async_roundtrip(bins_model, images):
+    eng = TPUEngine(bins_model, backend="xla")
+    handle = eng.detect_multi_batch_async(images)
+    res = eng.detect_multi_resolve(handle)
+    want = eng.detect_multi_batch(images)
+    np.testing.assert_array_equal(res.boxes, want.boxes)
+    np.testing.assert_array_equal(res.pred, want.pred)

@@ -239,3 +239,29 @@ def test_shipped_bundle_accuracy_on_hardware(art_dir, variant, image_dir,
     res = eng.detect_batch(imgs)
     acc = float((np.asarray(res.pred) == labels).mean())
     assert acc >= floor, f"{art_dir} on hardware: {acc:.3f} < {floor}"
+
+
+def test_multi_object_head_on_hardware(stock_kernels, rng):
+    """Multi-object head on the chip: the kernel-fused per-class CAM boxes
+    (bins + bf16 twin epilogue) must match the host twin for EVERY class,
+    not just the argmax — the Mosaic-miscompile class interpret mode can't
+    see also applies to the unrolled multi head."""
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.head import cam as host_cam
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.1
+    fc_b = rng.randn(6).astype(np.float32) * 0.01
+    model = FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES)
+    imgs = _stimuli(rng, 128, n=6)
+    want_feats = np.stack([numpy_cnn_forward(im, stock_kernels) for im in imgs])
+
+    eng = TPUEngine(model, backend="mega")
+    res = eng.detect_multi_batch(imgs)
+    single = eng.detect_batch(imgs)
+    np.testing.assert_array_equal(res.pred, single.pred)
+    for b in range(len(imgs)):
+        want = host_cam.cam_bbox_multi(want_feats[b], fc_w)
+        np.testing.assert_array_equal(res.boxes[b], want)
+        np.testing.assert_array_equal(res.boxes[b, res.pred[b]],
+                                      single.bbox[b])

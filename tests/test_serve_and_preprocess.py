@@ -551,3 +551,111 @@ def test_train_resume_sharded(tmp_path):
               zero1=True)
     assert "Resumed from" in buf.getvalue()
     assert "(sharded) at epoch 2" in buf.getvalue()
+
+
+def test_serve_multi_mode_cpu_adapter(artifact_dir):
+    """--multi on the CPU-oracle adapter: responses carry a 'detections'
+    list (per-class CAM boxes above the threshold) that matches the host
+    twin, and the argmax entry leads."""
+    from tpu_cnn.apps.serve import build_service
+    from tpu_cnn.head import cam as cam_host
+    from tpu_cnn.head.classify import classify_np
+
+    batcher, backend = build_service(artifact_dir, mode="cpu", max_batch=4,
+                                     max_wait_ms=5.0, multi=True,
+                                     multi_thresh=1 / 6)
+    bundle = art.load_bundle(artifact_dir)
+    img = np.random.RandomState(5).randint(0, 256, (128, 128)).astype(np.uint8)
+    res = batcher.submit(img)
+    assert "detections" in res and res["detections"]
+    assert res["detections"][0]["pred"] == res["pred"]
+    # host-twin cross-check of the boxes
+    from tpu_cnn.engine.cpu_ref import numpy_cnn_forward
+
+    feats = numpy_cnn_forward(img, bundle.kernels)
+    idx, _, probs = classify_np(feats[None], bundle.fc_weight, bundle.fc_bias)
+    boxes = cam_host.cam_bbox_multi(feats, bundle.fc_weight)
+    for d in res["detections"]:
+        assert probs[0, d["pred"]] >= 1 / 6
+        np.testing.assert_array_equal(np.asarray(d["bbox"]), boxes[d["pred"]])
+    # the compatibility bbox is the argmax class's CAM box
+    np.testing.assert_array_equal(np.asarray(res["bbox"]), boxes[int(idx[0])])
+    batcher.stop()
+
+
+def test_serve_multi_http_with_per_request_thresh(artifact_dir):
+    """HTTP surface: /detect?thresh= overrides the server default per
+    request; higher thresholds yield fewer detections."""
+    from tpu_cnn.apps.serve import build_service, make_handler
+
+    batcher, backend = build_service(artifact_dir, mode="cpu", max_batch=4,
+                                     max_wait_ms=5.0, multi=True,
+                                     multi_thresh=0.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, backend))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = np.random.RandomState(0).randint(
+            0, 256, 128 * 128).astype(np.uint8).tobytes()
+
+        def post(path):
+            req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                         data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        all_dets = post("/detect")  # server default 0.0 -> every class
+        assert len(all_dets["detections"]) == 6
+        some = post("/detect?thresh=0.166")
+        assert 1 <= len(some["detections"]) <= 6
+        none = post("/detect?thresh=1.1")
+        assert none["detections"] == []
+        assert none["pred"] == all_dets["pred"]  # argmax fields unaffected
+    finally:
+        srv.shutdown()
+        batcher.stop()
+
+
+def test_serve_multi_async_engine(artifact_dir):
+    """--multi rides the async dispatch pipeline on a TPUEngine."""
+    from tpu_cnn.apps.serve import DynamicBatcher
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.models.cnn import FpgaCNN
+
+    bundle = art.load_bundle(artifact_dir)
+    model = FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                    bundle.class_names)
+    engine = TPUEngine(model, backend="xla")
+    batcher = DynamicBatcher(engine, model.class_names, max_batch=4,
+                             max_wait_ms=10.0, multi=True)
+    rs = np.random.RandomState(1)
+    imgs = [rs.randint(0, 256, (128, 128)).astype(np.uint8) for _ in range(6)]
+    results = [None] * 6
+
+    def call(i):
+        results[i] = batcher.submit(imgs[i], timeout_s=120)
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    assert all(r is not None and "detections" in r for r in results), results
+    want = engine.detect_multi_batch(np.stack(imgs))
+    for i, r in enumerate(results):
+        assert r["pred"] == int(want.pred[i])
+        np.testing.assert_array_equal(np.asarray(r["bbox"]),
+                                      want.boxes[i, want.pred[i]])
+    batcher.stop()
+
+
+def test_serve_multi_rejects_unsupported_engine(artifact_dir):
+    """--multi with an engine lacking detect_multi_batch fails fast."""
+    from tpu_cnn.apps.serve import DynamicBatcher
+
+    class NoMulti:
+        def detect_batch(self, images):
+            raise AssertionError("unused")
+
+    with pytest.raises(ValueError, match="multi"):
+        DynamicBatcher(NoMulti(), list(CLASS_NAMES), multi=True)

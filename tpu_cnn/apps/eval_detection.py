@@ -100,6 +100,83 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
     return out
 
 
+def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
+                   seed: int = 123, thresh: float = 0.15, box: str = "ref",
+                   verbose: bool = True):
+    """Multi-object evaluation on composite scenes (2 objects/frame).
+
+    Scores the beyond-reference multi head (one CAM box per class above
+    ``thresh``): object recall, per-matched-object IoU, false positives per
+    frame — against the single-box (argmax) detector, which by construction
+    can recover at most one of the objects. Returns the metrics dict."""
+    from tpu_cnn.train.data import CompositeScenes
+
+    if model.head_mode != "bins":
+        raise ValueError("multi-object eval needs the spatial-bin head")
+    img_size = model.config.img_size
+    ds = CompositeScenes(n_scenes=n_scenes, seed=seed, img_size=img_size)
+    imgs, truths = ds.arrays()
+    u8 = np.round(imgs * 255).astype(np.uint8)
+
+    from tpu_cnn.apps.infer import make_engine
+
+    engine = make_engine(model, mode, box_mode=box)
+    if hasattr(engine, "detect_multi_batch"):
+        res = engine.detect_multi_batch(u8)
+        probs, boxes = res.probs, res.boxes
+    else:
+        from tpu_cnn.head import cam as cam_host
+        from tpu_cnn.head.classify import classify_np
+
+        feats = engine.run_batch(u8)
+        _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
+        boxes = np.stack([
+            cam_host.cam_bbox_multi(
+                feats[i], model.fc_weight, img_size=img_size,
+                box_mode="centroid" if box == "centroid" else "ref")
+            for i in range(len(u8))
+        ])
+
+    num_classes = probs.shape[1]
+    total = hits = false_pos = argmax_hits = 0
+    matched_ious, all_ious = [], []
+    for i, truth in enumerate(truths):
+        gt = {cls for cls, _ in truth}
+        det = {k for k in range(num_classes) if probs[i, k] >= thresh}
+        false_pos += len(det - gt)
+        argmax_hits += int(int(np.argmax(probs[i])) in gt)
+        for cls, gt_box in truth:
+            total += 1
+            if cls in det:
+                hits += 1
+                v = iou(tuple(boxes[i, cls]), gt_box)
+                matched_ious.append(v)
+                all_ious.append(v)
+            else:
+                all_ious.append(0.0)
+    out = {
+        "scenes": len(truths),
+        "objects": total,
+        "recall": hits / max(total, 1),
+        "false_pos_per_frame": false_pos / max(len(truths), 1),
+        "matched_iou": float(np.mean(matched_ious)) if matched_ious else 0.0,
+        "overall_iou": float(np.mean(all_ious)) if all_ious else 0.0,
+        # the single-box detector's ceiling on the same scenes: one argmax
+        # box per frame, so recall is bounded by 1 object/frame
+        "single_box_recall_ceiling": argmax_hits / max(total, 1),
+    }
+    if verbose:
+        print(f"  scenes: {out['scenes']} ({total} objects, "
+              f"thresh {thresh:.0%})")
+        print(f"  object recall:        {out['recall'] * 100:.1f}%")
+        print(f"  matched-object IoU:   {out['matched_iou']:.3f}")
+        print(f"  overall IoU (miss=0): {out['overall_iou']:.3f}")
+        print(f"  false pos / frame:    {out['false_pos_per_frame']:.2f}")
+        print(f"  single-box recall ceiling (argmax detector): "
+              f"{out['single_box_recall_ceiling'] * 100:.1f}%")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Detection quality evaluation")
     p.add_argument("--artifacts", default=None)
@@ -109,6 +186,12 @@ def main(argv=None):
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                    help="box head: reference CAM threshold, tuned centroid, "
                         "or learned regression (bbox_weight.npy)")
+    p.add_argument("--multi", action="store_true",
+                   help="multi-object eval on 2-object composite scenes "
+                        "(per-class CAM boxes; bins head only)")
+    p.add_argument("--multi-thresh", type=float, default=0.15)
+    p.add_argument("--n-scenes", type=int, default=60,
+                   help="composite scene count for --multi")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -121,7 +204,13 @@ def main(argv=None):
     print("  DETECTION QUALITY EVALUATION")
     print("=" * 60)
     model = load_model(args.artifacts, args.variant)
-    evaluate(model, mode=args.mode, n_per_class=args.n_per_class, box=args.box)
+    if args.multi:
+        evaluate_multi(model, mode=args.mode, n_scenes=args.n_scenes,
+                       thresh=args.multi_thresh,
+                       box="centroid" if args.box == "centroid" else "ref")
+    else:
+        evaluate(model, mode=args.mode, n_per_class=args.n_per_class,
+                 box=args.box)
 
 
 if __name__ == "__main__":

@@ -68,8 +68,35 @@ def annotate_and_save(image_flat, bbox, label, out_path, img_size=128):
     img.save(out_path, quality=95)
 
 
+# one fixed colour per class index for multi-object overlays
+MULTI_COLORS = [
+    (0, 255, 0), (255, 160, 0), (80, 160, 255),
+    (255, 80, 255), (255, 255, 0), (0, 255, 220),
+]
+
+
+def annotate_multi_and_save(image_flat, detections, class_names, out_path,
+                            img_size=128):
+    """One labelled box per detection (class_idx, prob, bbox) — the
+    multi-object counterpart of :func:`annotate_and_save`."""
+    from PIL import Image, ImageDraw
+
+    gray = image_flat.reshape(img_size, img_size)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    img = Image.fromarray(rgb, "RGB")
+    draw = ImageDraw.Draw(img)
+    for k, prob, (x1, y1, x2, y2) in detections:
+        color = MULTI_COLORS[k % len(MULTI_COLORS)]
+        label = f"{class_names[k]} {prob:.0%}"
+        draw.rectangle([x1, y1, x2, y2], outline=color, width=2)
+        ty = max(0, y1 - 14)
+        draw.rectangle([x1, ty, x1 + len(label) * 7, ty + 13], fill=color)
+        draw.text((x1 + 2, ty + 1), label, fill=(0, 0, 0))
+    img.save(out_path, quality=95)
+
+
 def run_inference(engine, model, image_path, verbose=True, save_output=True,
-                  box: str = "ref"):
+                  box: str = "ref", multi_thresh: float | None = None):
     size = model.config.img_size
     image = art.load_image_any(image_path, img_size=size)
     feat, conv_ms, read_ms = engine.run(image)
@@ -77,6 +104,17 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
     idx, name, conf, probs = classify_host.classify_np(
         feat, model.fc_weight, model.fc_bias, model.class_names
     )
+    detections = None
+    if multi_thresh is not None:
+        boxes_all = cam_host.cam_bbox_multi(
+            feat, model.fc_weight, img_size=size,
+            box_mode="centroid" if box == "centroid" else "ref",
+        )
+        detections = sorted(
+            ((k, float(probs[k]), tuple(int(v) for v in boxes_all[k]))
+             for k in range(len(probs)) if probs[k] >= multi_thresh),
+            key=lambda d: -d[1],
+        )
     if box == "reg":
         from tpu_cnn.head.bbox import bbox_regress_features_np
 
@@ -98,6 +136,11 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
         print(f"  Prediction: {name} (class {idx})")
         print(f"  Confidence: {conf:.1%}")
         print(f"  BBox:       ({bbox[0]}, {bbox[1]}) -> ({bbox[2]}, {bbox[3]})")
+        if detections is not None:
+            print(f"  Detections (prob >= {multi_thresh:.0%}):")
+            for k, prob, (x1, y1, x2, y2) in detections:
+                print(f"    {model.class_names[k]:10s} {prob:5.1%}  "
+                      f"({x1}, {y1}) -> ({x2}, {y2})")
         print(f"  Engine:     {conv_ms:.2f} ms compute + {read_ms:.2f} ms readout")
         top3 = np.argsort(probs)[::-1][:3]
         print("  Top-3:")
@@ -109,8 +152,12 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(image_path)), f"{stem}_result.jpg"
         )
-        annotate_and_save(image, bbox, f"{name} {conf:.0%}", out_path,
-                          img_size=size)
+        if detections is not None:
+            annotate_multi_and_save(image, detections, model.class_names,
+                                    out_path, img_size=size)
+        else:
+            annotate_and_save(image, bbox, f"{name} {conf:.0%}", out_path,
+                              img_size=size)
         if verbose:
             print(f"  Output:     {out_path}")
 
@@ -136,6 +183,11 @@ def main(argv=None):
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                    help="box head: reference CAM, tuned centroid, or learned "
                         "regression (needs bbox_weight.npy)")
+    p.add_argument("--multi", action="store_true",
+                   help="multi-object mode: one CAM box per class above "
+                        "--multi-thresh (beyond-reference; bins head only)")
+    p.add_argument("--multi-thresh", type=float, default=0.15,
+                   help="probability floor for --multi detections")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -154,6 +206,10 @@ def main(argv=None):
     if args.box == "reg" and model.bbox_weight is None:
         p.error("--box reg needs bbox_weight.npy in the bundle "
                 "(train one: python -m tpu_cnn.apps.train_bbox)")
+    if args.multi and model.head_mode != "bins":
+        p.error("--multi needs the spatial-bin head (a (C, C*16) fc_weight); "
+                "the 64-d GAP head has no per-class spatial CAM")
+    multi_thresh = args.multi_thresh if args.multi else None
     engine = make_engine(model, args.mode)
     print(f"Engine: {type(engine).__name__} ({getattr(engine, 'backend', '?')})")
     print(f"Classifier: {len(model.class_names)} classes — {model.class_names} "
@@ -161,7 +217,7 @@ def main(argv=None):
 
     if args.image:
         run_inference(engine, model, args.image, save_output=not args.no_save,
-                      box=args.box)
+                      box=args.box, multi_thresh=multi_thresh)
         if args.dump_features:
             feat, *_ = engine.run(art.load_image_any(args.image))
             out = os.path.splitext(args.image)[0] + "_features.npy"
@@ -182,7 +238,8 @@ def main(argv=None):
     for path in images:
         idx, name, conf = run_inference(engine, model, path,
                                         save_output=not args.no_save,
-                                        box=args.box)
+                                        box=args.box,
+                                        multi_thresh=multi_thresh)
         true = art.label_from_filename(path)
         if true >= 0:
             total += 1

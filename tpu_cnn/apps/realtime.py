@@ -301,27 +301,45 @@ def _burn_texts(frame: np.ndarray, texts) -> None:
     frame[:] = np.asarray(img)
 
 
+def _frame_box(frame, bbox, color, xo, yo, s, th=2):
+    """Draw one image-space bbox (model coords) as a rectangle on the
+    camera frame; returns the frame-space top-left for label placement."""
+    x1, y1 = int(xo + bbox[0] * s), int(yo + bbox[1] * s)
+    x2, y2 = int(xo + bbox[2] * s), int(yo + bbox[3] * s)
+    frame[max(y1, 0) : y1 + th, max(x1, 0) : x2] = color
+    frame[y2 - th : y2, max(x1, 0) : x2] = color
+    frame[max(y1, 0) : y2, max(x1, 0) : x1 + th] = color
+    frame[max(y1, 0) : y2, x2 - th : x2] = color
+    return x1, y1
+
+
 def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
-                 mode, names, img_size: int = IMG_SIZE):
+                 mode, names, img_size: int = IMG_SIZE, detections=None):
     """In-place overlay: bbox rectangle + header text + probability bars.
 
     The text surface matches the reference's viewer: class name, confidence,
     FPS, and per-stage ms are rendered into the pixels
-    (``software/realtime_detect.py:490-514``), not just the console line."""
+    (``software/realtime_detect.py:490-514``), not just the console line.
+    ``detections`` (multi-object mode): [(class_idx, prob, bbox), ...] — one
+    labelled rectangle per detection replaces the single argmax box."""
     h, w = frame.shape[:2]
     # undo the center-crop: offsets mirror preprocess() for both landscape
     # (horizontal crop) and portrait (vertical crop) frames
     xo = (w - h) // 2 if w > h else 0
     yo = (h - w) // 2 if h > w else 0
     s = min(w, h) / float(img_size)
-    x1, y1 = int(xo + bbox[0] * s), int(yo + bbox[1] * s)
-    x2, y2 = int(xo + bbox[2] * s), int(yo + bbox[3] * s)
+    box_texts = []
+    if detections is None:
+        x1, y1 = _frame_box(frame, bbox, COLORS[idx % len(COLORS)], xo, yo, s)
+        box_texts.append((x1, y1, f"{name} {conf * 100:.0f}%",
+                          COLORS[idx % len(COLORS)]))
+    else:
+        for k, p, bb in detections:
+            ck = COLORS[k % len(COLORS)]
+            bx1, by1 = _frame_box(frame, bb, ck, xo, yo, s)
+            box_texts.append((bx1, by1,
+                              f"{names[k]} {p * 100:.0f}%", ck))
     c = COLORS[idx % len(COLORS)]
-    th = 2
-    frame[max(y1, 0) : y1 + th, max(x1, 0) : x2] = c
-    frame[y2 - th : y2, max(x1, 0) : x2] = c
-    frame[max(y1, 0) : y2, max(x1, 0) : x1 + th] = c
-    frame[max(y1, 0) : y2, x2 - th : x2] = c
     # probability bars, top-right
     bw, bh = 110, 10
     for i, p in enumerate(np.asarray(probs)):
@@ -337,9 +355,10 @@ def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
         (10, 22, f"{fps:5.1f} FPS  conv {conv_ms:.2f} ms  "
                  f"read {read_ms:.2f} ms", (255, 255, 255)),
         (10, 38, str(mode), (180, 180, 180)),
-        (min(max(x1, 0) + 4, w - 60), min(max(y1, 0) + 4, h - 14),
-         f"{name} {conf * 100:.0f}%", c),
     ]
+    for bx, by, label, color in box_texts:
+        texts.append((min(max(bx, 0) + 4, w - 60), min(max(by, 0) + 4, h - 14),
+                      label, color))
     for i, nm in enumerate(names):
         y = 10 + i * (bh + 4)
         texts.append((w - bw - 66, y, f"{str(nm)[:9]}",
@@ -490,6 +509,12 @@ def main(argv=None):
     ap.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                     help="box head: reference CAM, tuned centroid, or learned "
                          "regression (needs bbox_weight.npy)")
+    ap.add_argument("--multi", action="store_true",
+                    help="multi-object mode: one labelled box per class "
+                         "above --multi-thresh (beyond-reference; bins "
+                         "head only)")
+    ap.add_argument("--multi-thresh", type=float, default=0.15,
+                    help="probability floor for --multi detections")
     ap.add_argument("--fused", action="store_true",
                     help="run the whole head on device (one fused jit per "
                          "frame; only pred/conf/probs/box cross back — "
@@ -514,6 +539,8 @@ def main(argv=None):
     if args.box == "reg" and model.bbox_weight is None:
         ap.error("--box reg needs bbox_weight.npy in the bundle "
                  "(train one: python -m tpu_cnn.apps.train_bbox)")
+    if args.multi and model.head_mode != "bins":
+        ap.error("--multi needs the spatial-bin head (per-class CAM)")
     img_size = model.config.img_size
     names = model.class_names
     print(f"Classes: {names}")
@@ -568,7 +595,19 @@ def main(argv=None):
                 continue
             small = preprocess_fn(frame, img_size)
 
-            if use_fused:
+            detections = None
+            if use_fused and args.multi:
+                t0 = time.perf_counter()
+                res = engine.detect_multi_batch(small[None])
+                conv_ms = (time.perf_counter() - t0) * 1e3
+                read_ms = 0.0
+                idx = int(res.pred[0])
+                name = names[idx]
+                conf = float(res.conf[0])
+                probs = res.probs[0]
+                detections = res.detections(args.multi_thresh)[0]
+                bbox = tuple(int(v) for v in res.boxes[0, idx])
+            elif use_fused:
                 # fused on-device head: the engine's jitted detect honours
                 # --box (box_mode passed at construction); only the few
                 # result bytes cross back
@@ -598,11 +637,23 @@ def main(argv=None):
                     bbox = box_fn(feat, idx, model.fc_weight, img_size)
                 else:
                     bbox = (0, 0, img_size - 1, img_size - 1)
+                if args.multi:
+                    boxes_all = cam_host.cam_bbox_multi(
+                        feat, model.fc_weight, img_size=img_size,
+                        box_mode="centroid" if args.box == "centroid"
+                        else "ref")
+                    detections = sorted(
+                        ((k, float(probs[k]), tuple(int(v) for v in
+                                                    boxes_all[k]))
+                         for k in range(len(probs))
+                         if probs[k] >= args.multi_thresh),
+                        key=lambda d: -d[1])
 
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)
             draw_overlay(out, idx, name, conf, probs, bbox, fps, conv_ms,
-                         read_ms, mode_lbl, names, img_size)
+                         read_ms, mode_lbl, names, img_size,
+                         detections=detections)
             PUBLISHER.publish(out)
 
             n += 1

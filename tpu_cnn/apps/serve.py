@@ -37,12 +37,13 @@ from tpu_cnn.models.cnn import IMG_SIZE
 
 
 class _Pending:
-    __slots__ = ("image", "event", "result")
+    __slots__ = ("image", "event", "result", "thresh")
 
-    def __init__(self, image: np.ndarray):
+    def __init__(self, image: np.ndarray, thresh: float | None = None):
         self.image = image
         self.event = threading.Event()
         self.result: dict | None = None
+        self.thresh = thresh  # per-request multi threshold (multi mode)
 
 
 class DynamicBatcher:
@@ -53,12 +54,19 @@ class DynamicBatcher:
     """
 
     def __init__(self, engine, class_names, max_batch: int = 256,
-                 max_wait_ms: float = 5.0, img_size: int = IMG_SIZE):
+                 max_wait_ms: float = 5.0, img_size: int = IMG_SIZE,
+                 multi: bool = False, multi_thresh: float = 0.15):
+        if multi and not hasattr(engine, "detect_multi_batch"):
+            raise ValueError(
+                f"--multi is not supported by this engine "
+                f"({type(engine).__name__}) — it has no detect_multi_batch")
         self.engine = engine
         self.class_names = class_names
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.img_size = img_size
+        self.multi = multi
+        self.multi_thresh = multi_thresh
         self.q: queue.Queue[_Pending] = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batch_ms_ema": 0.0,
                       "mean_batch_size": 0.0}
@@ -67,8 +75,9 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, timeout_s: float = 30.0) -> dict:
-        p = _Pending(image)
+    def submit(self, image: np.ndarray, timeout_s: float = 30.0,
+               thresh: float | None = None) -> dict:
+        p = _Pending(image, thresh)
         self.q.put(p)
         if not p.event.wait(timeout_s):
             raise TimeoutError("inference timed out")
@@ -100,8 +109,18 @@ class DynamicBatcher:
                 "name": self.class_names[idx],
                 "conf": float(res.conf[i]),
                 "probs": [float(v) for v in res.probs[i]],
-                "bbox": [int(v) for v in res.bbox[i]],
+                "bbox": [int(v) for v in (res.boxes[i, idx] if self.multi
+                                          else res.bbox[i])],
             }
+            if self.multi:
+                thr = p.thresh if p.thresh is not None else self.multi_thresh
+                p.result["detections"] = [
+                    {"pred": int(k), "name": self.class_names[k],
+                     "conf": float(res.probs[i, k]),
+                     "bbox": [int(v) for v in res.boxes[i, k]]}
+                    for k in np.argsort(res.probs[i])[::-1]
+                    if res.probs[i, k] >= thr
+                ]
             p.event.set()
 
     def _fail(self, batch, e):
@@ -123,7 +142,17 @@ class DynamicBatcher:
         dispatched without blocking and resolved by the collector thread —
         several batches overlap on device (the bench.py pipeline pattern).
         Host engines fall back to synchronous dispatch."""
-        is_async = hasattr(self.engine, "detect_batch_async")
+        dispatch_async = getattr(
+            self.engine,
+            "detect_multi_batch_async" if self.multi else "detect_batch_async",
+            None)
+        self._dispatch_sync = (self.engine.detect_multi_batch if self.multi
+                               else self.engine.detect_batch)
+        self._resolve = getattr(
+            self.engine,
+            "detect_multi_resolve" if self.multi else "detect_resolve",
+            None)
+        is_async = dispatch_async is not None
         if is_async:
             self._inflight: queue.Queue = queue.Queue(maxsize=4)
             self._collector = threading.Thread(target=self._collect_loop,
@@ -142,10 +171,10 @@ class DynamicBatcher:
                 images[i] = p.image
             try:
                 if is_async:
-                    handle = self.engine.detect_batch_async(images)
+                    handle = dispatch_async(images)
                     self._inflight.put((batch, handle, t0))
                 else:
-                    res = self.engine.detect_batch(images)
+                    res = self._dispatch_sync(images)
                     self._fan_out(batch, res)
                     self._record(len(batch), t0)
             except Exception as e:  # fan the failure out, keep serving
@@ -158,7 +187,7 @@ class DynamicBatcher:
             except queue.Empty:
                 continue
             try:
-                res = self.engine.detect_resolve(handle)
+                res = self._resolve(handle)
                 self._fan_out(batch, res)
                 self._record(len(batch), t0)
             except Exception as e:
@@ -212,9 +241,20 @@ def make_handler(batcher: DynamicBatcher, backend: str):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/detect":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/detect":
                 self._json(404, {"error": "not found"})
                 return
+            qs = parse_qs(url.query)
+            thresh = None
+            if "thresh" in qs:
+                try:
+                    thresh = float(qs["thresh"][0])
+                except ValueError:
+                    self._json(400, {"error": "bad thresh"})
+                    return
             n = int(self.headers.get("Content-Length", 0))
             if n > MAX_BODY_BYTES:
                 self._json(413, {"error": f"body too large ({n} bytes; "
@@ -223,7 +263,7 @@ def make_handler(batcher: DynamicBatcher, backend: str):
             body = self.rfile.read(n)
             try:
                 image = decode_image(body, batcher.img_size)
-                result = batcher.submit(image)
+                result = batcher.submit(image, thresh=thresh)
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -239,7 +279,8 @@ def make_handler(batcher: DynamicBatcher, backend: str):
 def build_service(artifacts_dir: str, mode: str = "auto",
                   max_batch: int = 256, max_wait_ms: float = 5.0,
                   variant: str = "lyr3-std", head_prefix: str = "",
-                  box: str = "ref", deployable: str | None = None):
+                  box: str = "ref", deployable: str | None = None,
+                  multi: bool = False, multi_thresh: float = 0.15):
     from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
 
@@ -256,13 +297,16 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         batcher = DynamicBatcher(adapter, m["classes"],
                                  max_batch=max_batch,
                                  max_wait_ms=max_wait_ms,
-                                 img_size=m["img_size"])
+                                 img_size=m["img_size"],
+                                 multi=multi, multi_thresh=multi_thresh)
         return batcher, adapter.backend
 
     model = load_model(artifacts_dir, variant, head_prefix)
     if box == "reg" and model.bbox_weight is None:
         raise ValueError("--box reg needs bbox_weight.npy in the bundle "
                          "(train one: python -m tpu_cnn.apps.train_bbox)")
+    if multi and model.head_mode != "bins":
+        raise ValueError("--multi needs the spatial-bin head (per-class CAM)")
     engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "warmup"):
         engine.warmup(batch=max_batch)  # compile the single serving shape
@@ -271,7 +315,8 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         engine = _HostDetectAdapter(engine, model, box=box)
     batcher = DynamicBatcher(engine, model.class_names,
                              max_batch=max_batch, max_wait_ms=max_wait_ms,
-                             img_size=model.config.img_size)
+                             img_size=model.config.img_size,
+                             multi=multi, multi_thresh=multi_thresh)
     return batcher, getattr(engine, "backend", mode)
 
 
@@ -329,6 +374,26 @@ class _HostDetectAdapter:
                             probs.astype(np.float32),
                             np.asarray(boxes, np.int32))
 
+    def detect_multi_batch(self, images):
+        from tpu_cnn.engine.tpu import MultiDetectResult
+        from tpu_cnn.head import cam as cam_host
+        from tpu_cnn.head.classify import classify_np
+
+        feats = self.engine.run_batch(images)
+        idx, conf, probs = classify_np(feats, self.model.fc_weight,
+                                       self.model.fc_bias)
+        s = self.model.config.img_size
+        box_mode = "centroid" if self.box == "centroid" else "ref"
+        boxes = np.stack([
+            cam_host.cam_bbox_multi(feats[i], self.model.fc_weight,
+                                    img_size=s, box_mode=box_mode)
+            for i in range(len(images))
+        ])
+        return MultiDetectResult(idx.astype(np.int32),
+                                 conf.astype(np.float32),
+                                 probs.astype(np.float32),
+                                 boxes.astype(np.int32))
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU CNN inference service")
@@ -344,6 +409,12 @@ def main(argv=None):
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"],
                    help="box head: reference CAM, tuned centroid, or learned "
                         "regression (needs bbox_weight.npy)")
+    p.add_argument("--multi", action="store_true",
+                   help="multi-object responses: every class above the "
+                        "threshold gets its own CAM box in 'detections' "
+                        "(per-request override: POST /detect?thresh=0.3)")
+    p.add_argument("--multi-thresh", type=float, default=0.15,
+                   help="default probability floor for --multi detections")
     p.add_argument("--deployable", default=None,
                    help="serve from an exported .tcnnx artifact "
                         "(apps.export_model) instead of building the model "
@@ -361,7 +432,9 @@ def main(argv=None):
                                      variant=args.variant,
                                      head_prefix=args.head_prefix,
                                      box=args.box,
-                                     deployable=args.deployable)
+                                     deployable=args.deployable,
+                                     multi=args.multi,
+                                     multi_thresh=args.multi_thresh)
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(batcher, backend))
     print(f"serving on {args.host}:{args.port} (backend {backend}, "

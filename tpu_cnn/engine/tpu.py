@@ -41,6 +41,31 @@ class DetectResult:
     bbox: np.ndarray  # (B, 4) int32 (x1, y1, x2, y2)
 
 
+@dataclasses.dataclass
+class MultiDetectResult:
+    """Multi-object result: per-class CAM boxes beside the usual argmax
+    fields. ``boxes[b, k]`` is class k's own CAM box for image b."""
+
+    pred: np.ndarray  # (B,) int32
+    conf: np.ndarray  # (B,) float32
+    probs: np.ndarray  # (B, num_classes) float32
+    boxes: np.ndarray  # (B, num_classes, 4) int32 (x1, y1, x2, y2)
+
+    def detections(self, threshold: float = 0.15):
+        """Per image: [(class_idx, prob, (x1, y1, x2, y2)), ...] for every
+        class with prob >= threshold, sorted by descending probability."""
+        out = []
+        for b in range(self.probs.shape[0]):
+            dets = [
+                (k, float(self.probs[b, k]), tuple(int(v) for v in self.boxes[b, k]))
+                for k in range(self.probs.shape[1])
+                if self.probs[b, k] >= threshold
+            ]
+            dets.sort(key=lambda d: -d[1])
+            out.append(dets)
+        return out
+
+
 def _round_up_pow2(n: int, floor: int = 1) -> int:
     m = floor
     while m < n:
@@ -275,6 +300,82 @@ class TPUEngine:
             a.copy_to_host_async()
         pred, conf, probs, bbox = self._fetch((pred, conf, probs, bbox))
         return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
+
+    def detect_multi_batch(self, images: np.ndarray) -> MultiDetectResult:
+        """Multi-object fused pipeline: classifier plus EVERY class's own
+        CAM box (``ops.detect_head.cam_bbox_multi_f32``) in one device
+        program — only (pred, conf, probs, (B, K, 4) boxes) return to host.
+        Beyond-reference: the reference head boxes the argmax class only.
+        Filter with :meth:`MultiDetectResult.detections`. The learned
+        regression box is class-agnostic, so box_mode='reg' engines fall
+        back to the reference CAM profile here."""
+        images = np.asarray(images, np.uint8)
+        dev, b = self._pad_batch(images)
+        pred, conf, probs, boxes = self._detect_multi(dev, self._shifts_dev)
+        for a in (pred, conf, probs, boxes):
+            a.copy_to_host_async()
+        pred, conf, probs, boxes = self._fetch((pred, conf, probs, boxes))
+        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b])
+
+    def detect_multi_batch_async(self, images):
+        """Non-blocking :meth:`detect_multi_batch` dispatch — same pipeline
+        contract as :meth:`detect_batch_async`; resolve with
+        :meth:`detect_multi_resolve`."""
+        if isinstance(images, tuple) and len(images) == 3 and images[0] == "staged":
+            dev, b = images[1], images[2]
+        else:
+            dev, b = self._pad_batch(np.asarray(images, np.uint8))
+        pred, conf, probs, boxes = self._detect_multi(dev, self._shifts_dev)
+        for a in (pred, conf, probs, boxes):
+            a.copy_to_host_async()
+        return (pred, conf, probs, boxes, b)
+
+    def detect_multi_resolve(self, handle) -> MultiDetectResult:
+        pred, conf, probs, boxes, b = handle
+        pred, conf, probs, boxes = self._fetch((pred, conf, probs, boxes))
+        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b])
+
+    @property
+    def _detect_multi(self):
+        if not hasattr(self, "_detect_multi_fn"):
+            features_fn = self._features_fn()
+            head_mode = self.model.head_mode
+            img_size = self.model.config.img_size
+            # multi boxes are CAM-only; 'reg' regresses one class-agnostic box
+            box_mode = "centroid" if self.box_mode == "centroid" else "ref"
+            fuse_bins = self.backend == "mega" and head_mode == "bins"
+            if fuse_bins:
+                # a reg-mode engine only budgeted the bins-only kernel; the
+                # multi head needs the twin config — fall back to the u8
+                # feature path if that plan doesn't fit this geometry
+                from tpu_cnn.ops import pallas_poly
+
+                fuse_bins = pallas_poly.polyphase_plan(
+                    self.model.config.layer_configs,
+                    with_bins=True, with_twin=True, with_feats=True,
+                ) is not None
+
+            @jax.jit
+            def detect_multi(images, shifts):
+                if fuse_bins:
+                    from tpu_cnn.ops import pallas_poly
+
+                    _, pooled, twin = pallas_poly.cnn_forward_mega(
+                        images, self._kernels_dev, shifts,
+                        with_bins=True, with_twin=True, with_feats=True,
+                    )
+                    return detect_head.detect_multi_with_pooled(
+                        pooled, twin, self._fc_w_dev, self._fc_b_dev,
+                        img_size, box_mode=box_mode,
+                    )
+                feats = features_fn(images, self._kernels_dev, shifts)
+                return detect_head.detect_multi(
+                    feats, self._fc_w_dev, self._fc_b_dev, head_mode,
+                    img_size, box_mode=box_mode,
+                )
+
+            self._detect_multi_fn = detect_multi
+        return self._detect_multi_fn
 
     def run(self, gray128: np.ndarray):
         """Reference engine protocol: single image -> ((64, 256) u8, ms, ms).

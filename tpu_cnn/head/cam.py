@@ -100,6 +100,28 @@ def cam_bbox_centroid(
     return (x1, y1, x2, y2)
 
 
+def cam_bbox_multi(
+    features: np.ndarray,  # (C, S*S) uint8
+    fc_weight: np.ndarray,  # (num_classes, C*16)
+    img_size: int = 128,
+    box_mode: str = "ref",
+) -> np.ndarray:
+    """Per-class CAM boxes for every class — (num_classes, 4) int32.
+
+    Host twin of ``ops.detect_head.cam_bbox_multi_f32``: row k is exactly
+    the single-class box with the class forced to k, so the twin is the
+    single-class twin applied per class. The reference head has no
+    multi-object mode (one argmax box, ``software/realtime_detect.py:
+    85-116``); this powers the beyond-reference ``--multi`` surface.
+    """
+    fn = cam_bbox_centroid if box_mode == "centroid" else cam_bbox_fast
+    return np.asarray(
+        [fn(features, k, fc_weight, img_size=img_size)
+         for k in range(fc_weight.shape[0])],
+        dtype=np.int32,
+    )
+
+
 def cam_bbox_hires(
     features: np.ndarray,  # (C, S*S) uint8
     class_idx: int,

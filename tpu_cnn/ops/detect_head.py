@@ -125,6 +125,22 @@ def cam_bbox_f32(
     (``software/realtime_detect.py:85-116``) — only the evaluation order
     differs (f32 round-off at ulp scale; bbox-parity vs the host twin is
     asserted on real test images by bench.py's gate)."""
+    b, _, ss = features.shape
+    s = int(round(ss**0.5))
+    cam = _normalized_cam_f32(features, class_idx, fc_weight)
+    if box_mode == "centroid":
+        return _bbox_from_cam_centroid(cam.reshape(b, s, s), img_size)
+    return _bbox_from_cam(cam.reshape(b, s, s), img_size)
+
+
+def _normalized_cam_f32(
+    features: jax.Array,  # (B, C, S*S) float32
+    class_idx: jax.Array,  # (B,) int32
+    fc_weight: jax.Array,  # (num_classes, C*16) float32
+) -> jax.Array:
+    """The normalised (B, S*S) CAM — the shared core of the single- and
+    multi-class box heads (see :func:`cam_bbox_f32` for the formulation
+    rationale and hardware measurements)."""
     b, c, ss = features.shape
     s = int(round(ss**0.5))
     grid = 4
@@ -145,10 +161,7 @@ def cam_bbox_f32(
     cam = (camfull * sel[None]).sum(axis=1)  # (B, S*S)
     cam = jnp.maximum(cam, 0.0)
     cam_max = cam.max(axis=1, keepdims=True)
-    cam = jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
-    if box_mode == "centroid":
-        return _bbox_from_cam_centroid(cam.reshape(b, s, s), img_size)
-    return _bbox_from_cam(cam.reshape(b, s, s), img_size)
+    return jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
 
 
 def _percentile_topk(x: jax.Array, q_pct: float) -> jax.Array:
@@ -244,6 +257,93 @@ def _bbox_from_cam_centroid(
     bbox = jnp.stack([x1, y1, x2, y2], axis=1).astype(jnp.int32)
     full = jnp.array([0, 0, img_size - 1, img_size - 1], dtype=jnp.int32)
     return jnp.where((tot > 0)[:, None], bbox, full[None, :])
+
+
+def cam_bbox_multi_f32(
+    features: jax.Array,  # (B, C, S*S) float32 (integer-valued, 0..255)
+    fc_weight: jax.Array,  # (num_classes, C*16) float32 — bins head only
+    img_size: int = 128,
+    box_mode: str = "ref",
+) -> jax.Array:
+    """Per-class CAM boxes for EVERY class: (B, num_classes, 4) int32.
+
+    The reference head only ever boxes the argmax class
+    (``software/realtime_detect.py:85-116``); this is the multi-object
+    extension — each class's own CAM, thresholded with the same box
+    profile, so one frame can report several objects. Implemented as a
+    static unroll over the (small, static) class count reusing the exact
+    production single-class formulation, so row ``k`` of the output is
+    the same computation :func:`cam_bbox_f32` runs when the argmax is
+    ``k`` — box parity with the host twin holds per class for free.
+
+    The per-class CAMs keep the single-path dot shapes (bit-identical
+    values), but the percentile/box tail runs ONCE over the stacked
+    (B*K, s, s) CAMs instead of K times (box values identical by direct
+    comparison; one top_k over 6x rows replaces six top_k dispatches).
+    Measured on chip at batch 1536: the whole multi head adds ~0.6-0.7
+    us/img to single-box detect (3.9-4.0 -> 4.6 us/img), dominated by
+    the K f32 CAM matmuls — the tail share is neutral-to-small within
+    the relay's variance band.
+    """
+    b, _, ss = features.shape
+    s = int(round(ss**0.5))
+    num_classes = fc_weight.shape[0]
+    cams = jnp.stack([
+        _normalized_cam_f32(features, jnp.full((b,), k, jnp.int32), fc_weight)
+        for k in range(num_classes)
+    ], axis=1)  # (B, K, S*S)
+    stacked = cams.reshape(b * num_classes, s, s)
+    if box_mode == "centroid":
+        boxes = _bbox_from_cam_centroid(stacked, img_size)
+    else:
+        boxes = _bbox_from_cam(stacked, img_size)
+    return boxes.reshape(b, num_classes, 4)
+
+
+def detect_multi_with_pooled(
+    pooled: jax.Array,  # (B, C*16) f32 — kernel-fused bin pooling
+    features_twin: jax.Array,  # kernel feature twin (bf16/f32)
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    img_size: int = 128,
+    box_mode: str = "ref",
+):
+    """Multi-object head on kernel-fused bins: classify + a CAM box per
+    class. Returns (pred, conf, probs, boxes (B, K, 4))."""
+    logits = _fc_logits(pooled, fc_weight, fc_bias)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
+    boxes = cam_bbox_multi_f32(
+        features_twin.astype(jnp.float32), fc_weight, img_size,
+        box_mode=box_mode,
+    )
+    return pred, conf, probs, boxes
+
+
+def detect_multi(
+    features: jax.Array,
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    head_mode: str = "bins",
+    img_size: int = 128,
+    box_mode: str = "ref",
+):
+    """Multi-object fused classify + per-class boxes from u8 features.
+
+    Returns (pred, conf, probs, boxes (B, K, 4)). With the 64-d GAP head
+    the CAM has no spatial weights, so every class shares the unweighted
+    activation-map box (same fallback as :func:`detect`).
+    """
+    pred, conf, probs = classify(features, fc_weight, fc_bias, head_mode)
+    f32 = features.astype(jnp.float32)
+    if head_mode == "bins":
+        boxes = cam_bbox_multi_f32(f32, fc_weight, img_size, box_mode)
+    else:
+        c = features.shape[1]
+        uniform_w = jnp.ones((fc_weight.shape[0], c * 16), dtype=jnp.float32)
+        boxes = cam_bbox_multi_f32(f32, uniform_w, img_size, box_mode)
+    return pred, conf, probs, boxes
 
 
 def bbox_regress(

@@ -124,6 +124,64 @@ class SyntheticShapes:
         return imgs, labels, boxes
 
 
+class CompositeScenes:
+    """Multi-object synthetic scenes: ``n_objects`` distinct-class shapes
+    per frame, max-composited (shapes are bright additions over the noise
+    background, so per-pixel max preserves each object).
+
+    Ground truth is the per-object (class, box) list from the generator's
+    analytic placement — the eval substrate for the beyond-reference
+    multi-object head (the reference only boxes the argmax class,
+    ``software/realtime_detect.py:85-116``). Object placements are
+    rejection-sampled to near-disjoint boxes (IoU < ``max_overlap``) so a
+    correct detector can separate them.
+    """
+
+    def __init__(self, n_scenes: int = 60, seed: int = 0,
+                 img_size: int = IMG_SIZE, n_objects: int = 2,
+                 max_overlap: float = 0.15):
+        from tpu_cnn.apps.eval_detection import iou
+
+        self.img_size = img_size
+        self.gen = SyntheticShapes(n_per_class=1, seed=seed, img_size=img_size)
+        self.class_names = self.gen.class_names
+        rng = np.random.RandomState(seed + 1)
+        self.scenes = []  # [(cls, render_seed, box), ...] per scene
+        for _ in range(n_scenes):
+            classes = rng.choice(len(self.class_names), n_objects,
+                                 replace=False)
+            # joint rejection sampling: redraw ALL placements together, so
+            # an oversized first object cannot poison the scene; keep the
+            # best (most-placed) attempt as a fallback
+            best: list = []
+            for _attempt in range(256):
+                placed: list = []
+                for cls in classes:
+                    sd = int(rng.randint(0, 2**31 - 1))
+                    box = self.gen.ground_truth_box(int(cls), sd)
+                    if all(iou(box, b) < max_overlap for _, _, b in placed):
+                        placed.append((int(cls), sd, box))
+                if len(placed) > len(best):
+                    best = placed
+                if len(best) == n_objects:
+                    break
+            self.scenes.append(best)
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def arrays(self):
+        """Returns (imgs (N, s, s) float32 0..1, truths) where truths[i] is
+        the scene's [(class_idx, (x1, y1, x2, y2)), ...]."""
+        imgs = np.stack([
+            np.max([self.gen.render(cls, sd) for cls, sd, _ in scene], axis=0)
+            for scene in self.scenes
+        ]).astype(np.float32)
+        truths = [[(cls, box) for cls, _, box in scene]
+                  for scene in self.scenes]
+        return imgs, truths
+
+
 class ImageFolderDataset:
     """<root>/<class_name>/*.{jpg,png,bmp} single-label layout."""
 
