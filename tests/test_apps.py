@@ -751,3 +751,19 @@ def test_eval_detection_multi(artifact_dir):
     assert out["recall"] >= out["single_box_recall_ceiling"]
     assert 0.0 <= out["matched_iou"] <= 1.0
     assert out["overall_iou"] <= out["matched_iou"] + 1e-9
+
+
+def test_benchmark_latency_mode(artifact_dir, capsys):
+    """--latency: per-batch sync median/p99 beside the pipelined rate."""
+    from tpu_cnn.apps import benchmark
+
+    out = benchmark.main(["--artifacts", artifact_dir, "--latency",
+                          "--latency-batches", "1,4", "--runs", "3",
+                          "--modes", "xla"])
+    rows = out["latency"]
+    assert [r["batch"] for r in rows] == [1, 4]
+    for r in rows:
+        assert r["median_ms"] > 0 and r["p99_ms"] >= r["median_ms"]
+        assert r["amortized_us_per_img"] > 0
+    text = capsys.readouterr().out
+    assert "LATENCY" in text and "sync med" in text
