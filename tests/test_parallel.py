@@ -548,3 +548,29 @@ def test_pipelined_forward_nonsquare_wrap_and_4d(rng):
     np.testing.assert_array_equal(
         np.asarray(f_sp(jnp.asarray(imgs[..., None]), shifts)), ref
     )
+
+
+def test_mesh_engine_detect_multi(mesh, stock_kernels, rng):
+    """Multi-object head under the mesh: per-class boxes equal the
+    single-device TPUEngine multi path (which equals the host twin) for
+    both per-shard datapaths, with non-multiple batch padding."""
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.parallel.mesh import MeshEngine
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.05
+    model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
+    imgs = rng.randint(0, 256, size=(13, 128, 128)).astype(np.uint8)  # not /8
+    want = TPUEngine(model, backend="xla").detect_multi_batch(imgs)
+
+    for backend in ("mega", "xla"):
+        eng = MeshEngine(model, make_mesh(8, model_axis=2), backend=backend)
+        got = eng.detect_multi_batch(imgs)
+        assert got.boxes.shape == (13, 6, 4)
+        np.testing.assert_array_equal(got.pred, want.pred)
+        np.testing.assert_array_equal(got.boxes, want.boxes)
+        np.testing.assert_allclose(got.probs, want.probs, atol=1e-6)
+        # async handle roundtrip + staged input
+        staged = eng.stage_batch(imgs)
+        res2 = eng.detect_multi_resolve(eng.detect_multi_batch_async(staged))
+        np.testing.assert_array_equal(res2.boxes, got.boxes)

@@ -176,6 +176,82 @@ def sharded_detect_mega(
     return jax.jit(fn)
 
 
+def sharded_detect_multi_mega(
+    mesh: Mesh,
+    kernels: Sequence[jax.Array],
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    head_mode: str = "bins",
+    img_size: int = 128,
+    box_mode: str = "ref",
+):
+    """Multi-object head under the mesh: fused megakernel + one CAM box
+    per class (``detect_head.detect_multi_with_pooled``), data-parallel
+    over every mesh axis — the multi-chip twin of
+    ``TPUEngine._detect_multi``."""
+    from tpu_cnn.ops import pallas_poly
+
+    axes = _all_axes(mesh)
+    kernels = [jnp.asarray(k) for k in kernels]
+    fc_w = jnp.asarray(fc_weight)
+    fc_b = jnp.asarray(fc_bias)
+
+    def per_shard(images, shifts):
+        if head_mode == "bins":
+            _, pooled, twin = pallas_poly.cnn_forward_mega(
+                images, kernels, shifts,
+                with_bins=True, with_twin=True, with_feats=True,
+            )
+            return detect_head.detect_multi_with_pooled(
+                pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
+            )
+        feats = pallas_poly.cnn_forward_mega(images, kernels, shifts)
+        return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
+                                        img_size, box_mode=box_mode)
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axes), P()),
+        out_specs=(P(axes), P(axes), P(axes), P(axes)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_detect_multi(
+    mesh: Mesh,
+    kernels: Sequence[jax.Array],
+    fc_weight: jax.Array,
+    fc_bias: jax.Array,
+    head_mode: str = "bins",
+    img_size: int = 128,
+    box_mode: str = "ref",
+    *,
+    compute_dtype: str = "float32",
+):
+    """Multi-object head on the sharding-constraint XLA path (fc feature
+    dim over the model axis, like :func:`sharded_detect`)."""
+    forward = sharded_forward(mesh, kernels, compute_dtype=compute_dtype)
+    fc_w = jax.device_put(fc_weight, NamedSharding(mesh, P(None, "model")))
+    fc_b = jax.device_put(fc_bias, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def detect_multi(images, shifts):
+        feats = forward(images, shifts)
+        pred, conf, probs, boxes = detect_head.detect_multi(
+            feats, fc_w, fc_b, head_mode, img_size, box_mode=box_mode,
+        )
+        return (
+            _constrain(mesh, pred, P("data")),
+            _constrain(mesh, conf, P("data")),
+            _constrain(mesh, probs, P("data", None)),
+            _constrain(mesh, boxes, P("data", None, None)),
+        )
+
+    return detect_multi
+
+
 class MeshEngine:
     """Engine-protocol wrapper over a device mesh: ``run_batch`` /
     ``detect_batch`` / ``detect_batch_async`` like TPUEngine, but
@@ -237,6 +313,7 @@ class MeshEngine:
                 model.head_mode, model.config.img_size, box_mode=box_mode,
                 bbox_weight=model.bbox_weight,
             )
+        self._backend_kind = backend
         self.backend = f"mesh[{self.mesh.devices.shape}]:{backend}"
         # per-shard megakernel batch tile is 4; pad global batches so every
         # shard gets an identical, tile-aligned shape
@@ -316,6 +393,60 @@ class MeshEngine:
         feats = self.run_batch(gray128[None])[0]
         dt = (time.perf_counter() - t0) * 1e3
         return feats, dt, 0.0
+
+    # ── multi-object head (one CAM box per class) ────────────────────
+
+    @property
+    def _detect_multi(self):
+        if not hasattr(self, "_detect_multi_fn"):
+            import jax.numpy as jnp
+
+            from tpu_cnn.ops import pallas_poly
+
+            m = self.model
+            kernels = [jnp.asarray(k) for k in m.kernels]
+            box_mode = "centroid" if self.box_mode == "centroid" else "ref"
+            use_mega = (
+                self._backend_kind == "mega"
+                and pallas_poly.polyphase_plan(
+                    m.config.layer_configs,
+                    with_bins=m.head_mode == "bins",
+                    with_twin=m.head_mode == "bins",
+                    with_feats=m.head_mode == "bins",
+                ) is not None
+            )
+            build = (sharded_detect_multi_mega if use_mega
+                     else sharded_detect_multi)
+            self._detect_multi_all_axes = use_mega
+            self._detect_multi_fn = build(
+                self.mesh, kernels, m.fc_weight, m.fc_bias,
+                m.head_mode, m.config.img_size, box_mode=box_mode,
+            )
+        return self._detect_multi_fn
+
+    def detect_multi_batch(self, images: np.ndarray):
+        return self.detect_multi_resolve(self.detect_multi_batch_async(images))
+
+    def detect_multi_batch_async(self, images):
+        fn = self._detect_multi  # build first: sets _detect_multi_all_axes
+        if isinstance(images, tuple) and len(images) == 3 and images[0] == "staged":
+            dev, b = images[1], images[2]
+        else:
+            images, b = self._pad(np.asarray(images, np.uint8))
+            dev = shard_batch(self.mesh, images, self._detect_multi_all_axes)
+        pred, conf, probs, boxes = fn(dev, self._shifts)
+        for a in (pred, conf, probs, boxes):
+            a.copy_to_host_async()
+        return (pred, conf, probs, boxes, b)
+
+    def detect_multi_resolve(self, handle):
+        import jax
+
+        from tpu_cnn.engine.tpu import MultiDetectResult
+
+        pred, conf, probs, boxes, b = handle
+        pred, conf, probs, boxes = jax.device_get((pred, conf, probs, boxes))
+        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b])
 
 
 def sharded_detect(
