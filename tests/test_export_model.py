@@ -149,3 +149,60 @@ def test_export_cli_roundtrip(tmp_path, artifact_dir, capsys):
     assert rc == 0
     txt = capsys.readouterr().out
     assert "backend xla" in txt and "box [" in txt
+
+
+def test_export_multi_roundtrip(model, images):
+    """--multi export: the container carries the multi-object program per
+    bucket; detect_multi reproduces the live engine's multi path exactly,
+    incl. chunking and shift override; single-program containers refuse
+    detect_multi loudly."""
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    blob = export_bundle(model, batch=(2, 4), backend="xla",
+                         platforms=("cpu",), multi=True)
+    det = DeployedDetector(blob)
+    assert det.manifest["multi"] is True
+    pred, conf, probs, boxes = det.detect_multi(images)  # 5 -> chunks 4+2pad
+    assert boxes.shape == (5, 6, 4)
+    want = TPUEngine(model, backend="xla").detect_multi_batch(images)
+    np.testing.assert_array_equal(pred, want.pred)
+    np.testing.assert_array_equal(boxes, want.boxes)
+    # single detect still present and consistent
+    p1, _, _, bb1 = det.detect(images)
+    np.testing.assert_array_equal(p1, pred)
+    for i in range(len(images)):
+        np.testing.assert_array_equal(boxes[i, pred[i]], bb1[i])
+    # runtime shift override flows into the multi program too
+    p_shift, _, _, b_shift = det.detect_multi(images, shifts=(1, 2, 3))
+    assert (b_shift != boxes).any() or (p_shift != pred).any()
+
+    plain = DeployedDetector(export_bundle(model, batch=2, backend="xla",
+                                           platforms=("cpu",)))
+    assert plain.manifest["multi"] is False
+    with pytest.raises(ValueError, match="--multi"):
+        plain.detect_multi(images)
+
+
+def test_serve_from_deployable_multi(tmp_path, model, images):
+    """serve --deployable --multi: responses carry detections from the
+    exported multi program; a non-multi container is refused."""
+    from tpu_cnn.apps.serve import build_service
+
+    path = os.path.join(tmp_path, "m.tcnnx")
+    with open(path, "wb") as f:
+        f.write(export_bundle(model, batch=(2,), backend="xla",
+                              platforms=("cpu",), multi=True))
+    batcher, backend = build_service(None, max_batch=2, max_wait_ms=2.0,
+                                     deployable=path, multi=True,
+                                     multi_thresh=0.0)
+    assert backend.startswith("deployable:")
+    res = batcher.submit(images[0])
+    assert len(res["detections"]) == 6
+    batcher.stop()
+
+    plain = os.path.join(tmp_path, "p.tcnnx")
+    with open(plain, "wb") as f:
+        f.write(export_bundle(model, batch=(2,), backend="xla",
+                              platforms=("cpu",)))
+    with pytest.raises(ValueError, match="re-export"):
+        build_service(None, max_batch=2, deployable=plain, multi=True)

@@ -73,8 +73,45 @@ def build_detect_fn(model, backend: str, box_mode: str):
     return detect
 
 
+def build_detect_multi_fn(model, backend: str, box_mode: str):
+    """The multi-object head (images, shifts) -> (pred, conf, probs,
+    boxes (B, K, 4)) with weights closed over — the exportable twin of
+    ``TPUEngine._detect_multi`` ('reg' engines export the 'ref' CAM
+    profile, the regressor being class-agnostic)."""
+    import jax.numpy as jnp
+
+    from tpu_cnn.ops import detect_head, pallas_poly, quant
+
+    kernels = [jnp.asarray(k) for k in model.kernels]
+    fc_w = jnp.asarray(model.fc_weight)
+    fc_b = jnp.asarray(model.fc_bias)
+    img_size = model.config.img_size
+    head_mode = model.head_mode
+    box_mode = "centroid" if box_mode == "centroid" else "ref"
+
+    if backend == "mega" and head_mode == "bins":
+
+        def detect_multi(images, shifts):
+            _, pooled, twin = pallas_poly.cnn_forward_mega(
+                images, kernels, shifts, with_bins=True, with_twin=True,
+                with_feats=True, interpret=False,
+            )
+            return detect_head.detect_multi_with_pooled(
+                pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
+            )
+    else:
+
+        def detect_multi(images, shifts):
+            feats = quant.cnn_forward(images, kernels, shifts)
+            return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
+                                            img_size, box_mode=box_mode)
+
+    return detect_multi
+
+
 def export_bundle(model, batch=1536, backend: str = "mega",
-                  box_mode: str = "ref", platforms=("tpu",)) -> bytes:
+                  box_mode: str = "ref", platforms=("tpu",),
+                  multi: bool = False) -> bytes:
     """Serialize the fused detect program for ``platforms``. ``batch`` may
     be an int or a sequence of bucket sizes — each bucket is its own
     compiled program in the container, and the loader picks the smallest
@@ -96,12 +133,17 @@ def export_bundle(model, batch=1536, backend: str = "mega",
     n_layers = len(model.kernels)
     jitted = jax.jit(detect)
     programs = {}
+    multi_programs = {}
+    jitted_multi = (jax.jit(build_detect_multi_fn(model, backend, box_mode))
+                    if multi else None)
     for b in batches:
-        exp = jexport.export(jitted, platforms=list(platforms))(
-            jax.ShapeDtypeStruct((b, s, s), jnp.uint8),
-            jax.ShapeDtypeStruct((n_layers,), jnp.int32),
-        )
-        programs[b] = exp.serialize()
+        shapes = (jax.ShapeDtypeStruct((b, s, s), jnp.uint8),
+                  jax.ShapeDtypeStruct((n_layers,), jnp.int32))
+        programs[b] = jexport.export(
+            jitted, platforms=list(platforms))(*shapes).serialize()
+        if multi:
+            multi_programs[b] = jexport.export(
+                jitted_multi, platforms=list(platforms))(*shapes).serialize()
     manifest = {
         "format": FORMAT_VERSION,
         "platforms": list(platforms),
@@ -112,6 +154,7 @@ def export_bundle(model, batch=1536, backend: str = "mega",
         "n_layers": n_layers,
         "classes": list(model.class_names),
         "default_shifts": [int(v) for v in model.shifts],
+        "multi": bool(multi),
         "jax_version": jax.__version__,
     }
     buf = io.BytesIO()
@@ -119,6 +162,8 @@ def export_bundle(model, batch=1536, backend: str = "mega",
         z.writestr(MANIFEST, json.dumps(manifest, indent=1))
         for b, blob in programs.items():
             z.writestr(f"detect_b{b}.stablehlo", blob)
+        for b, blob in multi_programs.items():
+            z.writestr(f"detect_multi_b{b}.stablehlo", blob)
     return buf.getvalue()
 
 
@@ -145,24 +190,30 @@ class DeployedDetector:
                 }
             else:
                 raise ValueError(f"unsupported .tcnnx format {fmt}")
+            multi_exps = (
+                {
+                    b: jexport.deserialize(z.read(f"detect_multi_b{b}.stablehlo"))
+                    for b in self.manifest["batches"]
+                }
+                if self.manifest.get("multi") else {}
+            )
         self._exported = exps[max(exps)]  # largest bucket (introspection)
         self._calls = {b: jax.jit(e.call) for b, e in exps.items()}
+        self._multi_calls = {b: jax.jit(e.call) for b, e in multi_exps.items()}
 
     @classmethod
     def load(cls, path: str) -> "DeployedDetector":
         with open(path, "rb") as f:
             return cls(f.read())
 
-    def detect(self, images: np.ndarray, shifts=None):
-        """(B, S, S) u8 -> (pred, conf, probs, bbox) numpy arrays."""
+    def _run_chunked(self, calls: dict, images: np.ndarray, shifts):
         import jax.numpy as jnp
 
-        m = self.manifest
         images = np.asarray(images, np.uint8)
         if shifts is None:
-            shifts = m["default_shifts"]
+            shifts = self.manifest["default_shifts"]
         sj = jnp.asarray(shifts, jnp.int32)
-        buckets = sorted(self._calls)
+        buckets = sorted(calls)
         outs = []
         c0 = 0
         while c0 < len(images):
@@ -175,10 +226,23 @@ class DeployedDetector:
                 chunk = np.concatenate(
                     [chunk, np.zeros((eb - b, *chunk.shape[1:]), np.uint8)]
                 )
-            res = self._calls[eb](jnp.asarray(chunk), sj)
+            res = calls[eb](jnp.asarray(chunk), sj)
             outs.append([np.asarray(r)[:b] for r in res])
             c0 += b
         return tuple(np.concatenate([o[i] for o in outs]) for i in range(4))
+
+    def detect(self, images: np.ndarray, shifts=None):
+        """(B, S, S) u8 -> (pred, conf, probs, bbox) numpy arrays."""
+        return self._run_chunked(self._calls, images, shifts)
+
+    def detect_multi(self, images: np.ndarray, shifts=None):
+        """(B, S, S) u8 -> (pred, conf, probs, boxes (B, K, 4)) — only in
+        containers exported with --multi (``manifest["multi"]``)."""
+        if not self._multi_calls:
+            raise ValueError(
+                "this .tcnnx has no multi-object program — re-export with "
+                "apps.export_model --multi")
+        return self._run_chunked(self._multi_calls, images, shifts)
 
 
 def main(argv=None):
@@ -196,6 +260,10 @@ def main(argv=None):
                         "picks the smallest bucket that fits a request")
     p.add_argument("--backend", default="mega", choices=["mega", "xla"])
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"])
+    p.add_argument("--multi", action="store_true",
+                   help="also export the multi-object program (one CAM box "
+                        "per class; DeployedDetector.detect_multi / "
+                        "serve --deployable --multi)")
     p.add_argument("--platforms", default="tpu",
                    help="comma list (tpu[,cpu]; mega is tpu-only)")
     from tpu_cnn.apps.common import add_variant_arg, load_model
@@ -206,7 +274,8 @@ def main(argv=None):
     if args.load:
         det = DeployedDetector.load(args.load)
         m = det.manifest
-        print(f"  {args.load}: format {m['format']}, platforms "
+        print(f"  {args.load}: format {m['format']}"
+              + (" +multi" if m.get("multi") else "") + f", platforms "
               f"{m['platforms']}, backend {m['backend']}, "
               f"batch buckets {m['batches']}, "
               f"{m['img_size']}x{m['img_size']}, classes {m['classes']}, "
@@ -235,7 +304,8 @@ def main(argv=None):
     model = load_model(args.artifacts, args.variant, args.head_prefix)
     platforms = tuple(s.strip() for s in args.platforms.split(","))
     batches = [int(v) for v in str(args.batch).split(",")]
-    blob = export_bundle(model, batches, args.backend, args.box, platforms)
+    blob = export_bundle(model, batches, args.backend, args.box, platforms,
+                         multi=args.multi)
     with open(args.output, "wb") as f:
         f.write(blob)
     print(f"  exported {args.output}: {len(blob):,} bytes "

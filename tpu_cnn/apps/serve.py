@@ -290,7 +290,12 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         from tpu_cnn.apps.export_model import DeployedDetector
 
         det = DeployedDetector.load(deployable)
-        adapter = _DeployableAdapter(det)
+        if multi and not det.manifest.get("multi"):
+            raise ValueError(
+                "--multi needs a multi-object program in the .tcnnx — "
+                "re-export with apps.export_model --multi")
+        adapter = (_DeployableMultiAdapter if det.manifest.get("multi")
+                   else _DeployableAdapter)(det)
         m = det.manifest
         zeros = np.zeros((1, m["img_size"], m["img_size"]), np.uint8)
         adapter.detect_batch(zeros)  # compile/warm the serving program
@@ -333,6 +338,18 @@ class _DeployableAdapter:
 
         pred, conf, probs, bbox = self.det.detect(images)
         return DetectResult(pred, conf, probs, bbox)
+
+
+class _DeployableMultiAdapter(_DeployableAdapter):
+    """Adds detect_batch_multi only when the container carries the
+    multi-object program (kept on a subclass so DynamicBatcher's
+    hasattr-based capability check stays honest)."""
+
+    def detect_multi_batch(self, images):
+        from tpu_cnn.engine.tpu import MultiDetectResult
+
+        pred, conf, probs, boxes = self.det.detect_multi(images)
+        return MultiDetectResult(pred, conf, probs, boxes)
 
 
 class _HostDetectAdapter:
