@@ -608,9 +608,16 @@ def test_serve_multi_http_with_per_request_thresh(artifact_dir):
         assert len(all_dets["detections"]) == 6
         some = post("/detect?thresh=0.166")
         assert 1 <= len(some["detections"]) <= 6
-        none = post("/detect?thresh=1.1")
+        none = post("/detect?thresh=0.999")
         assert none["detections"] == []
         assert none["pred"] == all_dets["pred"]  # argmax fields unaffected
+        # out-of-range and NaN thresholds are rejected, not silently empty
+        for bad in ("1.1", "nan", "-0.1", "x"):
+            try:
+                post(f"/detect?thresh={bad}")
+                raise AssertionError(f"thresh={bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         srv.shutdown()
         batcher.stop()
@@ -659,3 +666,47 @@ def test_serve_multi_rejects_unsupported_engine(artifact_dir):
 
     with pytest.raises(ValueError, match="multi"):
         DynamicBatcher(NoMulti(), list(CLASS_NAMES), multi=True)
+
+
+def test_serve_thresh_rejected_on_non_multi_server(artifact_dir):
+    """thresh= on a single-box server is a loud 400, not a silent no-op."""
+    import urllib.error
+
+    from tpu_cnn.apps.serve import build_service, make_handler
+
+    batcher, backend = build_service(artifact_dir, mode="cpu", max_batch=2,
+                                     max_wait_ms=1.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher, backend))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = np.zeros(128 * 128, np.uint8).tobytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect?thresh=0.3",
+            data=body, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "multi" in e.read().decode()
+    finally:
+        srv.shutdown()
+        batcher.stop()
+
+
+def test_batcher_engine_without_detect_batch_fails_per_request(artifact_dir):
+    """An engine lacking detect_batch must fail each request with a JSON
+    error — not kill the worker thread silently."""
+    from tpu_cnn.apps.serve import DynamicBatcher
+
+    class NoDetect:
+        pass
+
+    batcher = DynamicBatcher(NoDetect(), list(CLASS_NAMES), max_batch=2,
+                             max_wait_ms=1.0)
+    res = batcher.submit(np.zeros((128, 128), np.uint8), timeout_s=30)
+    assert "error" in res and "detect_batch" in res["error"]
+    # the worker survives: a second request gets the same loud answer
+    res2 = batcher.submit(np.zeros((128, 128), np.uint8), timeout_s=30)
+    assert "error" in res2
+    batcher.stop()

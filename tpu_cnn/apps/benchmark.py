@@ -301,7 +301,7 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
 
 
 def bench_latency(model: FpgaCNN, mode: str, runs: int,
-                  batches=(1, 8, 64, 256, 1024), box: str = "ref"):
+                  batches=(1, 8, 64, 256, 1024)):
     """Dispatch-to-result latency of the fused detect pipeline.
 
     What a SYNCHRONOUS caller waits per request (one camera frame, one
@@ -315,7 +315,7 @@ def bench_latency(model: FpgaCNN, mode: str, runs: int,
     Returns a list of per-batch row dicts."""
     from tpu_cnn.engine.tpu import TPUEngine
 
-    engine = TPUEngine(model, backend=mode, box_mode=box)
+    engine = TPUEngine(model, backend=mode)
     rng = np.random.RandomState(0)
     s = model.config.img_size
     rows = []
@@ -509,6 +509,9 @@ def main(argv=None):
 
     if args.latency:
         mode = args.modes.split(",")[0].strip()
+        if mode not in ("auto", "mega", "hybrid", "pallas", "xla"):
+            p.error(f"--latency measures a TPUEngine backend "
+                    f"(auto/mega/hybrid/pallas/xla), not '{mode}'")
         batches = tuple(int(v) for v in args.latency_batches.split(","))
         rows = bench_latency(model, mode, args.runs, batches)
         print(f"\n  LATENCY — fused detect, backend '{mode}' "

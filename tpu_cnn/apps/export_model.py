@@ -90,6 +90,16 @@ def build_detect_multi_fn(model, backend: str, box_mode: str):
     box_mode = "centroid" if box_mode == "centroid" else "ref"
 
     if backend == "mega" and head_mode == "bins":
+        from tpu_cnn.ops import pallas_poly as _pp
+
+        # same plan fallback as the live TPUEngine._detect_multi: if the
+        # bins+twin+feats kernel config doesn't fit this geometry's VMEM
+        # budget, fall through to the u8-feature formulation below
+        if _pp.polyphase_plan(model.config.layer_configs, with_bins=True,
+                              with_twin=True, with_feats=True) is None:
+            backend = "mega-feats"
+
+    if backend == "mega" and head_mode == "bins":
 
         def detect_multi(images, shifts):
             _, pooled, twin = pallas_poly.cnn_forward_mega(
@@ -100,9 +110,15 @@ def build_detect_multi_fn(model, backend: str, box_mode: str):
                 pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
             )
     else:
+        use_mega_feats = backend.startswith("mega")
 
         def detect_multi(images, shifts):
-            feats = quant.cnn_forward(images, kernels, shifts)
+            feats = (
+                pallas_poly.cnn_forward_mega(images, kernels, shifts,
+                                             interpret=False)
+                if use_mega_feats
+                else quant.cnn_forward(images, kernels, shifts)
+            )
             return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
                                             img_size, box_mode=box_mode)
 

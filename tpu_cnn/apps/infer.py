@@ -106,15 +106,13 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
     )
     detections = None
     if multi_thresh is not None:
+        from tpu_cnn.engine.tpu import detections_above
+
         boxes_all = cam_host.cam_bbox_multi(
             feat, model.fc_weight, img_size=size,
             box_mode="centroid" if box == "centroid" else "ref",
         )
-        detections = sorted(
-            ((k, float(probs[k]), tuple(int(v) for v in boxes_all[k]))
-             for k in range(len(probs)) if probs[k] >= multi_thresh),
-            key=lambda d: -d[1],
-        )
+        detections = detections_above(probs, boxes_all, multi_thresh)
     if box == "reg":
         from tpu_cnn.head.bbox import bbox_regress_features_np
 

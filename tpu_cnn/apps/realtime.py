@@ -558,7 +558,7 @@ def main(argv=None):
     preprocess_fn, pp_name = resolve_preprocess()
     print(f"Host preprocess: {pp_name}")
     if hasattr(engine, "warmup"):
-        engine.warmup()
+        engine.warmup(multi=args.multi and use_fused)
 
     if args.source == "synthetic":
         cam = SyntheticSource(cam_w, cam_h)
@@ -638,16 +638,14 @@ def main(argv=None):
                 else:
                     bbox = (0, 0, img_size - 1, img_size - 1)
                 if args.multi:
+                    from tpu_cnn.engine.tpu import detections_above
+
                     boxes_all = cam_host.cam_bbox_multi(
                         feat, model.fc_weight, img_size=img_size,
                         box_mode="centroid" if args.box == "centroid"
                         else "ref")
-                    detections = sorted(
-                        ((k, float(probs[k]), tuple(int(v) for v in
-                                                    boxes_all[k]))
-                         for k in range(len(probs))
-                         if probs[k] >= args.multi_thresh),
-                        key=lambda d: -d[1])
+                    detections = detections_above(probs, boxes_all,
+                                                  args.multi_thresh)
 
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)

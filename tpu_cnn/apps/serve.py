@@ -113,13 +113,14 @@ class DynamicBatcher:
                                           else res.bbox[i])],
             }
             if self.multi:
+                from tpu_cnn.engine.tpu import detections_above
+
                 thr = p.thresh if p.thresh is not None else self.multi_thresh
                 p.result["detections"] = [
-                    {"pred": int(k), "name": self.class_names[k],
-                     "conf": float(res.probs[i, k]),
-                     "bbox": [int(v) for v in res.boxes[i, k]]}
-                    for k in np.argsort(res.probs[i])[::-1]
-                    if res.probs[i, k] >= thr
+                    {"pred": k, "name": self.class_names[k], "conf": prob,
+                     "bbox": list(bbox)}
+                    for k, prob, bbox in detections_above(
+                        res.probs[i], res.boxes[i], thr)
                 ]
             p.event.set()
 
@@ -146,8 +147,12 @@ class DynamicBatcher:
             self.engine,
             "detect_multi_batch_async" if self.multi else "detect_batch_async",
             None)
-        self._dispatch_sync = (self.engine.detect_multi_batch if self.multi
-                               else self.engine.detect_batch)
+        # resolved lazily inside the per-batch try so an engine without the
+        # method fails each request loudly instead of killing the worker
+        self._dispatch_sync = getattr(
+            self.engine,
+            "detect_multi_batch" if self.multi else "detect_batch",
+            None)
         self._resolve = getattr(
             self.engine,
             "detect_multi_resolve" if self.multi else "detect_resolve",
@@ -174,6 +179,10 @@ class DynamicBatcher:
                     handle = dispatch_async(images)
                     self._inflight.put((batch, handle, t0))
                 else:
+                    if self._dispatch_sync is None:
+                        raise AttributeError(
+                            f"{type(self.engine).__name__} has no "
+                            "detect_batch")
                     res = self._dispatch_sync(images)
                     self._fan_out(batch, res)
                     self._record(len(batch), t0)
@@ -250,10 +259,16 @@ def make_handler(batcher: DynamicBatcher, backend: str):
             qs = parse_qs(url.query)
             thresh = None
             if "thresh" in qs:
+                if not batcher.multi:
+                    self._json(400, {"error": "thresh= needs a --multi "
+                                              "server"})
+                    return
                 try:
                     thresh = float(qs["thresh"][0])
                 except ValueError:
-                    self._json(400, {"error": "bad thresh"})
+                    thresh = float("nan")
+                if not (0.0 <= thresh <= 1.0):  # also rejects NaN
+                    self._json(400, {"error": "bad thresh (need 0..1)"})
                     return
             n = int(self.headers.get("Content-Length", 0))
             if n > MAX_BODY_BYTES:
@@ -299,6 +314,8 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         m = det.manifest
         zeros = np.zeros((1, m["img_size"], m["img_size"]), np.uint8)
         adapter.detect_batch(zeros)  # compile/warm the serving program
+        if multi:
+            adapter.detect_multi_batch(zeros)
         batcher = DynamicBatcher(adapter, m["classes"],
                                  max_batch=max_batch,
                                  max_wait_ms=max_wait_ms,
@@ -314,7 +331,9 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         raise ValueError("--multi needs the spatial-bin head (per-class CAM)")
     engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "warmup"):
-        engine.warmup(batch=max_batch)  # compile the single serving shape
+        # compile the serving shape — incl. the multi program, or the first
+        # live request would pay the 60-300 s relay compile in its timeout
+        engine.warmup(batch=max_batch, multi=multi)
     if not hasattr(engine, "detect_batch"):
         # CPU oracle engine: adapt via host head
         engine = _HostDetectAdapter(engine, model, box=box)

@@ -41,6 +41,20 @@ class DetectResult:
     bbox: np.ndarray  # (B, 4) int32 (x1, y1, x2, y2)
 
 
+def detections_above(probs_row, boxes_row, threshold: float):
+    """One image's multi-object detections: [(class_idx, prob, (x1, y1,
+    x2, y2)), ...] for every class with prob >= threshold, sorted by
+    descending probability. The SINGLE definition of the filter/sort
+    semantics — the engines, CLIs, and the serving layer all call this."""
+    dets = [
+        (int(k), float(probs_row[k]), tuple(int(v) for v in boxes_row[k]))
+        for k in range(len(probs_row))
+        if probs_row[k] >= threshold
+    ]
+    dets.sort(key=lambda d: -d[1])
+    return dets
+
+
 @dataclasses.dataclass
 class MultiDetectResult:
     """Multi-object result: per-class CAM boxes beside the usual argmax
@@ -52,18 +66,11 @@ class MultiDetectResult:
     boxes: np.ndarray  # (B, num_classes, 4) int32 (x1, y1, x2, y2)
 
     def detections(self, threshold: float = 0.15):
-        """Per image: [(class_idx, prob, (x1, y1, x2, y2)), ...] for every
-        class with prob >= threshold, sorted by descending probability."""
-        out = []
-        for b in range(self.probs.shape[0]):
-            dets = [
-                (k, float(self.probs[b, k]), tuple(int(v) for v in self.boxes[b, k]))
-                for k in range(self.probs.shape[1])
-                if self.probs[b, k] >= threshold
-            ]
-            dets.sort(key=lambda d: -d[1])
-            out.append(dets)
-        return out
+        """Per image: :func:`detections_above` of each row."""
+        return [
+            detections_above(self.probs[b], self.boxes[b], threshold)
+            for b in range(self.probs.shape[0])
+        ]
 
 
 def _round_up_pow2(n: int, floor: int = 1) -> int:
@@ -273,9 +280,16 @@ class TPUEngine:
 
     # ── public API ────────────────────────────────────────────────────
 
-    def warmup(self, batch: int = 1) -> None:
+    def warmup(self, batch: int = 1, multi: bool = False) -> None:
+        """Compile the fused detect program at ``batch`` (and the
+        multi-object program too when ``multi`` — a serving layer that
+        dispatches detect_multi_batch must warm it here, or the first
+        live request pays the 60-300 s relay compile inside its own
+        timeout)."""
         img = np.zeros((batch, self.model.config.img_size, self.model.config.img_size), np.uint8)
         self._wait(self._detect(jnp.asarray(img), self._shifts_dev))
+        if multi:
+            self._wait(self._detect_multi(jnp.asarray(img), self._shifts_dev))
 
     def set_shifts(self, *shifts: int) -> None:
         """Runtime shift update — register semantics, no recompilation

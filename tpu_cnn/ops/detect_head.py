@@ -63,6 +63,18 @@ def gap_pool(features: jax.Array) -> jax.Array:
     return features.astype(jnp.float32).mean(axis=2)
 
 
+def _classify_pooled(
+    pooled: jax.Array, fc_weight: jax.Array, fc_bias: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Classifier epilogue on pooled features — the single definition the
+    single-box, multi-box, and feature-path heads all share."""
+    logits = _fc_logits(pooled, fc_weight, fc_bias)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
+    return pred, conf, probs
+
+
 def classify(
     features: jax.Array,  # (B, C, S*S) uint8
     fc_weight: jax.Array,  # (num_classes, D) float32
@@ -71,11 +83,7 @@ def classify(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (pred (B,) int32, conf (B,) f32, probs (B, num_classes) f32)."""
     pooled = bin_pool(features) if head_mode == "bins" else gap_pool(features)
-    logits = _fc_logits(pooled, fc_weight, fc_bias)
-    probs = jax.nn.softmax(logits, axis=-1)
-    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
-    return pred, conf, probs
+    return _classify_pooled(pooled, fc_weight, fc_bias)
 
 
 def cam_bbox(
@@ -310,10 +318,7 @@ def detect_multi_with_pooled(
 ):
     """Multi-object head on kernel-fused bins: classify + a CAM box per
     class. Returns (pred, conf, probs, boxes (B, K, 4))."""
-    logits = _fc_logits(pooled, fc_weight, fc_bias)
-    probs = jax.nn.softmax(logits, axis=-1)
-    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
+    pred, conf, probs = _classify_pooled(pooled, fc_weight, fc_bias)
     boxes = cam_bbox_multi_f32(
         features_twin.astype(jnp.float32), fc_weight, img_size,
         box_mode=box_mode,
@@ -387,10 +392,7 @@ def detect_with_pooled(
     integers, exact in bf16), so the CAM math is unchanged; the u8
     ``features`` may then be omitted entirely (the megakernel's
     ``with_feats=False`` detect mode)."""
-    logits = _fc_logits(pooled, fc_weight, fc_bias)
-    probs = jax.nn.softmax(logits, axis=-1)
-    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    conf = jnp.take_along_axis(probs, pred[:, None], axis=1)[:, 0]
+    pred, conf, probs = _classify_pooled(pooled, fc_weight, fc_bias)
     if box_mode == "reg":
         bbox = bbox_regress(pooled, bbox_weight, img_size)
     elif features_twin is not None:

@@ -331,12 +331,18 @@ class MeshEngine:
             )
         return images, b
 
-    def warmup(self, batch: int = 1) -> None:
+    def warmup(self, batch: int = 1, multi: bool = False) -> None:
         s = self.model.config.img_size
         img = np.zeros((max(batch, self._batch_mult), s, s), np.uint8)
         jax.block_until_ready(
             self._detect(shard_batch(self.mesh, img, self._all_axes), self._shifts)
         )
+        if multi:  # compile the multi program too (serving warmup contract)
+            fn = self._detect_multi
+            jax.block_until_ready(fn(
+                shard_batch(self.mesh, img, self._detect_multi_all_axes),
+                self._shifts,
+            ))
 
     def set_shifts(self, *shifts: int) -> None:
         self.model.shifts = np.asarray(shifts, np.int32)
