@@ -283,3 +283,44 @@ def test_fuzz_parallel_training_random_geometries(seed):
                 rtol=0, atol=1e-5 * scale[k],
                 err_msg=f"sp grad {k} (shards={n_space})",
             )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_multi_head_random_models(seed):
+    """Multi-object head across random weights/heads/variants: device
+    per-class boxes must equal the host twin per class, and the argmax
+    row must equal the single-box path — for every registry geometry the
+    backend supports."""
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.head import cam as host_cam
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+    from tpu_cnn.models.registry import REGISTRY, default_shifts
+
+    rs = np.random.RandomState(900 + seed)
+    name = list(REGISTRY)[seed % len(REGISTRY)]
+    cfg = REGISTRY[name]
+    kernels = [
+        rs.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    feat_dim = cfg.layer_configs[-1][1] * 16
+    fc_w = rs.randn(6, feat_dim).astype(np.float32) * 0.1
+    fc_b = rs.randn(6).astype(np.float32) * 0.01
+    model = FpgaCNN(kernels, fc_w, fc_b, CLASS_NAMES, config=cfg,
+                    shifts=default_shifts(cfg))
+    s = cfg.img_size
+    imgs = rs.randint(0, 256, (3, s, s)).astype(np.uint8)
+
+    box_mode = ["ref", "centroid"][seed % 2]
+    eng = TPUEngine(model, backend="xla", box_mode=box_mode)
+    res = eng.detect_multi_batch(imgs)
+    single = eng.detect_batch(imgs)
+    feats = eng.run_batch(imgs)
+    tol = 1 if box_mode == "centroid" else 0
+    for b in range(len(imgs)):
+        want = host_cam.cam_bbox_multi(feats[b], fc_w, img_size=s,
+                                       box_mode=box_mode)
+        assert np.abs(res.boxes[b].astype(np.int64)
+                      - want.astype(np.int64)).max() <= tol
+        np.testing.assert_array_equal(res.boxes[b, res.pred[b]],
+                                      single.bbox[b])
