@@ -710,3 +710,48 @@ def test_batcher_engine_without_detect_batch_fails_per_request(artifact_dir):
     res2 = batcher.submit(np.zeros((128, 128), np.uint8), timeout_s=30)
     assert "error" in res2
     batcher.stop()
+
+
+def test_native_front_end_multi(artifact_dir):
+    """--multi on the C++ front end: responses carry the detections list
+    (server-level threshold) consistent with the host twin."""
+    import http.client
+    import json as _json
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.apps.serve import _HostDetectAdapter
+    from tpu_cnn.apps.serve_native import NativeFrontEnd
+    from tpu_cnn.engine.tpu import detections_above
+
+    model = load_model(artifact_dir)
+    engine = _HostDetectAdapter(make_engine(model, "cpu"), model)
+    front = NativeFrontEnd("127.0.0.1", 0, model.config.img_size, max_batch=4)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            front.serve_once(engine.detect_multi_batch, model.class_names,
+                             timeout_s=0.05, multi_thresh=1 / 6)
+
+    wt = threading.Thread(target=worker)
+    wt.start()
+    try:
+        img = np.random.RandomState(7).randint(
+            0, 256, (128, 128)).astype(np.uint8)
+        c = http.client.HTTPConnection("127.0.0.1", front.port, timeout=30)
+        c.request("POST", "/detect", body=img.tobytes())
+        r = c.getresponse()
+        assert r.status == 200
+        body = _json.loads(r.read())
+        c.close()
+        assert body["detections"]
+        want = engine.detect_multi_batch(img[None])
+        dets = detections_above(want.probs[0], want.boxes[0], 1 / 6)
+        assert [d["pred"] for d in body["detections"]] == [k for k, _, _ in dets]
+        assert body["detections"][0]["bbox"] == list(dets[0][2])
+        assert body["bbox"] == [int(v) for v in want.boxes[0, want.pred[0]]]
+    finally:
+        stop.set()
+        wt.join(timeout=10)
+        front.stop()

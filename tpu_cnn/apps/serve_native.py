@@ -66,10 +66,14 @@ class NativeFrontEnd:
             raise RuntimeError(f"native front end failed to bind {host}:{port}")
         self.port = self._lib.tcnn_http_port(self._h)
 
-    def serve_once(self, detect_fn, class_names, timeout_s: float = 0.2) -> int:
+    def serve_once(self, detect_fn, class_names, timeout_s: float = 0.2,
+                   multi_thresh: float | None = None) -> int:
         """Drain one batch (blocking up to timeout_s), run ``detect_fn``
         ((B, S, S) u8 -> DetectResult-like), post responses. Returns the
-        number of requests served."""
+        number of requests served. With ``multi_thresh``, ``detect_fn``
+        must return a MultiDetectResult and every response carries a
+        'detections' list (the raw-bytes C++ protocol has no query
+        string, so the threshold is server-level here)."""
         s = self.img_size
         imgs = np.empty((self.max_batch, s, s), np.uint8)
         tickets = np.empty(self.max_batch, np.uint64)
@@ -83,13 +87,25 @@ class NativeFrontEnd:
         res = detect_fn(imgs[:n])
         for i in range(n):
             idx = int(res.pred[i])
-            payload = json.dumps({
+            obj = {
                 "pred": idx,
                 "name": class_names[idx],
                 "conf": float(res.conf[i]),
                 "probs": [float(v) for v in res.probs[i]],
-                "bbox": [int(v) for v in res.bbox[i]],
-            }).encode()
+                "bbox": [int(v) for v in (res.boxes[i, idx]
+                                          if multi_thresh is not None
+                                          else res.bbox[i])],
+            }
+            if multi_thresh is not None:
+                from tpu_cnn.engine.tpu import detections_above
+
+                obj["detections"] = [
+                    {"pred": k, "name": class_names[k], "conf": prob,
+                     "bbox": list(bbox)}
+                    for k, prob, bbox in detections_above(
+                        res.probs[i], res.boxes[i], multi_thresh)
+                ]
+            payload = json.dumps(obj).encode()
             self._lib.tcnn_http_respond(
                 self._h, ctypes.c_uint64(int(tickets[i])), payload,
                 len(payload),
@@ -117,6 +133,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--box", default="ref", choices=["ref", "centroid", "reg"])
+    p.add_argument("--multi", action="store_true",
+                   help="multi-object responses (one CAM box per class "
+                        "above --multi-thresh; server-level threshold — "
+                        "the raw-bytes protocol has no per-request params)")
+    p.add_argument("--multi-thresh", type=float, default=0.15)
     p.add_argument("--head-prefix", default="")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
@@ -130,11 +151,16 @@ def main(argv=None):
     from tpu_cnn.apps.infer import make_engine
     from tpu_cnn.apps.serve import _HostDetectAdapter
 
+    if args.multi and model.head_mode != "bins":
+        p.error("--multi needs the spatial-bin head (per-class CAM)")
     engine = make_engine(model, args.mode, box_mode=args.box)
     if hasattr(engine, "warmup"):
-        engine.warmup(batch=args.max_batch)
+        engine.warmup(batch=args.max_batch, multi=args.multi)
     if not hasattr(engine, "detect_batch"):
         engine = _HostDetectAdapter(engine, model, box=args.box)
+    detect_fn = (engine.detect_multi_batch if args.multi
+                 else engine.detect_batch)
+    multi_thresh = args.multi_thresh if args.multi else None
 
     front = NativeFrontEnd(args.host, args.port, model.config.img_size,
                            args.max_batch)
@@ -144,7 +170,8 @@ def main(argv=None):
           f"{model.config.img_size}^2 bytes to /detect", flush=True)
     try:
         while True:
-            front.serve_once(engine.detect_batch, model.class_names)
+            front.serve_once(detect_fn, model.class_names,
+                             multi_thresh=multi_thresh)
     except KeyboardInterrupt:
         pass
     finally:
