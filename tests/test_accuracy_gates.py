@@ -81,11 +81,12 @@ def test_lyr4_bundle_accuracy_floor():
 
 def test_lyr2_bundle_accuracy_floor():
     """Third model family (lyr2-small, 64x64): trained end-to-end on TPU
-    (two-phase QAT, round 3), bins head + shift sweep via the standard
-    loops, then the head refit with `retrain_classifier --optimizer adam`
-    (round-3 second half) — 88.3% on its shipped test images (was 81.7%),
-    84.6% on a fresh never-touched synthetic split (chance 16.7%). GAP
-    head under gap_ prefix."""
+    (two-phase QAT), bins head + shift sweep + adam head refit via the
+    standard loops. Round-3 third session retrained the backbone at 5x
+    data (no augment — measured worse at this geometry) and re-swept
+    shifts to (3, 5): 88.3% on its shipped test images, mean 89.6% over
+    three fresh never-touched synthetic splits (chance 16.7%; previous
+    bundle: 85.3% on the same splits). GAP head under gap_ prefix."""
     acc = _score_bundle(
         os.path.join(REPO, "artifacts", "pretrained-lyr2"),
         os.path.join(REPO, "artifacts", "pretrained-lyr2"),

@@ -277,21 +277,29 @@ def bench_train(model: FpgaCNN, batch: int, runs: int, compute_dtype: str,
     return best * 1e3, batch / best, mfu
 
 
-def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool):
+def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool,
+                 multi: bool = False):
     """Async-pipelined when the engine supports it (detect_batch_async):
     all batches dispatched, resolved at the end — the relay's ~30 ms
-    round-trip never serialises the device (CLAUDE.md dispatch rules)."""
-    if use_detect and hasattr(engine, "detect_batch_async"):
+    round-trip never serialises the device (CLAUDE.md dispatch rules).
+    ``multi`` times the multi-object pipeline (per-class boxes) instead."""
+    dispatch_name = "detect_multi_batch_async" if multi else "detect_batch_async"
+    if use_detect and hasattr(engine, dispatch_name):
+        dispatch = getattr(engine, dispatch_name)
+        resolve = (engine.detect_multi_resolve if multi
+                   else engine.detect_resolve)
         # Stage the frames in HBM first, then measure pure dispatch+compute
         # (bench.py's measurement discipline — see stage_batch docstring).
         pools = [engine.stage_batch(images) for _ in range(2)]
-        engine.detect_resolve(engine.detect_batch_async(pools[0]))  # warmup
+        resolve(dispatch(pools[0]))  # warmup
         t0 = time.perf_counter()
-        handles = [engine.detect_batch_async(pools[i % 2]) for i in range(runs)]
+        handles = [dispatch(pools[i % 2]) for i in range(runs)]
         for h in handles:
-            engine.detect_resolve(h)
+            resolve(h)
         return (time.perf_counter() - t0) / runs
-    fn = engine.detect_batch if use_detect and hasattr(engine, "detect_batch") else engine.run_batch
+    sync_name = "detect_multi_batch" if multi else "detect_batch"
+    fn = (getattr(engine, sync_name)
+          if use_detect and hasattr(engine, sync_name) else engine.run_batch)
     fn(images)  # warmup / compile
     t0 = time.perf_counter()
     for _ in range(runs):
@@ -448,6 +456,9 @@ def main(argv=None):
     p.add_argument("--train-dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="--train compute dtype (train_cnn --bf16 twin)")
+    p.add_argument("--multi", action="store_true",
+                   help="time the multi-object detect pipeline (one CAM box "
+                        "per class) instead of the single-box head")
     p.add_argument("--latency", action="store_true",
                    help="synchronous dispatch-to-result latency per batch "
                         "size (median/p99) beside the async-pipelined "
@@ -601,7 +612,8 @@ def main(argv=None):
         mode = mode.strip()
         try:
             engine = make_engine(model, mode)
-            dt = bench_engine(engine, images, args.runs, args.detect)
+            dt = bench_engine(engine, images, args.runs, args.detect,
+                              multi=args.multi)
         except Exception as e:
             print(f"\n  {mode}: FAILED ({e})")
             continue
