@@ -767,3 +767,13 @@ def test_benchmark_latency_mode(artifact_dir, capsys):
         assert r["amortized_us_per_img"] > 0
     text = capsys.readouterr().out
     assert "LATENCY" in text and "sync med" in text
+
+
+def test_benchmark_multi_mode(artifact_dir, capsys):
+    """--multi times the multi-object pipeline (async dispatch path)."""
+    from tpu_cnn.apps import benchmark
+
+    out = benchmark.main(["--artifacts", artifact_dir, "--batch", "4",
+                          "--runs", "2", "--modes", "xla", "--multi"])
+    assert out and "xla" in out
+    assert out["xla"] > 0
