@@ -720,3 +720,18 @@ def test_prefetch_preserves_stream():
         np.testing.assert_array_equal(np.asarray(di), hi)
         np.testing.assert_array_equal(np.asarray(dl), hl.astype(np.int32))
         assert np.asarray(dl).dtype == np.int32
+
+
+def test_train_per_layer_scale_export(tmp_path):
+    """--per-layer-scale: end-to-end tiny training exports a loadable
+    bundle whose every conv layer uses the full int8 grid."""
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.train import train_cnn as T
+
+    out = str(tmp_path / "pls")
+    T.main(["--synthetic", "--epochs", "2", "--max-per-class", "50",
+            "--variant", "lyr2-small", "--output-dir", out,
+            "--per-layer-scale"])
+    model = load_model(out, "lyr2-small")
+    for k in model.kernels:
+        assert np.abs(k).max() == 127, "per-layer scale must fill the grid"

@@ -62,3 +62,25 @@ def test_quantize_global():
 def test_size_validation():
     with pytest.raises(ValueError):
         wc.decode_weights(np.zeros(100, dtype=np.int8))
+
+
+def test_quantize_per_layer_full_grid_per_layer():
+    """Per-layer export scales: each layer's absmax maps to +-127 — small
+    layers keep full int8 precision even next to a large-|w| layer (the
+    global scale squeezes them; see ROADMAP round-3 flagship probe)."""
+    rs = np.random.RandomState(0)
+    big = rs.randn(16, 1, 3, 3).astype(np.float32) * 4.0
+    small = rs.randn(32, 16, 3, 3).astype(np.float32) * 0.05
+    qg, g_scale = wc.quantize_global([big, small])
+    qp, scales = wc.quantize_per_layer([big, small])
+    # per-layer: both layers use the full grid
+    assert np.abs(qp[0]).max() == 127 and np.abs(qp[1]).max() == 127
+    # global: the small layer is squeezed to a tiny fraction of the grid
+    assert np.abs(qg[1]).max() < 8
+    # scales recover the floats to rounding error, layer by layer
+    for q, s, f in zip(qp, scales, (big, small)):
+        np.testing.assert_allclose(q.astype(np.float32) / s, f,
+                                   atol=0.5 / s + 1e-6)
+    # int8 dtype + shape contract identical to the global path
+    for a, b in zip(qg, qp):
+        assert a.dtype == b.dtype == np.int8 and a.shape == b.shape

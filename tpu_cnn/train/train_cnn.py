@@ -61,6 +61,10 @@ class TrainConfig:
     head_epochs: int = 3000
     head_lr: float = 0.01
     seed: int = 0
+    # Beyond-reference export option: quantize each conv layer with its
+    # OWN symmetric scale instead of the reference's single global one
+    # (utils.weights.quantize_per_layer). Runtime contract unchanged.
+    per_layer_scale: bool = False
 
 
 def init_params(cfg: TrainConfig, key: jax.Array) -> Params:
@@ -130,7 +134,8 @@ def float_forward(params: Params, images: jax.Array, n_layers: int,
                       precision=jax.lax.Precision.HIGHEST) + params["fc_b"]
 
 
-def fake_quant_convs(params: Params, n_layers: int) -> Params:
+def fake_quant_convs(params: Params, n_layers: int,
+                     per_layer: bool = False) -> Params:
     """Straight-through fake quantization of the conv kernels to the EXACT
     export grid (one global symmetric scale, quant_max clip — mirrors
     ``utils.weights.quantize_global`` / reference ``train_cnn.py:133-137``).
@@ -142,21 +147,24 @@ def fake_quant_convs(params: Params, n_layers: int) -> Params:
     to zero. Opt-in (``train_cnn --qat``); beyond-reference — the
     reference quantizes post-hoc."""
     convs = [params[f"conv{i}"] for i in range(n_layers)]
-    absmax = jnp.maximum(
+    absmax_all = jnp.maximum(
         jnp.stack([jnp.abs(c).max() for c in convs]).max(), 1e-8
     )
-    scale = QUANT_MAX / absmax
     out = dict(params)
     for i, w in enumerate(convs):
+        absmax = (jnp.maximum(jnp.abs(w).max(), 1e-8) if per_layer
+                  else absmax_all)
+        scale = QUANT_MAX / absmax
         wq = jnp.clip(jnp.round(w * scale), -QUANT_MAX, QUANT_MAX) / scale
         out[f"conv{i}"] = w + jax.lax.stop_gradient(wq - w)
     return out
 
 
 def loss_fn(params: Params, images, labels, n_layers: int,
-            compute_dtype=jnp.float32, qat: bool = False):
+            compute_dtype=jnp.float32, qat: bool = False,
+            qat_per_layer: bool = False):
     if qat:
-        params = fake_quant_convs(params, n_layers)
+        params = fake_quant_convs(params, n_layers, qat_per_layer)
     logits = float_forward(params, images, n_layers, compute_dtype)
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     acc = (logits.argmax(-1) == labels).mean()
@@ -187,7 +195,7 @@ def _zero1_constrain(opt_state, mesh: Mesh):
 def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                     *, microbatch: int = 4, remat: bool = False,
                     zero1: bool = False, compute_dtype: str = "float32",
-                    qat: bool = False):
+                    qat: bool = False, qat_per_layer: bool | None = None):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
     (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
     inputs/params carry data/model shardings and XLA inserts the gradient
@@ -240,7 +248,8 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                 labels, NamedSharding(mesh, P("data"))
             )
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels, n_layers, cdt, qat
+            params, images, labels, n_layers, cdt, qat,
+            cfg.per_layer_scale if qat_per_layer is None else qat_per_layer,
         )
         if zero1:
             opt_state = _zero1_constrain(opt_state, mesh)
@@ -261,8 +270,11 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
 
 
 def quantized_kernels(params: Params, cfg: TrainConfig):
-    """Global symmetric scale over all conv layers -> int8 kernels + scale."""
+    """int8 conv kernels + scale(s): the reference's single global
+    symmetric scale, or per-layer scales when cfg.per_layer_scale."""
     floats = [np.asarray(params[f"conv{i}"]) for i in range(len(cfg.layer_configs))]
+    if cfg.per_layer_scale:
+        return weights_codec.quantize_per_layer(floats, QUANT_MAX)
     return weights_codec.quantize_global(floats, QUANT_MAX)
 
 
@@ -515,7 +527,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     def eval_acc(params, images, labels):
         # best-val selection must measure the net that DEPLOYS: under
         # --qat that is the fake-quantized one
-        p = fake_quant_convs(params, n_layers) if qat else params
+        p = (fake_quant_convs(params, n_layers, cfg.per_layer_scale)
+             if qat else params)
         logits = float_forward(p, images, n_layers)
         return (logits.argmax(-1) == labels).mean()
 
@@ -696,7 +709,9 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
                                num_per_class=10, num_classes=cfg.num_classes)
     if verbose:
         nbytes = sum(k.size for k in q_kernels)
-        print(f"Exported: weights.bin ({nbytes} B, scale={scale:.2f}), "
+        scale_s = (", ".join(f"{s:.2f}" for s in scale)
+                   if isinstance(scale, list) else f"{scale:.2f}")
+        print(f"Exported: weights.bin ({nbytes} B, scale={scale_s}), "
               f"fc {fc_w.shape}, {n_exp} test images -> {out_dir}/")
     return bundle
 
@@ -773,6 +788,13 @@ def main(argv=None):
                         "and backward). 'DxN' composes with data "
                         "parallelism. Every layer's row count must divide "
                         "by 2xN.")
+    p.add_argument("--per-layer-scale", action="store_true",
+                   help="quantize each conv layer with its OWN symmetric "
+                        "scale at export (beyond-reference; the reference "
+                        "uses one global scale, which lets the largest-|w| "
+                        "layer squeeze every other layer's int8 precision "
+                        "— the shift register absorbs the gain, so the "
+                        "runtime contract is unchanged)")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware phase 1: conv kernels are STE "
                         "fake-quantized to the exact export int8 grid "
@@ -824,6 +846,7 @@ def main(argv=None):
         layer_configs=vcfg.layer_configs,
         shifts=train_shifts,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        per_layer_scale=args.per_layer_scale,
     )
     from tpu_cnn.train import data as D
 

@@ -108,6 +108,33 @@ def quantize_global(
     return q, scale
 
 
+def quantize_per_layer(
+    float_kernels: Sequence[np.ndarray], quant_max: int = QUANT_MAX
+) -> tuple[list[np.ndarray], list[float]]:
+    """Quantise each layer's kernels with its OWN symmetric scale.
+
+    Beyond-reference export option (``train_cnn --per-layer-scale``): the
+    reference's single global scale (``training/train_cnn.py:133-137``)
+    lets the layer with the largest |w| squeeze every other layer's int8
+    precision — measured to be exactly what makes long-trained backbones
+    quantise badly (docs/ROADMAP.md round-3 flagship probe). Per-layer
+    scales give each layer the full +-127 grid. The RUNTIME contract is
+    unchanged (int8 weights + the per-layer shift register absorb any
+    power-of-two gain; heads are refit on dumped features), so every
+    engine, kernel, and the byte layout stay byte-identical in form.
+    """
+    q, scales = [], []
+    for k in float_kernels:
+        absmax = max(float(np.abs(np.asarray(k)).max()), 1e-8)
+        scale = quant_max / absmax
+        q.append(
+            np.clip(np.round(np.asarray(k, np.float64) * scale),
+                    -quant_max, quant_max).astype(np.int8)
+        )
+        scales.append(scale)
+    return q, scales
+
+
 def validate_stock_blob(blob: bytes | np.ndarray) -> None:
     size = len(blob) if isinstance(blob, (bytes, bytearray)) else np.asarray(blob).size
     if size != WEIGHT_BYTES:
