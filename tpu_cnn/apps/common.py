@@ -46,4 +46,5 @@ def load_model(
                       else default_shifts(config))
     return FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
                    bundle.class_names, shifts=shifts, config=config,
-                   bbox_weight=bundle.bbox_weight)
+                   bbox_weight=bundle.bbox_weight,
+                   multi_thresh=bundle.multi_thresh)

@@ -101,7 +101,7 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
 
 
 def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
-                   seed: int = 123, thresh: float = 0.15, box: str = "ref",
+                   seed: int = 123, thresh=0.15, box: str = "ref",
                    verbose: bool = True):
     """Multi-object evaluation on composite scenes (2 objects/frame).
 
@@ -138,11 +138,12 @@ def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
         ])
 
     num_classes = probs.shape[1]
+    thr = np.broadcast_to(np.asarray(thresh, np.float64), (num_classes,))
     total = hits = false_pos = argmax_hits = 0
     matched_ious, all_ious = [], []
     for i, truth in enumerate(truths):
         gt = {cls for cls, _ in truth}
-        det = {k for k in range(num_classes) if probs[i, k] >= thresh}
+        det = {k for k in range(num_classes) if probs[i, k] >= thr[k]}
         false_pos += len(det - gt)
         argmax_hits += int(int(np.argmax(probs[i])) in gt)
         for cls, gt_box in truth:
@@ -166,8 +167,10 @@ def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
         "single_box_recall_ceiling": argmax_hits / max(total, 1),
     }
     if verbose:
+        thr_s = (f"{float(np.ravel(thresh)[0]):.0%}"
+                 if np.ndim(thresh) == 0 else "per-class calibrated")
         print(f"  scenes: {out['scenes']} ({total} objects, "
-              f"thresh {thresh:.0%})")
+              f"thresh {thr_s})")
         print(f"  object recall:        {out['recall'] * 100:.1f}%")
         print(f"  matched-object IoU:   {out['matched_iou']:.3f}")
         print(f"  overall IoU (miss=0): {out['overall_iou']:.3f}")
@@ -189,7 +192,9 @@ def main(argv=None):
     p.add_argument("--multi", action="store_true",
                    help="multi-object eval on 2-object composite scenes "
                         "(per-class CAM boxes; bins head only)")
-    p.add_argument("--multi-thresh", type=float, default=0.15)
+    p.add_argument("--multi-thresh", type=float, default=None,
+                   help="uniform floor (default: the bundle's calibrated "
+                        "multi_thresh.json if present, else 0.15)")
     p.add_argument("--n-scenes", type=int, default=60,
                    help="composite scene count for --multi")
     from tpu_cnn.apps.common import add_variant_arg, load_model
@@ -205,8 +210,11 @@ def main(argv=None):
     print("=" * 60)
     model = load_model(args.artifacts, args.variant)
     if args.multi:
+        thresh = (args.multi_thresh if args.multi_thresh is not None
+                  else (model.multi_thresh
+                        if model.multi_thresh is not None else 0.15))
         evaluate_multi(model, mode=args.mode, n_scenes=args.n_scenes,
-                       thresh=args.multi_thresh,
+                       thresh=thresh,
                        box="centroid" if args.box == "centroid" else "ref")
     else:
         evaluate(model, mode=args.mode, n_per_class=args.n_per_class,

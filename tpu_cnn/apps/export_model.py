@@ -171,6 +171,9 @@ def export_bundle(model, batch=1536, backend: str = "mega",
         "classes": list(model.class_names),
         "default_shifts": [int(v) for v in model.shifts],
         "multi": bool(multi),
+        "multi_thresh": ([float(t) for t in model.multi_thresh]
+                         if getattr(model, "multi_thresh", None) is not None
+                         else None),
         "jax_version": jax.__version__,
     }
     buf = io.BytesIO()

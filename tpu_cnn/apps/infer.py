@@ -135,7 +135,9 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
         print(f"  Confidence: {conf:.1%}")
         print(f"  BBox:       ({bbox[0]}, {bbox[1]}) -> ({bbox[2]}, {bbox[3]})")
         if detections is not None:
-            print(f"  Detections (prob >= {multi_thresh:.0%}):")
+            thr_s = (f"{multi_thresh:.0%}" if np.ndim(multi_thresh) == 0
+                     else "per-class calibrated floors")
+            print(f"  Detections (prob >= {thr_s}):")
             for k, prob, (x1, y1, x2, y2) in detections:
                 print(f"    {model.class_names[k]:10s} {prob:5.1%}  "
                       f"({x1}, {y1}) -> ({x2}, {y2})")
@@ -184,8 +186,10 @@ def main(argv=None):
     p.add_argument("--multi", action="store_true",
                    help="multi-object mode: one CAM box per class above "
                         "--multi-thresh (beyond-reference; bins head only)")
-    p.add_argument("--multi-thresh", type=float, default=0.15,
-                   help="probability floor for --multi detections")
+    p.add_argument("--multi-thresh", type=float, default=None,
+                   help="uniform probability floor for --multi detections "
+                        "(default: the bundle's calibrated per-class "
+                        "multi_thresh.json if present, else 0.15)")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -207,7 +211,11 @@ def main(argv=None):
     if args.multi and model.head_mode != "bins":
         p.error("--multi needs the spatial-bin head (a (C, C*16) fc_weight); "
                 "the 64-d GAP head has no per-class spatial CAM")
-    multi_thresh = args.multi_thresh if args.multi else None
+    multi_thresh = None
+    if args.multi:
+        multi_thresh = (args.multi_thresh if args.multi_thresh is not None
+                        else (model.multi_thresh
+                              if model.multi_thresh is not None else 0.15))
     engine = make_engine(model, args.mode)
     print(f"Engine: {type(engine).__name__} ({getattr(engine, 'backend', '?')})")
     print(f"Classifier: {len(model.class_names)} classes — {model.class_names} "

@@ -513,8 +513,10 @@ def main(argv=None):
                     help="multi-object mode: one labelled box per class "
                          "above --multi-thresh (beyond-reference; bins "
                          "head only)")
-    ap.add_argument("--multi-thresh", type=float, default=0.15,
-                    help="probability floor for --multi detections")
+    ap.add_argument("--multi-thresh", type=float, default=None,
+                    help="uniform probability floor for --multi detections "
+                         "(default: the bundle's calibrated "
+                         "multi_thresh.json if present, else 0.15)")
     ap.add_argument("--fused", action="store_true",
                     help="run the whole head on device (one fused jit per "
                          "frame; only pred/conf/probs/box cross back — "
@@ -541,6 +543,9 @@ def main(argv=None):
                  "(train one: python -m tpu_cnn.apps.train_bbox)")
     if args.multi and model.head_mode != "bins":
         ap.error("--multi needs the spatial-bin head (per-class CAM)")
+    multi_thresh = (args.multi_thresh if args.multi_thresh is not None
+                    else (model.multi_thresh
+                          if model.multi_thresh is not None else 0.15))
     img_size = model.config.img_size
     names = model.class_names
     print(f"Classes: {names}")
@@ -605,7 +610,7 @@ def main(argv=None):
                 name = names[idx]
                 conf = float(res.conf[0])
                 probs = res.probs[0]
-                detections = res.detections(args.multi_thresh)[0]
+                detections = res.detections(multi_thresh)[0]
                 bbox = tuple(int(v) for v in res.boxes[0, idx])
             elif use_fused:
                 # fused on-device head: the engine's jitted detect honours
@@ -645,7 +650,7 @@ def main(argv=None):
                         box_mode="centroid" if args.box == "centroid"
                         else "ref")
                     detections = detections_above(probs, boxes_all,
-                                                  args.multi_thresh)
+                                                  multi_thresh)
 
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)

@@ -295,7 +295,10 @@ def build_service(artifacts_dir: str, mode: str = "auto",
                   max_batch: int = 256, max_wait_ms: float = 5.0,
                   variant: str = "lyr3-std", head_prefix: str = "",
                   box: str = "ref", deployable: str | None = None,
-                  multi: bool = False, multi_thresh: float = 0.15):
+                  multi: bool = False, multi_thresh=None):
+    # multi_thresh None -> the bundle's calibrated per-class
+    # multi_thresh.json (apps.calibrate_multi --save) when present,
+    # else the uniform 0.15 floor; a scalar forces that floor.
     from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
 
@@ -312,6 +315,8 @@ def build_service(artifacts_dir: str, mode: str = "auto",
         adapter = (_DeployableMultiAdapter if det.manifest.get("multi")
                    else _DeployableAdapter)(det)
         m = det.manifest
+        if multi_thresh is None:
+            multi_thresh = m.get("multi_thresh") or 0.15
         zeros = np.zeros((1, m["img_size"], m["img_size"]), np.uint8)
         adapter.detect_batch(zeros)  # compile/warm the serving program
         if multi:
@@ -329,6 +334,9 @@ def build_service(artifacts_dir: str, mode: str = "auto",
                          "(train one: python -m tpu_cnn.apps.train_bbox)")
     if multi and model.head_mode != "bins":
         raise ValueError("--multi needs the spatial-bin head (per-class CAM)")
+    if multi_thresh is None:
+        multi_thresh = (model.multi_thresh
+                        if model.multi_thresh is not None else 0.15)
     engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "warmup"):
         # compile the serving shape — incl. the multi program, or the first
@@ -449,8 +457,10 @@ def main(argv=None):
                    help="multi-object responses: every class above the "
                         "threshold gets its own CAM box in 'detections' "
                         "(per-request override: POST /detect?thresh=0.3)")
-    p.add_argument("--multi-thresh", type=float, default=0.15,
-                   help="default probability floor for --multi detections")
+    p.add_argument("--multi-thresh", type=float, default=None,
+                   help="uniform probability floor for --multi detections "
+                        "(default: the bundle's calibrated "
+                        "multi_thresh.json if present, else 0.15)")
     p.add_argument("--deployable", default=None,
                    help="serve from an exported .tcnnx artifact "
                         "(apps.export_model) instead of building the model "

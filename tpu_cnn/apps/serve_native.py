@@ -137,7 +137,9 @@ def main(argv=None):
                    help="multi-object responses (one CAM box per class "
                         "above --multi-thresh; server-level threshold — "
                         "the raw-bytes protocol has no per-request params)")
-    p.add_argument("--multi-thresh", type=float, default=0.15)
+    p.add_argument("--multi-thresh", type=float, default=None,
+                   help="uniform floor (default: the bundle's calibrated "
+                        "multi_thresh.json if present, else 0.15)")
     p.add_argument("--head-prefix", default="")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
@@ -160,7 +162,11 @@ def main(argv=None):
         engine = _HostDetectAdapter(engine, model, box=args.box)
     detect_fn = (engine.detect_multi_batch if args.multi
                  else engine.detect_batch)
-    multi_thresh = args.multi_thresh if args.multi else None
+    multi_thresh = None
+    if args.multi:
+        multi_thresh = (args.multi_thresh if args.multi_thresh is not None
+                        else (model.multi_thresh
+                              if model.multi_thresh is not None else 0.15))
 
     front = NativeFrontEnd(args.host, args.port, model.config.img_size,
                            args.max_batch)

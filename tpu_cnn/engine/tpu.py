@@ -41,15 +41,19 @@ class DetectResult:
     bbox: np.ndarray  # (B, 4) int32 (x1, y1, x2, y2)
 
 
-def detections_above(probs_row, boxes_row, threshold: float):
+def detections_above(probs_row, boxes_row, threshold):
     """One image's multi-object detections: [(class_idx, prob, (x1, y1,
-    x2, y2)), ...] for every class with prob >= threshold, sorted by
-    descending probability. The SINGLE definition of the filter/sort
+    x2, y2)), ...] for every class with prob >= its threshold, sorted by
+    descending probability. ``threshold`` is a scalar or a per-class
+    vector (the bundle's F1-calibrated ``multi_thresh.json``,
+    apps.calibrate_multi). The SINGLE definition of the filter/sort
     semantics — the engines, CLIs, and the serving layer all call this."""
+    thr = np.broadcast_to(np.asarray(threshold, np.float64),
+                          (len(probs_row),))
     dets = [
         (int(k), float(probs_row[k]), tuple(int(v) for v in boxes_row[k]))
         for k in range(len(probs_row))
-        if probs_row[k] >= threshold
+        if probs_row[k] >= thr[k]
     ]
     dets.sort(key=lambda d: -d[1])
     return dets

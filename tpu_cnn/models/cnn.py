@@ -118,6 +118,7 @@ class FpgaCNN:
         shifts: Sequence[int] = DEFAULT_SHIFTS,
         config: CNNConfig = CNNConfig(),
         bbox_weight: np.ndarray | None = None,  # (D+1, 4) regression head
+        multi_thresh=None,  # per-class multi-object thresholds (K,) or None
     ):
         self.config = config
         expected = [(oc, ic, 3, 3) for ic, oc, _ in config.layer_configs]
@@ -144,6 +145,13 @@ class FpgaCNN:
                 f"bbox_weight shape {self.bbox_weight.shape} != "
                 f"({config.feature_dim_bins + 1}, 4)"
             )
+        self.multi_thresh = (
+            np.asarray(list(multi_thresh), np.float32)
+            if multi_thresh is not None else None
+        )
+        if (self.multi_thresh is not None
+                and self.multi_thresh.shape != (len(self.class_names),)):
+            raise ValueError("one multi threshold per class required")
 
     @property
     def head_mode(self) -> str:
@@ -173,5 +181,6 @@ class FpgaCNN:
             fc_bias=bundle.fc_bias,
             class_names=bundle.class_names,
             bbox_weight=bundle.bbox_weight,
+            multi_thresh=bundle.multi_thresh,
             **kw,
         )

@@ -36,6 +36,10 @@ class ArtifactBundle:
     # reference baking 2/4/6 into its scripts: CLI --shifts overrides,
     # absent file falls back to the variant's default ladder.
     shifts: list[int] | None = None
+    # optional per-class multi-object detection thresholds
+    # (apps.calibrate_multi --save): F1-calibrated probability floors,
+    # one per class. Absent -> the uniform 0.15 default.
+    multi_thresh: list[float] | None = None
 
 
 WEIGHTS_BIN = "weights.bin"
@@ -44,6 +48,7 @@ FC_BIAS = "fc_bias.npy"
 CLASSES = "classes.json"
 BBOX_WEIGHT = "bbox_weight.npy"
 SHIFTS_JSON = "shifts.json"
+MULTI_THRESH_JSON = "multi_thresh.json"
 
 
 def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
@@ -82,8 +87,14 @@ def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
     if os.path.exists(shifts_path):
         with open(shifts_path) as f:
             shifts = [int(s) for s in json.load(f)]
+    mt_path = os.path.join(d, prefix + MULTI_THRESH_JSON)
+    multi_thresh = None
+    if os.path.exists(mt_path):
+        with open(mt_path) as f:
+            multi_thresh = [float(t) for t in json.load(f)]
     return ArtifactBundle(kernels, fc_w, fc_b, class_names,
-                          bbox_weight=bbox_w, shifts=shifts)
+                          bbox_weight=bbox_w, shifts=shifts,
+                          multi_thresh=multi_thresh)
 
 
 def save_bundle(
@@ -102,6 +113,9 @@ def save_bundle(
     if bundle.shifts is not None:
         with open(os.path.join(d, prefix + SHIFTS_JSON), "w") as f:
             json.dump([int(s) for s in bundle.shifts], f)
+    if bundle.multi_thresh is not None:
+        with open(os.path.join(d, prefix + MULTI_THRESH_JSON), "w") as f:
+            json.dump([float(t) for t in bundle.multi_thresh], f)
     with open(os.path.join(d, CLASSES), "w") as f:
         json.dump(list(bundle.class_names), f)
 
