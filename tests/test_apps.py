@@ -786,34 +786,40 @@ def test_calibrate_multi_cli_and_defaults(artifact_dir, capsys):
     from tpu_cnn.apps import calibrate_multi, infer
     from tpu_cnn.apps.common import load_model
 
-    thr, rep = calibrate_multi.main([
-        "--artifacts", artifact_dir, "--mode", "xla",
-        "--n-scenes", "12", "--save",
-    ])
-    out = capsys.readouterr().out
-    assert "saved" in out and len(thr) == 6
-    assert os.path.exists(os.path.join(artifact_dir, "multi_thresh.json"))
-    # calibrated F1 on the calibration set can't be worse than uniform
-    # there (coordinate descent starts from uniform)
-    assert rep["calibrated_cal"][2] >= rep["uniform_eval"][2] - 1e-9 or True
+    try:
+        thr, rep = calibrate_multi.main([
+            "--artifacts", artifact_dir, "--mode", "xla",
+            "--n-scenes", "12", "--save",
+        ])
+        out = capsys.readouterr().out
+        assert "saved" in out and len(thr) == 6
+        assert os.path.exists(os.path.join(artifact_dir, "multi_thresh.json"))
+        # coordinate descent starts from the uniform floor, so calibrated
+        # F1 on the CALIBRATION set can never be worse than uniform there
+        assert rep["calibrated_cal"][2] >= rep["uniform_cal"][2] - 1e-9
 
-    model = load_model(artifact_dir)
-    assert model.multi_thresh is not None and model.multi_thresh.shape == (6,)
-    np.testing.assert_allclose(model.multi_thresh, thr, atol=1e-4)
+        model = load_model(artifact_dir)
+        assert (model.multi_thresh is not None
+                and model.multi_thresh.shape == (6,))
+        np.testing.assert_allclose(model.multi_thresh, thr, atol=1e-4)
 
-    # infer --multi now defaults to the calibrated floors
-    import glob as _glob
+        # infer --multi now defaults to the calibrated floors
+        import glob as _glob
 
-    img = sorted(_glob.glob(os.path.join(artifact_dir, "test_image_*.bin")))[0]
-    infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
-                "--image", img, "--multi", "--no-save"])
-    out = capsys.readouterr().out
-    assert "per-class calibrated floors" in out
-    # an explicit scalar still overrides
-    infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
-                "--image", img, "--multi", "--multi-thresh", "0.2",
-                "--no-save"])
-    assert "prob >= 20%" in capsys.readouterr().out
+        img = sorted(_glob.glob(
+            os.path.join(artifact_dir, "test_image_*.bin")))[0]
+        infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
+                    "--image", img, "--multi", "--no-save"])
+        out = capsys.readouterr().out
+        assert "per-class calibrated floors" in out
+        # an explicit scalar still overrides
+        infer.main(["--artifacts", artifact_dir, "--mode", "cpu",
+                    "--image", img, "--multi", "--multi-thresh", "0.2",
+                    "--no-save"])
+        assert "prob >= 20%" in capsys.readouterr().out
+    finally:  # keep the module-scoped fixture pristine for later tests
+        if os.path.exists(os.path.join(artifact_dir, "multi_thresh.json")):
+            os.remove(os.path.join(artifact_dir, "multi_thresh.json"))
 
 
 def test_eval_multi_uses_bundle_calibration(artifact_dir, capsys):
@@ -821,9 +827,12 @@ def test_eval_multi_uses_bundle_calibration(artifact_dir, capsys):
 
     from tpu_cnn.apps import eval_detection
 
-    with open(os.path.join(artifact_dir, "multi_thresh.json"), "w") as f:
-        _json.dump([0.1, 0.2, 0.3, 0.1, 0.2, 0.3], f)
-    eval_detection.main(["--artifacts", artifact_dir, "--mode", "xla",
-                         "--multi", "--n-scenes", "6"])
-    out = capsys.readouterr().out
-    assert "per-class calibrated" in out
+    try:
+        with open(os.path.join(artifact_dir, "multi_thresh.json"), "w") as f:
+            _json.dump([0.1, 0.2, 0.3, 0.1, 0.2, 0.3], f)
+        eval_detection.main(["--artifacts", artifact_dir, "--mode", "xla",
+                             "--multi", "--n-scenes", "6"])
+        out = capsys.readouterr().out
+        assert "per-class calibrated" in out
+    finally:
+        os.remove(os.path.join(artifact_dir, "multi_thresh.json"))

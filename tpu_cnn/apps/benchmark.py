@@ -283,6 +283,10 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool,
     all batches dispatched, resolved at the end — the relay's ~30 ms
     round-trip never serialises the device (CLAUDE.md dispatch rules).
     ``multi`` times the multi-object pipeline (per-class boxes) instead."""
+    if multi and not hasattr(engine, "detect_multi_batch"):
+        raise ValueError(
+            f"--multi needs an engine with detect_multi_batch; "
+            f"{type(engine).__name__} has none")
     dispatch_name = "detect_multi_batch_async" if multi else "detect_batch_async"
     if use_detect and hasattr(engine, dispatch_name):
         dispatch = getattr(engine, dispatch_name)
@@ -518,6 +522,14 @@ def main(argv=None):
               f"{ips:10,.0f} img/s  MFU {mfu:.1f}%")
         return {"train_img_per_s": ips}
 
+    if args.multi and not args.detect:
+        p.error("--multi times the multi-object DETECT pipeline; it cannot "
+                "combine with --features")
+    if args.multi and (args.latency or args.train or args.per_layer
+                       or args.camera_pipeline or args.host_ingest
+                       or args.roofline):
+        p.error("--multi applies to the default throughput measurement "
+                "only")
     if args.latency:
         mode = args.modes.split(",")[0].strip()
         if mode not in ("auto", "mega", "hybrid", "pallas", "xla"):

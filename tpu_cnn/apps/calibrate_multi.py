@@ -48,9 +48,7 @@ def prf(probs, truths, thr):
     return p, r, 2 * p * r / max(p + r, 1e-9)
 
 
-def _multi_probs(model, mode, seed, n_scenes):
-    from tpu_cnn.apps.infer import make_engine
-    from tpu_cnn.head import cam as cam_host
+def _multi_probs(model, engine, seed, n_scenes):
     from tpu_cnn.head.classify import classify_np
     from tpu_cnn.train.data import CompositeScenes
 
@@ -58,13 +56,11 @@ def _multi_probs(model, mode, seed, n_scenes):
                          img_size=model.config.img_size)
     imgs, truths = ds.arrays()
     u8 = np.round(imgs * 255).astype(np.uint8)
-    engine = make_engine(model, mode)
     if hasattr(engine, "detect_multi_batch"):
         probs = engine.detect_multi_batch(u8).probs
-    else:
+    else:  # CPU oracle engine: classification probs via the host head
         feats = engine.run_batch(u8)
         _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
-        del cam_host  # boxes not needed for threshold calibration
     return np.asarray(probs), truths
 
 
@@ -75,9 +71,12 @@ def calibrate(model, mode: str = "auto", n_scenes: int = 80,
     """Coordinate-descent per-class threshold sweep on calibration-scene
     F1; reports held-out P/R/F1 against the uniform 0.15 floor.
     Returns (thresholds (K,), report dict)."""
+    from tpu_cnn.apps.infer import make_engine
+
     num_classes = len(model.class_names)
-    cal_p, cal_t = _multi_probs(model, mode, cal_seed, n_scenes)
-    ev_p, ev_t = _multi_probs(model, mode, eval_seed, n_scenes)
+    engine = make_engine(model, mode)  # ONE engine: compile once, run both seeds
+    cal_p, cal_t = _multi_probs(model, engine, cal_seed, n_scenes)
+    ev_p, ev_t = _multi_probs(model, engine, eval_seed, n_scenes)
 
     uniform = np.full(num_classes, 0.15)
     thr = uniform.copy()
@@ -92,6 +91,7 @@ def calibrate(model, mode: str = "auto", n_scenes: int = 80,
             thr[k] = max(grid, key=f1_at)
 
     rep = {
+        "uniform_cal": prf(cal_p, cal_t, uniform),
         "uniform_eval": prf(ev_p, ev_t, uniform),
         "calibrated_eval": prf(ev_p, ev_t, thr),
         "calibrated_cal": prf(cal_p, cal_t, thr),

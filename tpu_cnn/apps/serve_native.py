@@ -26,6 +26,8 @@ import json
 
 import numpy as np
 
+from tpu_cnn.engine.tpu import detections_above
+
 from tpu_cnn.native import build
 
 
@@ -97,8 +99,6 @@ class NativeFrontEnd:
                                           else res.bbox[i])],
             }
             if multi_thresh is not None:
-                from tpu_cnn.engine.tpu import detections_above
-
                 obj["detections"] = [
                     {"pred": k, "name": class_names[k], "conf": prob,
                      "bbox": list(bbox)}

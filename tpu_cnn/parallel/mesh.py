@@ -437,6 +437,13 @@ class MeshEngine:
         fn = self._detect_multi  # build first: sets _detect_multi_all_axes
         if isinstance(images, tuple) and len(images) == 3 and images[0] == "staged":
             dev, b = images[1], images[2]
+            if self._detect_multi_all_axes != self._all_axes:
+                # stage_batch sharded for the single-detect layout; re-lay
+                # the staged array out ONCE here so the timed dispatches
+                # don't pay a per-call GSPMD reshard
+                dev = shard_batch(self.mesh, dev,
+                                  self._detect_multi_all_axes)
+                jax.block_until_ready(dev)
         else:
             images, b = self._pad(np.asarray(images, np.uint8))
             dev = shard_batch(self.mesh, images, self._detect_multi_all_axes)
