@@ -136,7 +136,7 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
     import jax
     import jax.numpy as jnp
 
-    from tpu_cnn.head.cam import cam_bbox_fast
+    from tpu_cnn.head.cam import cam_bbox_fast, cam_bbox_multi
     from tpu_cnn.head.classify import bin_pool_np, classify_np
     from tpu_cnn.ops import detect_head
 
@@ -153,9 +153,12 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
             feats, pooled, f32 = pallas_poly.cnn_forward_mega(
                 images, kj, sj, with_bins=True, with_twin=True
             )
+            mboxes = detect_head.cam_bbox_multi_f32(
+                f32.astype(jnp.float32), fc_w, img_size
+            )
             return (pooled,) + detect_head.detect_with_pooled(
                 feats, pooled, fc_w, fc_b, img_size, features_twin=f32
-            )
+            ) + (mboxes,)
 
         label = "mega(+fused bins)"
     else:
@@ -165,12 +168,15 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
         def head_fn(images):
             feats = quant.cnn_forward(images, kj, sj)
             pooled = detect_head.bin_pool(feats)
+            mboxes = detect_head.cam_bbox_multi_f32(
+                feats.astype(jnp.float32), fc_w, img_size
+            )
             return (pooled,) + detect_head.detect(
                 feats, fc_w, fc_b, "bins", img_size
-            )
+            ) + (mboxes,)
 
         label = "xla"
-    pooled, pred, conf, probs, bbox = (
+    pooled, pred, conf, probs, bbox, mboxes = (
         np.asarray(a) for a in head_fn(jnp.asarray(batch))
     )
 
@@ -178,6 +184,10 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
     want_pooled = bin_pool_np(want_feats)
     want_bbox = np.stack([
         cam_bbox_fast(want_feats[i], int(widx[i]), fc_weight, img_size)
+        for i in range(len(batch))
+    ])
+    want_mboxes = np.stack([
+        cam_bbox_multi(want_feats[i], fc_weight, img_size=img_size)
         for i in range(len(batch))
     ])
 
@@ -188,6 +198,8 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
         ("predictions", np.array_equal(pred, widx.astype(pred.dtype))),
         ("probabilities", np.allclose(probs, wprobs, atol=1e-4)),
         ("CAM bbox", np.array_equal(bbox, want_bbox.astype(bbox.dtype))),
+        ("multi boxes", np.array_equal(mboxes,
+                                       want_mboxes.astype(mboxes.dtype))),
     ]
     for name, good in checks:
         if good:
@@ -198,6 +210,8 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
                 bad = np.nonzero(pred != widx)[0]
             elif name == "CAM bbox":
                 bad = np.nonzero((bbox != want_bbox).any(axis=1))[0]
+            elif name == "multi boxes":
+                bad = np.nonzero((mboxes != want_mboxes).any(axis=(1, 2)))[0]
             else:
                 bad = np.asarray([], int)
             names = [stim_names[i] for i in bad[:6]]
