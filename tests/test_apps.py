@@ -836,3 +836,24 @@ def test_eval_multi_uses_bundle_calibration(artifact_dir, capsys):
         assert "per-class calibrated" in out
     finally:
         os.remove(os.path.join(artifact_dir, "multi_thresh.json"))
+
+
+def test_calibrate_multi_head_prefix_scoped(artifact_dir, tmp_path):
+    """--head-prefix writes <prefix>multi_thresh.json and only the
+    prefixed head picks it up (same scoping rule as shifts.json)."""
+    import shutil
+
+    from tpu_cnn.apps import calibrate_multi
+    from tpu_cnn.apps.common import load_model
+
+    d = str(tmp_path / "prefbundle")
+    shutil.copytree(artifact_dir, d)
+    for f in ("fc_weight.npy", "fc_bias.npy"):
+        shutil.copy(os.path.join(d, f), os.path.join(d, "alt_" + f))
+    calibrate_multi.main(["--artifacts", d, "--mode", "xla",
+                          "--n-scenes", "8", "--head-prefix", "alt_",
+                          "--save"])
+    assert os.path.exists(os.path.join(d, "alt_multi_thresh.json"))
+    assert not os.path.exists(os.path.join(d, "multi_thresh.json"))
+    assert load_model(d).multi_thresh is None
+    assert load_model(d, "lyr3-std", "alt_").multi_thresh is not None
