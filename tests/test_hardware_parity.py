@@ -274,3 +274,29 @@ def test_multi_object_head_on_hardware(stock_kernels, rng):
         np.testing.assert_array_equal(res.boxes[b], want)
         np.testing.assert_array_equal(res.boxes[b, res.pred[b]],
                                       single.bbox[b])
+
+
+def test_instance_head_on_hardware(stock_kernels, rng):
+    """Multi-INSTANCE head on the chip: the watershed component labeling
+    (two chained while_loops + virtual one-hot reductions over the
+    kernel's bf16 feature twin) must reproduce the host twin's boxes and
+    pixel counts EXACTLY — the instance ranking key is integer, so any
+    hardware drift in the CAM threshold comparisons shows up as a box or
+    count mismatch here."""
+    from tpu_cnn.engine.tpu import TPUEngine
+    from tpu_cnn.head import cam as host_cam
+    from tpu_cnn.models.cnn import CLASS_NAMES, FpgaCNN
+
+    fc_w = rng.randn(6, 1024).astype(np.float32) * 0.1
+    fc_b = rng.randn(6).astype(np.float32) * 0.01
+    model = FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES)
+    imgs = _stimuli(rng, 128, n=6)
+    want_feats = np.stack([numpy_cnn_forward(im, stock_kernels) for im in imgs])
+
+    eng = TPUEngine(model, backend="mega")
+    res = eng.detect_multi_batch(imgs, instances=3)
+    for b in range(len(imgs)):
+        want_boxes, want_counts = host_cam.cam_instances(
+            want_feats[b], fc_w, max_instances=3)
+        np.testing.assert_array_equal(res.inst_boxes[b], want_boxes)
+        np.testing.assert_array_equal(res.inst_counts[b], want_counts)

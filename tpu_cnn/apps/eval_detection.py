@@ -180,6 +180,128 @@ def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
     return out
 
 
+def evaluate_instances(model: FpgaCNN, mode: str = "auto",
+                       n_scenes: int = 60, seed: int = 123, thresh=0.15,
+                       instances: int = 2, same_class: bool = False,
+                       iou_floors=(0.1, 0.3), min_pixels: int | None = None,
+                       min_frac: float | None = None, verbose: bool = True):
+    """Multi-INSTANCE evaluation: per-component boxes greedily matched to
+    ground-truth objects of the same class.
+
+    Unlike :func:`evaluate_multi` (which credits a class hit to every GT
+    object of that class and scores them all against ONE per-class box),
+    this is a real detection metric: each emitted box can recover at most
+    one GT object, recall is reported at IoU floors, and every unmatched
+    emitted box counts as a false positive. ``same_class=True`` scenes
+    put two objects of ONE class in each frame — the regime the per-class
+    head cannot separate by construction."""
+    from tpu_cnn.train.data import CompositeScenes
+
+    from tpu_cnn.ops import detect_head as _dh
+
+    if min_pixels is None:
+        min_pixels = _dh.INSTANCE_MIN_PIXELS
+    if min_frac is None:
+        min_frac = _dh.INSTANCE_MIN_FRAC
+    if model.head_mode != "bins":
+        raise ValueError("multi-object eval needs the spatial-bin head")
+    img_size = model.config.img_size
+    ds = CompositeScenes(n_scenes=n_scenes, seed=seed, img_size=img_size,
+                         same_class=same_class)
+    imgs, truths = ds.arrays()
+    u8 = np.round(imgs * 255).astype(np.uint8)
+
+    from tpu_cnn.apps.infer import make_engine
+
+    engine = make_engine(model, mode)
+    if hasattr(engine, "detect_multi_batch"):
+        res = engine.detect_multi_batch(u8, instances=instances)
+        probs = res.probs
+        boxes, inst_boxes, inst_counts = (
+            res.boxes, res.inst_boxes, res.inst_counts)
+    else:
+        from tpu_cnn.head import cam as cam_host
+        from tpu_cnn.head.classify import classify_np
+
+        feats = engine.run_batch(u8)
+        _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
+        boxes = np.stack([
+            cam_host.cam_bbox_multi(feats[i], model.fc_weight,
+                                    img_size=img_size)
+            for i in range(len(u8))
+        ])
+        pairs = [cam_host.cam_instances(feats[i], model.fc_weight,
+                                        img_size=img_size,
+                                        max_instances=instances)
+                 for i in range(len(u8))]
+        inst_boxes = np.stack([p[0] for p in pairs])
+        inst_counts = np.stack([p[1] for p in pairs])
+
+    num_classes = probs.shape[1]
+    thr = np.broadcast_to(np.asarray(thresh, np.float64), (num_classes,))
+    total = 0
+    matched_ious = []  # best-IoU of each matched (det, gt) pair
+    hits_at = {f: 0 for f in iou_floors}
+    false_boxes = 0
+    for i, truth in enumerate(truths):
+        gt_by_cls: dict[int, list] = {}
+        for cls, box in truth:
+            gt_by_cls.setdefault(cls, []).append(box)
+            total += 1
+        for k in range(num_classes):
+            if probs[i, k] < thr[k]:
+                continue
+            if inst_boxes is not None:
+                floor = max(min_pixels, 1, int(np.ceil(
+                    min_frac * int(np.max(inst_counts[i, k])))))
+                det = [tuple(int(v) for v in b)
+                       for b, c in zip(inst_boxes[i, k], inst_counts[i, k])
+                       if c >= floor]
+            else:
+                det = []
+            # <2 surviving instances = the class shows one object; the
+            # union box is the better single box (instance_detections
+            # applies the same policy)
+            if len(det) < 2:
+                det = [tuple(int(v) for v in boxes[i, k])]
+            gts = list(gt_by_cls.get(k, []))
+            # greedy best-IoU matching within the class
+            cand = sorted(
+                ((iou(d, g), di, gi) for di, d in enumerate(det)
+                 for gi, g in enumerate(gts)),
+                key=lambda t: -t[0],
+            )
+            used_d, used_g = set(), set()
+            for v, di, gi in cand:
+                if di in used_d or gi in used_g:
+                    continue
+                used_d.add(di)
+                used_g.add(gi)
+                matched_ious.append(v)
+                for f in iou_floors:
+                    hits_at[f] += int(v >= f)
+            false_boxes += len(det) - len(used_d)
+    out = {
+        "scenes": len(truths),
+        "objects": total,
+        "instances": instances,
+        "same_class": same_class,
+        "matched_iou": float(np.mean(matched_ious)) if matched_ious else 0.0,
+        "false_boxes_per_frame": false_boxes / max(len(truths), 1),
+    }
+    for f in iou_floors:
+        out[f"recall@{f}"] = hits_at[f] / max(total, 1)
+    if verbose:
+        kind = "same-class" if same_class else "distinct-class"
+        print(f"  scenes: {out['scenes']} ({total} objects, {kind}, "
+              f"{instances} instances/class)")
+        for f in iou_floors:
+            print(f"  object recall @IoU>={f}: {out[f'recall@{f}'] * 100:.1f}%")
+        print(f"  matched-pair IoU:      {out['matched_iou']:.3f}")
+        print(f"  false boxes / frame:   {out['false_boxes_per_frame']:.2f}")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Detection quality evaluation")
     p.add_argument("--artifacts", default=None)
@@ -197,6 +319,14 @@ def main(argv=None):
                         "multi_thresh.json if present, else 0.15)")
     p.add_argument("--n-scenes", type=int, default=60,
                    help="composite scene count for --multi")
+    p.add_argument("--instances", type=int, default=1,
+                   help="with --multi: up to N component boxes per class, "
+                        "scored by greedy per-class box matching "
+                        "(evaluate_instances)")
+    p.add_argument("--same-class", action="store_true",
+                   help="with --multi --instances: scenes place 2 objects "
+                        "of the SAME class (the per-class head's blind "
+                        "spot)")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -213,9 +343,15 @@ def main(argv=None):
         thresh = (args.multi_thresh if args.multi_thresh is not None
                   else (model.multi_thresh
                         if model.multi_thresh is not None else 0.15))
-        evaluate_multi(model, mode=args.mode, n_scenes=args.n_scenes,
-                       thresh=thresh,
-                       box="centroid" if args.box == "centroid" else "ref")
+        if args.instances > 1 or args.same_class:
+            evaluate_instances(model, mode=args.mode, n_scenes=args.n_scenes,
+                               thresh=thresh,
+                               instances=max(args.instances, 1),
+                               same_class=args.same_class)
+        else:
+            evaluate_multi(model, mode=args.mode, n_scenes=args.n_scenes,
+                           thresh=thresh,
+                           box="centroid" if args.box == "centroid" else "ref")
     else:
         evaluate(model, mode=args.mode, n_per_class=args.n_per_class,
                  box=args.box)

@@ -96,7 +96,8 @@ def annotate_multi_and_save(image_flat, detections, class_names, out_path,
 
 
 def run_inference(engine, model, image_path, verbose=True, save_output=True,
-                  box: str = "ref", multi_thresh: float | None = None):
+                  box: str = "ref", multi_thresh: float | None = None,
+                  instances: int = 1):
     size = model.config.img_size
     image = art.load_image_any(image_path, img_size=size)
     feat, conv_ms, read_ms = engine.run(image)
@@ -106,13 +107,22 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
     )
     detections = None
     if multi_thresh is not None:
-        from tpu_cnn.engine.tpu import detections_above
+        from tpu_cnn.engine.tpu import detections_above, instance_detections
 
         boxes_all = cam_host.cam_bbox_multi(
             feat, model.fc_weight, img_size=size,
             box_mode="centroid" if box == "centroid" else "ref",
         )
-        detections = detections_above(probs, boxes_all, multi_thresh)
+        if instances > 1:
+            inst_boxes, inst_counts = cam_host.cam_instances(
+                feat, model.fc_weight, img_size=size,
+                max_instances=instances,
+            )
+            detections = instance_detections(
+                probs, boxes_all, inst_boxes, inst_counts, multi_thresh
+            )
+        else:
+            detections = detections_above(probs, boxes_all, multi_thresh)
     if box == "reg":
         from tpu_cnn.head.bbox import bbox_regress_features_np
 
@@ -190,6 +200,10 @@ def main(argv=None):
                    help="uniform probability floor for --multi detections "
                         "(default: the bundle's calibrated per-class "
                         "multi_thresh.json if present, else 0.15)")
+    p.add_argument("--instances", type=int, default=1,
+                   help="with --multi: up to N connected-component boxes "
+                        "per class, so two objects of the SAME class get "
+                        "separate boxes (default 1 = one box per class)")
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -223,7 +237,8 @@ def main(argv=None):
 
     if args.image:
         run_inference(engine, model, args.image, save_output=not args.no_save,
-                      box=args.box, multi_thresh=multi_thresh)
+                      box=args.box, multi_thresh=multi_thresh,
+                      instances=args.instances)
         if args.dump_features:
             feat, *_ = engine.run(art.load_image_any(args.image))
             out = os.path.splitext(args.image)[0] + "_features.npy"
@@ -245,7 +260,8 @@ def main(argv=None):
         idx, name, conf = run_inference(engine, model, path,
                                         save_output=not args.no_save,
                                         box=args.box,
-                                        multi_thresh=multi_thresh)
+                                        multi_thresh=multi_thresh,
+                                        instances=args.instances)
         true = art.label_from_filename(path)
         if true >= 0:
             total += 1

@@ -517,6 +517,10 @@ def main(argv=None):
                     help="uniform probability floor for --multi detections "
                          "(default: the bundle's calibrated "
                          "multi_thresh.json if present, else 0.15)")
+    ap.add_argument("--instances", type=int, default=1,
+                    help="with --multi: up to N watershed component boxes "
+                         "per class, so two objects of the SAME class get "
+                         "separate boxes (default 1)")
     ap.add_argument("--fused", action="store_true",
                     help="run the whole head on device (one fused jit per "
                          "frame; only pred/conf/probs/box cross back — "
@@ -563,7 +567,8 @@ def main(argv=None):
     preprocess_fn, pp_name = resolve_preprocess()
     print(f"Host preprocess: {pp_name}")
     if hasattr(engine, "warmup"):
-        engine.warmup(multi=args.multi and use_fused)
+        engine.warmup(multi=args.multi and use_fused,
+                      instances=args.instances)
 
     if args.source == "synthetic":
         cam = SyntheticSource(cam_w, cam_h)
@@ -603,7 +608,8 @@ def main(argv=None):
             detections = None
             if use_fused and args.multi:
                 t0 = time.perf_counter()
-                res = engine.detect_multi_batch(small[None])
+                res = engine.detect_multi_batch(small[None],
+                                                instances=args.instances)
                 conv_ms = (time.perf_counter() - t0) * 1e3
                 read_ms = 0.0
                 idx = int(res.pred[0])
@@ -643,14 +649,22 @@ def main(argv=None):
                 else:
                     bbox = (0, 0, img_size - 1, img_size - 1)
                 if args.multi:
-                    from tpu_cnn.engine.tpu import detections_above
+                    from tpu_cnn.engine.tpu import (detections_above,
+                                                    instance_detections)
 
                     boxes_all = cam_host.cam_bbox_multi(
                         feat, model.fc_weight, img_size=img_size,
                         box_mode="centroid" if args.box == "centroid"
                         else "ref")
-                    detections = detections_above(probs, boxes_all,
-                                                  multi_thresh)
+                    if args.instances > 1:
+                        ib, ic = cam_host.cam_instances(
+                            feat, model.fc_weight, img_size=img_size,
+                            max_instances=args.instances)
+                        detections = instance_detections(
+                            probs, boxes_all, ib, ic, multi_thresh)
+                    else:
+                        detections = detections_above(probs, boxes_all,
+                                                      multi_thresh)
 
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)

@@ -55,11 +55,21 @@ class DynamicBatcher:
 
     def __init__(self, engine, class_names, max_batch: int = 256,
                  max_wait_ms: float = 5.0, img_size: int = IMG_SIZE,
-                 multi: bool = False, multi_thresh: float = 0.15):
+                 multi: bool = False, multi_thresh: float = 0.15,
+                 instances: int = 1):
         if multi and not hasattr(engine, "detect_multi_batch"):
             raise ValueError(
                 f"--multi is not supported by this engine "
                 f"({type(engine).__name__}) — it has no detect_multi_batch")
+        if instances > 1:
+            import inspect
+
+            sig = inspect.signature(engine.detect_multi_batch)
+            if "instances" not in sig.parameters:
+                raise ValueError(
+                    f"--instances is not supported by this engine "
+                    f"({type(engine).__name__})")
+        self.instances = instances
         self.engine = engine
         self.class_names = class_names
         self.max_batch = max_batch
@@ -113,14 +123,20 @@ class DynamicBatcher:
                                           else res.bbox[i])],
             }
             if self.multi:
-                from tpu_cnn.engine.tpu import detections_above
+                from tpu_cnn.engine.tpu import (detections_above,
+                                                instance_detections)
 
                 thr = p.thresh if p.thresh is not None else self.multi_thresh
+                if getattr(res, "inst_boxes", None) is not None:
+                    dets = instance_detections(
+                        res.probs[i], res.boxes[i], res.inst_boxes[i],
+                        res.inst_counts[i], thr)
+                else:
+                    dets = detections_above(res.probs[i], res.boxes[i], thr)
                 p.result["detections"] = [
                     {"pred": k, "name": self.class_names[k], "conf": prob,
                      "bbox": list(bbox)}
-                    for k, prob, bbox in detections_above(
-                        res.probs[i], res.boxes[i], thr)
+                    for k, prob, bbox in dets
                 ]
             p.event.set()
 
@@ -147,12 +163,23 @@ class DynamicBatcher:
             self.engine,
             "detect_multi_batch_async" if self.multi else "detect_batch_async",
             None)
+        if self.multi and self.instances > 1 and dispatch_async is not None:
+            import functools
+
+            dispatch_async = functools.partial(dispatch_async,
+                                               instances=self.instances)
         # resolved lazily inside the per-batch try so an engine without the
         # method fails each request loudly instead of killing the worker
         self._dispatch_sync = getattr(
             self.engine,
             "detect_multi_batch" if self.multi else "detect_batch",
             None)
+        if (self.multi and self.instances > 1
+                and self._dispatch_sync is not None):
+            import functools
+
+            self._dispatch_sync = functools.partial(
+                self._dispatch_sync, instances=self.instances)
         self._resolve = getattr(
             self.engine,
             "detect_multi_resolve" if self.multi else "detect_resolve",
@@ -295,7 +322,8 @@ def build_service(artifacts_dir: str, mode: str = "auto",
                   max_batch: int = 256, max_wait_ms: float = 5.0,
                   variant: str = "lyr3-std", head_prefix: str = "",
                   box: str = "ref", deployable: str | None = None,
-                  multi: bool = False, multi_thresh=None):
+                  multi: bool = False, multi_thresh=None,
+                  instances: int = 1):
     # multi_thresh None -> the bundle's calibrated per-class
     # multi_thresh.json (apps.calibrate_multi --save) when present,
     # else the uniform 0.15 floor; a scalar forces that floor.
@@ -325,7 +353,8 @@ def build_service(artifacts_dir: str, mode: str = "auto",
                                  max_batch=max_batch,
                                  max_wait_ms=max_wait_ms,
                                  img_size=m["img_size"],
-                                 multi=multi, multi_thresh=multi_thresh)
+                                 multi=multi, multi_thresh=multi_thresh,
+                                 instances=instances)
         return batcher, adapter.backend
 
     model = load_model(artifacts_dir, variant, head_prefix)
@@ -341,14 +370,15 @@ def build_service(artifacts_dir: str, mode: str = "auto",
     if hasattr(engine, "warmup"):
         # compile the serving shape — incl. the multi program, or the first
         # live request would pay the 60-300 s relay compile in its timeout
-        engine.warmup(batch=max_batch, multi=multi)
+        engine.warmup(batch=max_batch, multi=multi, instances=instances)
     if not hasattr(engine, "detect_batch"):
         # CPU oracle engine: adapt via host head
         engine = _HostDetectAdapter(engine, model, box=box)
     batcher = DynamicBatcher(engine, model.class_names,
                              max_batch=max_batch, max_wait_ms=max_wait_ms,
                              img_size=model.config.img_size,
-                             multi=multi, multi_thresh=multi_thresh)
+                             multi=multi, multi_thresh=multi_thresh,
+                             instances=instances)
     return batcher, getattr(engine, "backend", mode)
 
 
@@ -461,6 +491,10 @@ def main(argv=None):
                    help="uniform probability floor for --multi detections "
                         "(default: the bundle's calibrated "
                         "multi_thresh.json if present, else 0.15)")
+    p.add_argument("--instances", type=int, default=1,
+                   help="with --multi: up to N watershed component boxes "
+                        "per class in 'detections' (same-class "
+                        "multi-object support; default 1)")
     p.add_argument("--deployable", default=None,
                    help="serve from an exported .tcnnx artifact "
                         "(apps.export_model) instead of building the model "
@@ -480,7 +514,8 @@ def main(argv=None):
                                      box=args.box,
                                      deployable=args.deployable,
                                      multi=args.multi,
-                                     multi_thresh=args.multi_thresh)
+                                     multi_thresh=args.multi_thresh,
+                                     instances=args.instances)
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(batcher, backend))
     print(f"serving on {args.host}:{args.port} (backend {backend}, "

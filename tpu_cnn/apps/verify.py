@@ -136,7 +136,7 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
     import jax
     import jax.numpy as jnp
 
-    from tpu_cnn.head.cam import cam_bbox_fast, cam_bbox_multi
+    from tpu_cnn.head.cam import cam_bbox_fast, cam_bbox_multi, cam_instances
     from tpu_cnn.head.classify import bin_pool_np, classify_np
     from tpu_cnn.ops import detect_head
 
@@ -156,9 +156,12 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
             mboxes = detect_head.cam_bbox_multi_f32(
                 f32.astype(jnp.float32), fc_w, img_size
             )
+            iboxes, icounts = detect_head.cam_instances_f32(
+                f32.astype(jnp.float32), fc_w, img_size
+            )
             return (pooled,) + detect_head.detect_with_pooled(
                 feats, pooled, fc_w, fc_b, img_size, features_twin=f32
-            ) + (mboxes,)
+            ) + (mboxes, iboxes, icounts)
 
         label = "mega(+fused bins)"
     else:
@@ -171,12 +174,15 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
             mboxes = detect_head.cam_bbox_multi_f32(
                 feats.astype(jnp.float32), fc_w, img_size
             )
+            iboxes, icounts = detect_head.cam_instances_f32(
+                feats.astype(jnp.float32), fc_w, img_size
+            )
             return (pooled,) + detect_head.detect(
                 feats, fc_w, fc_b, "bins", img_size
-            ) + (mboxes,)
+            ) + (mboxes, iboxes, icounts)
 
         label = "xla"
-    pooled, pred, conf, probs, bbox, mboxes = (
+    pooled, pred, conf, probs, bbox, mboxes, iboxes, icounts = (
         np.asarray(a) for a in head_fn(jnp.asarray(batch))
     )
 
@@ -190,6 +196,10 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
         cam_bbox_multi(want_feats[i], fc_weight, img_size=img_size)
         for i in range(len(batch))
     ])
+    want_inst = [cam_instances(want_feats[i], fc_weight, img_size=img_size)
+                 for i in range(len(batch))]
+    want_iboxes = np.stack([w[0] for w in want_inst])
+    want_icounts = np.stack([w[1] for w in want_inst])
 
     ok = True
     # fused bin sums are exact integers; /16/255 folding may differ by 1 ulp
@@ -200,6 +210,9 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
         ("CAM bbox", np.array_equal(bbox, want_bbox.astype(bbox.dtype))),
         ("multi boxes", np.array_equal(mboxes,
                                        want_mboxes.astype(mboxes.dtype))),
+        ("instances", np.array_equal(iboxes,
+                                     want_iboxes.astype(iboxes.dtype))
+         and np.array_equal(icounts, want_icounts.astype(icounts.dtype))),
     ]
     for name, good in checks:
         if good:
@@ -212,6 +225,11 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
                 bad = np.nonzero((bbox != want_bbox).any(axis=1))[0]
             elif name == "multi boxes":
                 bad = np.nonzero((mboxes != want_mboxes).any(axis=(1, 2)))[0]
+            elif name == "instances":
+                bad = np.nonzero(
+                    (iboxes != want_iboxes).any(axis=(1, 2, 3))
+                    | (icounts != want_icounts).any(axis=(1, 2))
+                )[0]
             else:
                 bad = np.asarray([], int)
             names = [stim_names[i] for i in bad[:6]]

@@ -59,6 +59,50 @@ def detections_above(probs_row, boxes_row, threshold):
     return dets
 
 
+def instance_detections(probs_row, boxes_row, inst_boxes_row,
+                        inst_counts_row, threshold,
+                        min_pixels: int | None = None,
+                        min_frac: float | None = None):
+    """One image's multi-INSTANCE detections: for every class with prob >=
+    its threshold, one detection per watershed CAM component that passes
+    BOTH floors — count >= ``min_pixels`` (absolute noise floor, default
+    ``detect_head.INSTANCE_MIN_PIXELS``) and count >= ``min_frac`` x the
+    class's largest instance (over-split suppression, default
+    ``detect_head.INSTANCE_MIN_FRAC``) — falling back to the class-level
+    (mask-union) box unless at least TWO instances survive: a single
+    surviving instance means the class shows one object, where the union
+    box is the production single-box behaviour (measurably better on
+    single-object scenes — policy comparison in
+    scripts/probe_instances.py). Returns
+    [(class_idx, prob, (x1, y1, x2, y2)), ...] sorted by descending
+    probability then instance size. The instance-mode twin of
+    :func:`detections_above` — the single definition every ``--instances``
+    surface calls."""
+    if min_pixels is None:
+        min_pixels = detect_head.INSTANCE_MIN_PIXELS
+    if min_frac is None:
+        min_frac = detect_head.INSTANCE_MIN_FRAC
+    thr = np.broadcast_to(np.asarray(threshold, np.float64),
+                          (len(probs_row),))
+    dets = []
+    for k in range(len(probs_row)):
+        if probs_row[k] < thr[k]:
+            continue
+        floor = max(min_pixels, 1,
+                    int(np.ceil(min_frac * int(np.max(inst_counts_row[k])))))
+        inst = [
+            (int(k), float(probs_row[k]), tuple(int(v) for v in b), int(c))
+            for b, c in zip(inst_boxes_row[k], inst_counts_row[k])
+            if c >= floor
+        ]
+        if len(inst) < 2:
+            inst = [(int(k), float(probs_row[k]),
+                     tuple(int(v) for v in boxes_row[k]), 0)]
+        dets.extend(inst)
+    dets.sort(key=lambda d: (-d[1], -d[3]))
+    return [(k, p, b) for k, p, b, _ in dets]
+
+
 @dataclasses.dataclass
 class MultiDetectResult:
     """Multi-object result: per-class CAM boxes beside the usual argmax
@@ -68,9 +112,21 @@ class MultiDetectResult:
     conf: np.ndarray  # (B,) float32
     probs: np.ndarray  # (B, num_classes) float32
     boxes: np.ndarray  # (B, num_classes, 4) int32 (x1, y1, x2, y2)
+    # instance mode (detect_multi_batch(instances=I > 1)) only, else None:
+    inst_boxes: np.ndarray | None = None  # (B, num_classes, I, 4) int32
+    inst_counts: np.ndarray | None = None  # (B, num_classes, I) int32
 
-    def detections(self, threshold: float = 0.15):
-        """Per image: :func:`detections_above` of each row."""
+    def detections(self, threshold: float = 0.15,
+                   min_pixels: int | None = None):
+        """Per image: :func:`detections_above` of each row — or
+        :func:`instance_detections` when instance outputs are present."""
+        if self.inst_boxes is not None:
+            return [
+                instance_detections(self.probs[b], self.boxes[b],
+                                    self.inst_boxes[b], self.inst_counts[b],
+                                    threshold, min_pixels)
+                for b in range(self.probs.shape[0])
+            ]
         return [
             detections_above(self.probs[b], self.boxes[b], threshold)
             for b in range(self.probs.shape[0])
@@ -284,7 +340,8 @@ class TPUEngine:
 
     # ── public API ────────────────────────────────────────────────────
 
-    def warmup(self, batch: int = 1, multi: bool = False) -> None:
+    def warmup(self, batch: int = 1, multi: bool = False,
+               instances: int = 1) -> None:
         """Compile the fused detect program at ``batch`` (and the
         multi-object program too when ``multi`` — a serving layer that
         dispatches detect_multi_batch must warm it here, or the first
@@ -293,7 +350,8 @@ class TPUEngine:
         img = np.zeros((batch, self.model.config.img_size, self.model.config.img_size), np.uint8)
         self._wait(self._detect(jnp.asarray(img), self._shifts_dev))
         if multi:
-            self._wait(self._detect_multi(jnp.asarray(img), self._shifts_dev))
+            self._wait(self._detect_multi_prog(instances)(
+                jnp.asarray(img), self._shifts_dev))
 
     def set_shifts(self, *shifts: int) -> None:
         """Runtime shift update — register semantics, no recompilation
@@ -319,23 +377,25 @@ class TPUEngine:
         pred, conf, probs, bbox = self._fetch((pred, conf, probs, bbox))
         return DetectResult(pred[:b], conf[:b], probs[:b], bbox[:b])
 
-    def detect_multi_batch(self, images: np.ndarray) -> MultiDetectResult:
+    def detect_multi_batch(self, images: np.ndarray,
+                           instances: int = 1) -> MultiDetectResult:
         """Multi-object fused pipeline: classifier plus EVERY class's own
         CAM box (``ops.detect_head.cam_bbox_multi_f32``) in one device
         program — only (pred, conf, probs, (B, K, 4) boxes) return to host.
         Beyond-reference: the reference head boxes the argmax class only.
         Filter with :meth:`MultiDetectResult.detections`. The learned
         regression box is class-agnostic, so box_mode='reg' engines fall
-        back to the reference CAM profile here."""
-        images = np.asarray(images, np.uint8)
-        dev, b = self._pad_batch(images)
-        pred, conf, probs, boxes = self._detect_multi(dev, self._shifts_dev)
-        for a in (pred, conf, probs, boxes):
-            a.copy_to_host_async()
-        pred, conf, probs, boxes = self._fetch((pred, conf, probs, boxes))
-        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b])
+        back to the reference CAM profile here.
 
-    def detect_multi_batch_async(self, images):
+        ``instances > 1`` additionally returns up to that many
+        connected-component boxes per class (``cam_instances_f32``) in
+        ``inst_boxes``/``inst_counts`` — two objects of the SAME class
+        become two instances instead of one spanning box."""
+        return self.detect_multi_resolve(
+            self.detect_multi_batch_async(images, instances=instances)
+        )
+
+    def detect_multi_batch_async(self, images, instances: int = 1):
         """Non-blocking :meth:`detect_multi_batch` dispatch — same pipeline
         contract as :meth:`detect_batch_async`; resolve with
         :meth:`detect_multi_resolve`."""
@@ -343,19 +403,28 @@ class TPUEngine:
             dev, b = images[1], images[2]
         else:
             dev, b = self._pad_batch(np.asarray(images, np.uint8))
-        pred, conf, probs, boxes = self._detect_multi(dev, self._shifts_dev)
-        for a in (pred, conf, probs, boxes):
+        out = self._detect_multi_prog(instances)(dev, self._shifts_dev)
+        for a in out:
             a.copy_to_host_async()
-        return (pred, conf, probs, boxes, b)
+        return (*out, b)
 
     def detect_multi_resolve(self, handle) -> MultiDetectResult:
-        pred, conf, probs, boxes, b = handle
-        pred, conf, probs, boxes = self._fetch((pred, conf, probs, boxes))
-        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b])
+        *out, b = handle
+        out = self._fetch(tuple(out))
+        pred, conf, probs, boxes = out[:4]
+        inst = tuple(a[:b] for a in out[4:]) if len(out) > 4 else (None, None)
+        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b],
+                                 *inst)
 
     @property
     def _detect_multi(self):
-        if not hasattr(self, "_detect_multi_fn"):
+        """The instances=1 multi program (kept as a property for warmup
+        and the mesh engine's parity tests)."""
+        return self._detect_multi_prog(1)
+
+    def _detect_multi_prog(self, instances: int = 1):
+        cache = self.__dict__.setdefault("_detect_multi_progs", {})
+        if instances not in cache:
             features_fn = self._features_fn()
             head_mode = self.model.head_mode
             img_size = self.model.config.img_size
@@ -384,16 +453,16 @@ class TPUEngine:
                     )
                     return detect_head.detect_multi_with_pooled(
                         pooled, twin, self._fc_w_dev, self._fc_b_dev,
-                        img_size, box_mode=box_mode,
+                        img_size, box_mode=box_mode, instances=instances,
                     )
                 feats = features_fn(images, self._kernels_dev, shifts)
                 return detect_head.detect_multi(
                     feats, self._fc_w_dev, self._fc_b_dev, head_mode,
-                    img_size, box_mode=box_mode,
+                    img_size, box_mode=box_mode, instances=instances,
                 )
 
-            self._detect_multi_fn = detect_multi
-        return self._detect_multi_fn
+            cache[instances] = detect_multi
+        return cache[instances]
 
     def run(self, gray128: np.ndarray):
         """Reference engine protocol: single image -> ((64, 256) u8, ms, ms).

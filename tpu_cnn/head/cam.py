@@ -122,6 +122,114 @@ def cam_bbox_multi(
     )
 
 
+def connected_labels_np(mask: np.ndarray) -> np.ndarray:
+    """4-connected component labels of one (s, s) boolean mask — host twin
+    of ``ops.detect_head._connected_labels``: each masked pixel labelled
+    with the MINIMUM flat (row-major) index of its component, background
+    = s*s. Row-major BFS seeding guarantees the seed IS the component's
+    minimum index, so the integer labels equal the device fixed point
+    exactly."""
+    s = mask.shape[0]
+    labels = np.full((s, s), s * s, dtype=np.int32)
+    for seed in range(s * s):
+        r, c = divmod(seed, s)
+        if not mask[r, c] or labels[r, c] != s * s:
+            continue
+        stack = [(r, c)]
+        labels[r, c] = seed
+        while stack:
+            y, x = stack.pop()
+            for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                if (0 <= ny < s and 0 <= nx < s and mask[ny, nx]
+                        and labels[ny, nx] == s * s):
+                    labels[ny, nx] = seed
+                    stack.append((ny, nx))
+    return labels
+
+
+def grow_labels_np(labels: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Layer-synchronous marker growth — host twin of
+    ``ops.detect_head._grow_labels``: per BFS layer, every unlabeled mask
+    pixel adopts the MINIMUM label among its labeled 4-neighbours; labeled
+    pixels are frozen. Identical layer rule = identical contested-pixel
+    assignment as the device."""
+    s = mask.shape[0]
+    sent = s * s
+    lab = labels.copy()
+    while True:
+        p = np.pad(lab, 1, constant_values=sent)
+        nmin = np.minimum.reduce(
+            [p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]]
+        )
+        new = np.where(mask & (lab == sent) & (nmin != sent), nmin, lab)
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def _instances_from_cam_np(
+    cam: np.ndarray, img_size: int, max_instances: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(s, s) normalised CAM -> (I, 4) int32 boxes + (I,) int32 pixel
+    counts; host twin of ``ops.detect_head._instances_from_cam``: same
+    marker-based watershed (percentile-88 cores grown through the
+    percentile-70 mask), same integer ranking key
+    count*1024 + (1023 - label)."""
+    from tpu_cnn.ops.detect_head import CAM_CORE_PERCENTILE
+
+    s = cam.shape[0]
+    scale = img_size // s
+    thr = max(float(np.percentile(cam, 70)), 0.25)
+    mask = cam > thr
+    core_thr = max(float(np.percentile(cam, CAM_CORE_PERCENTILE)), thr)
+    cores = cam > core_thr
+    if not cores.any():  # plateau CAM — degrade to plain components
+        cores = mask
+    labels = grow_labels_np(connected_labels_np(cores), mask).reshape(-1)
+    boxes = np.tile(
+        np.array([0, 0, img_size - 1, img_size - 1], np.int32),
+        (max_instances, 1),
+    )
+    counts = np.zeros(max_instances, dtype=np.int32)
+    uniq = [int(l) for l in np.unique(labels) if l != s * s]
+    key = sorted(uniq, key=lambda l: -(int((labels == l).sum()) * 1024
+                                       + (1023 - l)))
+    for i, l in enumerate(key[:max_instances]):
+        px = np.nonzero(labels == l)[0]
+        rr, cc = px // s, px % s
+        counts[i] = len(px)
+        boxes[i] = (
+            int(cc.min()) * scale,
+            int(rr.min()) * scale,
+            min(img_size - 1, (int(cc.max()) + 1) * scale),
+            min(img_size - 1, (int(rr.max()) + 1) * scale),
+        )
+    return boxes, counts
+
+
+def cam_instances(
+    features: np.ndarray,  # (C, S*S) uint8
+    fc_weight: np.ndarray,  # (num_classes, C*16)
+    img_size: int = 128,
+    max_instances: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-class multi-INSTANCE boxes — host twin of
+    ``ops.detect_head.cam_instances_f32``: up to ``max_instances``
+    connected components per class CAM, size-desc with top-left tie-break.
+    Returns (boxes (K, I, 4) int32, counts (K, I) int32; count 0 =
+    absent). The reference head has no such mode; see the device twin's
+    docstring for the semantics."""
+    k = fc_weight.shape[0]
+    boxes = np.zeros((k, max_instances, 4), np.int32)
+    counts = np.zeros((k, max_instances), np.int32)
+    for cls in range(k):
+        cam = _build_cam(features, fc_weight[cls]).astype(np.float32)
+        boxes[cls], counts[cls] = _instances_from_cam_np(
+            cam, img_size, max_instances
+        )
+    return boxes, counts
+
+
 def cam_bbox_hires(
     features: np.ndarray,  # (C, S*S) uint8
     class_idx: int,

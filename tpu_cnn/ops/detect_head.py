@@ -308,6 +308,208 @@ def cam_bbox_multi_f32(
     return boxes.reshape(b, num_classes, 4)
 
 
+def _connected_labels(mask: jax.Array) -> jax.Array:
+    """4-connected component labels of (N, s, s) boolean masks.
+
+    Each masked pixel's label converges to the MINIMUM flat index of its
+    component (row-major); background pixels carry the sentinel ``s*s``.
+    Pure XLA min-label propagation: a ``lax.while_loop`` to the global
+    fixed point (bounded by the longest in-component path; CAM threshold
+    masks are compact blobs, so convergence takes O(blob diameter)
+    iterations of 4 shifted ``min`` ops on the whole batch). Deterministic
+    by construction — the host twin (``head.cam.connected_labels_np``)
+    produces identical integer labels from an identical mask, which is
+    what makes instance selection exactly reproducible across device and
+    host (the same property the threshold-box parity relies on).
+    """
+    n, s, _ = mask.shape
+    sent = jnp.int32(s * s)
+    init = jnp.where(
+        mask, jnp.arange(s * s, dtype=jnp.int32).reshape(1, s, s), sent
+    )
+
+    def _step(lab):
+        pad = [(0, 0), (0, 0), (0, 0)]
+
+        def shift(arr, axis, direction):
+            p = list(pad)
+            sl = [slice(None)] * 3
+            if direction > 0:
+                p[axis] = (1, 0)
+                sl[axis] = slice(0, s)
+            else:
+                p[axis] = (0, 1)
+                sl[axis] = slice(1, s + 1)
+            return jnp.pad(arr, p, constant_values=s * s)[tuple(sl)]
+
+        m = jnp.minimum(
+            jnp.minimum(shift(lab, 1, 1), shift(lab, 1, -1)),
+            jnp.minimum(shift(lab, 2, 1), shift(lab, 2, -1)),
+        )
+        return jnp.where(mask, jnp.minimum(lab, m), sent)
+
+    def _cond(carry):
+        return carry[1]
+
+    def _body(carry):
+        lab, _ = carry
+        new = _step(lab)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(_cond, _body, (init, jnp.bool_(True)))
+    return labels
+
+
+def _grow_labels(labels: jax.Array, mask: jax.Array) -> jax.Array:
+    """Layer-synchronous marker growth (the assignment step of a
+    marker-based watershed): unlabeled ``mask`` pixels adopt the minimum
+    label among their labeled 4-neighbours, one BFS layer per iteration,
+    until no pixel changes. Labeled pixels are frozen, so each marker
+    region grows outward at unit speed and a contested pixel (equidistant
+    from two markers) deterministically takes the smaller label — the
+    host twin (``head.cam``) applies the identical layer rule, which is
+    what keeps instance assignment exactly reproducible."""
+    n, s, _ = labels.shape
+    sent = jnp.int32(s * s)
+
+    def _step(lab):
+        p = jnp.pad(lab, ((0, 0), (1, 1), (1, 1)), constant_values=s * s)
+        nmin = jnp.minimum(
+            jnp.minimum(p[:, :-2, 1:-1], p[:, 2:, 1:-1]),
+            jnp.minimum(p[:, 1:-1, :-2], p[:, 1:-1, 2:]),
+        )
+        grow = mask & (lab == sent) & (nmin != sent)
+        return jnp.where(grow, nmin, lab)
+
+    def _cond(carry):
+        return carry[1]
+
+    def _body(carry):
+        lab, _ = carry
+        new = _step(lab)
+        return new, jnp.any(new != lab)
+
+    out, _ = jax.lax.while_loop(_cond, _body, (labels, jnp.bool_(True)))
+    return out
+
+
+# Core percentile for instance splitting: markers are the connected
+# components of cam > percentile-88 (calibrated on same-class composite
+# scenes, seed 77 — scripts/probe_instances.py: recall@0.3 0.50 vs 0.34
+# for plain connected components, false boxes/frame 0.20 vs 1.77).
+CAM_CORE_PERCENTILE = 88.0
+# Components below this pixel count are noise, not instances — the default
+# floor for instance_detections/eval (same calibration).
+INSTANCE_MIN_PIXELS = 6
+# Relative floor: an instance must be at least this fraction of the class's
+# LARGEST instance. Suppresses over-splitting of single objects (a second
+# CAM peak on one object is much smaller than the object's main region)
+# while keeping genuine same-size pairs (scripts/probe_instances.py).
+INSTANCE_MIN_FRAC = 0.25
+
+
+def _instances_from_cam(
+    cam: jax.Array,  # (N, s, s) normalised CAM
+    img_size: int,
+    max_instances: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Marker-based watershed instance boxes from the SAME threshold mask
+    the single-box head uses: (N, I, 4) int32 boxes + (N, I) int32 pixel
+    counts, instances ordered by size (desc) with a smallest-min-index
+    tie-break. ``counts[i] == 0`` marks an absent instance (its box slot
+    holds the full-frame fallback, mirroring the empty-mask behaviour of
+    :func:`_bbox_from_cam`).
+
+    Two objects of the same class usually merge into ONE component of the
+    percentile-70 mask (the 16x16 CAM is coarse), so plain connected
+    components under-split; markers from the higher
+    ``CAM_CORE_PERCENTILE`` core mask recover each object's CAM peak and
+    :func:`_grow_labels` assigns the rest of the mask to the nearest
+    marker. Component statistics are fused reductions over a virtual
+    (N, s*s pixels, s*s labels) one-hot — XLA never materialises it — and
+    the ranking key is the exact integer ``count * 1024 + (1023 - label)``,
+    so the selection (unlike an f32 mass ranking) is bitwise-deterministic
+    and identical to the host twin's."""
+    n, s, _ = cam.shape
+    ss = s * s
+    scale = img_size // s
+    flat = cam.reshape(n, ss)
+    thr = jnp.maximum(
+        _percentile_topk(flat, CAM_PERCENTILE), CAM_THRESHOLD_FLOOR
+    )
+    mask = cam > thr[:, None, None]
+    core_thr = jnp.maximum(_percentile_topk(flat, CAM_CORE_PERCENTILE), thr)
+    cores = cam > core_thr[:, None, None]
+    # A plateau CAM (constant over a large active region) can push the
+    # core threshold to the maximum, leaving no cores at all — degrade
+    # those samples to plain connected components of the mask.
+    no_core = ~jnp.any(cores, axis=(1, 2), keepdims=True)
+    cores = jnp.where(no_core, mask, cores)
+
+    labels = _grow_labels(_connected_labels(cores), mask).reshape(n, ss)
+    lids = jnp.arange(ss, dtype=jnp.int32)  # (L,)
+    onehot = labels[:, :, None] == lids[None, None, :]  # (N, P, L) virtual
+    count = jnp.sum(onehot, axis=1, dtype=jnp.int32)  # (N, L)
+    rows = (lids // s)[None, :, None]
+    cols = (lids % s)[None, :, None]
+    big = jnp.int32(s)
+    rmin = jnp.min(jnp.where(onehot, rows, big), axis=1)
+    rmax = jnp.max(jnp.where(onehot, rows, -1), axis=1)
+    cmin = jnp.min(jnp.where(onehot, cols, big), axis=1)
+    cmax = jnp.max(jnp.where(onehot, cols, -1), axis=1)
+
+    # size-desc, then top-left-first: count <= 256 and label <= 1023 keep
+    # the key exact in int32
+    key = count * 1024 + (1023 - lids)[None, :]
+    _, top = jax.lax.top_k(key, max_instances)  # (N, I) label indices
+    cnt_i = jnp.take_along_axis(count, top, axis=1)  # (N, I)
+    x1 = jnp.take_along_axis(cmin, top, axis=1) * scale
+    y1 = jnp.take_along_axis(rmin, top, axis=1) * scale
+    x2 = jnp.minimum(
+        img_size - 1, (jnp.take_along_axis(cmax, top, axis=1) + 1) * scale
+    )
+    y2 = jnp.minimum(
+        img_size - 1, (jnp.take_along_axis(rmax, top, axis=1) + 1) * scale
+    )
+    boxes = jnp.stack([x1, y1, x2, y2], axis=2).astype(jnp.int32)
+    full = jnp.array([0, 0, img_size - 1, img_size - 1], dtype=jnp.int32)
+    boxes = jnp.where((cnt_i > 0)[:, :, None], boxes, full[None, None, :])
+    return boxes, cnt_i
+
+
+def cam_instances_f32(
+    features: jax.Array,  # (B, C, S*S) float32 (integer-valued, 0..255)
+    fc_weight: jax.Array,  # (num_classes, C*16) float32 — bins head only
+    img_size: int = 128,
+    max_instances: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Multi-INSTANCE boxes: up to ``max_instances`` connected components
+    per class CAM. Returns (boxes (B, K, I, 4) int32, counts (B, K, I)
+    int32; count 0 = absent).
+
+    Beyond both the reference head (one argmax box,
+    ``software/realtime_detect.py:85-116``) and the per-class ``--multi``
+    mode: two objects of the SAME class in one frame become two separate
+    components of that class's CAM threshold mask, and this head boxes
+    each component — ``cam_bbox_multi_f32`` by construction merges them
+    into one spanning box. Uses the identical normalised CAM and threshold
+    as the single-box path, so instance 0 of the argmax class is always
+    contained in (and usually equals) the production single box."""
+    b, _, ss = features.shape
+    s = int(round(ss**0.5))
+    num_classes = fc_weight.shape[0]
+    cams = jnp.stack([
+        _normalized_cam_f32(features, jnp.full((b,), k, jnp.int32), fc_weight)
+        for k in range(num_classes)
+    ], axis=1)  # (B, K, S*S)
+    stacked = cams.reshape(b * num_classes, s, s)
+    boxes, counts = _instances_from_cam(stacked, img_size, max_instances)
+    return (
+        boxes.reshape(b, num_classes, max_instances, 4),
+        counts.reshape(b, num_classes, max_instances),
+    )
+
+
 def detect_multi_with_pooled(
     pooled: jax.Array,  # (B, C*16) f32 — kernel-fused bin pooling
     features_twin: jax.Array,  # kernel feature twin (bf16/f32)
@@ -315,14 +517,20 @@ def detect_multi_with_pooled(
     fc_bias: jax.Array,
     img_size: int = 128,
     box_mode: str = "ref",
+    instances: int = 1,
 ):
     """Multi-object head on kernel-fused bins: classify + a CAM box per
-    class. Returns (pred, conf, probs, boxes (B, K, 4))."""
+    class. Returns (pred, conf, probs, boxes (B, K, 4)); with
+    ``instances > 1`` additionally (inst_boxes (B, K, I, 4), inst_counts
+    (B, K, I)) — per-component boxes from :func:`cam_instances_f32`."""
     pred, conf, probs = _classify_pooled(pooled, fc_weight, fc_bias)
-    boxes = cam_bbox_multi_f32(
-        features_twin.astype(jnp.float32), fc_weight, img_size,
-        box_mode=box_mode,
-    )
+    f32 = features_twin.astype(jnp.float32)
+    boxes = cam_bbox_multi_f32(f32, fc_weight, img_size, box_mode=box_mode)
+    if instances > 1:
+        inst_boxes, inst_counts = cam_instances_f32(
+            f32, fc_weight, img_size, max_instances=instances
+        )
+        return pred, conf, probs, boxes, inst_boxes, inst_counts
     return pred, conf, probs, boxes
 
 
@@ -333,21 +541,29 @@ def detect_multi(
     head_mode: str = "bins",
     img_size: int = 128,
     box_mode: str = "ref",
+    instances: int = 1,
 ):
     """Multi-object fused classify + per-class boxes from u8 features.
 
-    Returns (pred, conf, probs, boxes (B, K, 4)). With the 64-d GAP head
-    the CAM has no spatial weights, so every class shares the unweighted
+    Returns (pred, conf, probs, boxes (B, K, 4)); with ``instances > 1``
+    additionally (inst_boxes, inst_counts) like
+    :func:`detect_multi_with_pooled`. With the 64-d GAP head the CAM has
+    no spatial weights, so every class shares the unweighted
     activation-map box (same fallback as :func:`detect`).
     """
     pred, conf, probs = classify(features, fc_weight, fc_bias, head_mode)
     f32 = features.astype(jnp.float32)
     if head_mode == "bins":
-        boxes = cam_bbox_multi_f32(f32, fc_weight, img_size, box_mode)
+        cam_w = fc_weight
     else:
         c = features.shape[1]
-        uniform_w = jnp.ones((fc_weight.shape[0], c * 16), dtype=jnp.float32)
-        boxes = cam_bbox_multi_f32(f32, uniform_w, img_size, box_mode)
+        cam_w = jnp.ones((fc_weight.shape[0], c * 16), dtype=jnp.float32)
+    boxes = cam_bbox_multi_f32(f32, cam_w, img_size, box_mode)
+    if instances > 1:
+        inst_boxes, inst_counts = cam_instances_f32(
+            f32, cam_w, img_size, max_instances=instances
+        )
+        return pred, conf, probs, boxes, inst_boxes, inst_counts
     return pred, conf, probs, boxes
 
 

@@ -184,11 +184,13 @@ def sharded_detect_multi_mega(
     head_mode: str = "bins",
     img_size: int = 128,
     box_mode: str = "ref",
+    instances: int = 1,
 ):
     """Multi-object head under the mesh: fused megakernel + one CAM box
     per class (``detect_head.detect_multi_with_pooled``), data-parallel
     over every mesh axis — the multi-chip twin of
-    ``TPUEngine._detect_multi``."""
+    ``TPUEngine._detect_multi``. ``instances > 1`` adds the watershed
+    per-component boxes (two extra batch-sharded outputs)."""
     from tpu_cnn.ops import pallas_poly
 
     axes = _all_axes(mesh)
@@ -204,16 +206,19 @@ def sharded_detect_multi_mega(
             )
             return detect_head.detect_multi_with_pooled(
                 pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
+                instances=instances,
             )
         feats = pallas_poly.cnn_forward_mega(images, kernels, shifts)
         return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
-                                        img_size, box_mode=box_mode)
+                                        img_size, box_mode=box_mode,
+                                        instances=instances)
 
+    n_out = 6 if instances > 1 else 4
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axes), P()),
-        out_specs=(P(axes), P(axes), P(axes), P(axes)),
+        out_specs=tuple(P(axes) for _ in range(n_out)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -227,6 +232,7 @@ def sharded_detect_multi(
     head_mode: str = "bins",
     img_size: int = 128,
     box_mode: str = "ref",
+    instances: int = 1,
     *,
     compute_dtype: str = "float32",
 ):
@@ -239,15 +245,23 @@ def sharded_detect_multi(
     @jax.jit
     def detect_multi(images, shifts):
         feats = forward(images, shifts)
-        pred, conf, probs, boxes = detect_head.detect_multi(
+        out = detect_head.detect_multi(
             feats, fc_w, fc_b, head_mode, img_size, box_mode=box_mode,
+            instances=instances,
         )
-        return (
+        pred, conf, probs, boxes = out[:4]
+        res = (
             _constrain(mesh, pred, P("data")),
             _constrain(mesh, conf, P("data")),
             _constrain(mesh, probs, P("data", None)),
             _constrain(mesh, boxes, P("data", None, None)),
         )
+        if instances > 1:
+            res += (
+                _constrain(mesh, out[4], P("data", None, None, None)),
+                _constrain(mesh, out[5], P("data", None, None)),
+            )
+        return res
 
     return detect_multi
 
@@ -331,14 +345,15 @@ class MeshEngine:
             )
         return images, b
 
-    def warmup(self, batch: int = 1, multi: bool = False) -> None:
+    def warmup(self, batch: int = 1, multi: bool = False,
+               instances: int = 1) -> None:
         s = self.model.config.img_size
         img = np.zeros((max(batch, self._batch_mult), s, s), np.uint8)
         jax.block_until_ready(
             self._detect(shard_batch(self.mesh, img, self._all_axes), self._shifts)
         )
         if multi:  # compile the multi program too (serving warmup contract)
-            fn = self._detect_multi
+            fn = self._detect_multi_prog(instances)
             jax.block_until_ready(fn(
                 shard_batch(self.mesh, img, self._detect_multi_all_axes),
                 self._shifts,
@@ -404,7 +419,12 @@ class MeshEngine:
 
     @property
     def _detect_multi(self):
-        if not hasattr(self, "_detect_multi_fn"):
+        """The instances=1 multi program (kept for parity tests)."""
+        return self._detect_multi_prog(1)
+
+    def _detect_multi_prog(self, instances: int = 1):
+        cache = self.__dict__.setdefault("_detect_multi_fns", {})
+        if instances not in cache:
             import jax.numpy as jnp
 
             from tpu_cnn.ops import pallas_poly
@@ -424,17 +444,20 @@ class MeshEngine:
             build = (sharded_detect_multi_mega if use_mega
                      else sharded_detect_multi)
             self._detect_multi_all_axes = use_mega
-            self._detect_multi_fn = build(
+            cache[instances] = build(
                 self.mesh, kernels, m.fc_weight, m.fc_bias,
                 m.head_mode, m.config.img_size, box_mode=box_mode,
+                instances=instances,
             )
-        return self._detect_multi_fn
+        return cache[instances]
 
-    def detect_multi_batch(self, images: np.ndarray):
-        return self.detect_multi_resolve(self.detect_multi_batch_async(images))
+    def detect_multi_batch(self, images: np.ndarray, instances: int = 1):
+        return self.detect_multi_resolve(
+            self.detect_multi_batch_async(images, instances=instances))
 
-    def detect_multi_batch_async(self, images):
-        fn = self._detect_multi  # build first: sets _detect_multi_all_axes
+    def detect_multi_batch_async(self, images, instances: int = 1):
+        # build first: sets _detect_multi_all_axes
+        fn = self._detect_multi_prog(instances)
         if isinstance(images, tuple) and len(images) == 3 and images[0] == "staged":
             dev, b = images[1], images[2]
             if self._detect_multi_all_axes != self._all_axes:
@@ -447,19 +470,22 @@ class MeshEngine:
         else:
             images, b = self._pad(np.asarray(images, np.uint8))
             dev = shard_batch(self.mesh, images, self._detect_multi_all_axes)
-        pred, conf, probs, boxes = fn(dev, self._shifts)
-        for a in (pred, conf, probs, boxes):
+        out = fn(dev, self._shifts)
+        for a in out:
             a.copy_to_host_async()
-        return (pred, conf, probs, boxes, b)
+        return (*out, b)
 
     def detect_multi_resolve(self, handle):
         import jax
 
         from tpu_cnn.engine.tpu import MultiDetectResult
 
-        pred, conf, probs, boxes, b = handle
-        pred, conf, probs, boxes = jax.device_get((pred, conf, probs, boxes))
-        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b])
+        *out, b = handle
+        out = jax.device_get(tuple(out))
+        pred, conf, probs, boxes = out[:4]
+        inst = tuple(a[:b] for a in out[4:]) if len(out) > 4 else (None, None)
+        return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b],
+                                 *inst)
 
 
 def sharded_detect(

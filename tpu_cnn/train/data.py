@@ -139,7 +139,7 @@ class CompositeScenes:
 
     def __init__(self, n_scenes: int = 60, seed: int = 0,
                  img_size: int = IMG_SIZE, n_objects: int = 2,
-                 max_overlap: float = 0.15):
+                 max_overlap: float = 0.15, same_class: bool = False):
         from tpu_cnn.apps.eval_detection import iou
 
         self.img_size = img_size
@@ -148,8 +148,16 @@ class CompositeScenes:
         rng = np.random.RandomState(seed + 1)
         self.scenes = []  # [(cls, render_seed, box), ...] per scene
         for _ in range(n_scenes):
-            classes = rng.choice(len(self.class_names), n_objects,
-                                 replace=False)
+            # same_class=True is the multi-INSTANCE substrate: all objects
+            # in a scene share one class, so only a per-component head
+            # (--instances) can separate them — the per-class box merges
+            # them into one spanning box by construction.
+            if same_class:
+                classes = np.full(
+                    n_objects, rng.randint(len(self.class_names)))
+            else:
+                classes = rng.choice(len(self.class_names), n_objects,
+                                     replace=False)
             # joint rejection sampling: redraw ALL placements together, so
             # an oversized first object cannot poison the scene; keep the
             # best (most-placed) attempt as a fallback
