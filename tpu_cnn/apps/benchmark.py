@@ -278,11 +278,12 @@ def bench_train(model: FpgaCNN, batch: int, runs: int, compute_dtype: str,
 
 
 def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool,
-                 multi: bool = False):
+                 multi: bool = False, instances: int = 1):
     """Async-pipelined when the engine supports it (detect_batch_async):
     all batches dispatched, resolved at the end — the relay's ~30 ms
     round-trip never serialises the device (CLAUDE.md dispatch rules).
-    ``multi`` times the multi-object pipeline (per-class boxes) instead."""
+    ``multi`` times the multi-object pipeline (per-class boxes) instead;
+    ``instances`` additionally times the watershed instance head."""
     if multi and not hasattr(engine, "detect_multi_batch"):
         raise ValueError(
             f"--multi needs an engine with detect_multi_batch; "
@@ -290,6 +291,10 @@ def bench_engine(engine, images: np.ndarray, runs: int, use_detect: bool,
     dispatch_name = "detect_multi_batch_async" if multi else "detect_batch_async"
     if use_detect and hasattr(engine, dispatch_name):
         dispatch = getattr(engine, dispatch_name)
+        if multi and instances > 1:
+            import functools
+
+            dispatch = functools.partial(dispatch, instances=instances)
         resolve = (engine.detect_multi_resolve if multi
                    else engine.detect_resolve)
         # Stage the frames in HBM first, then measure pure dispatch+compute
@@ -463,6 +468,9 @@ def main(argv=None):
     p.add_argument("--multi", action="store_true",
                    help="time the multi-object detect pipeline (one CAM box "
                         "per class) instead of the single-box head")
+    p.add_argument("--instances", type=int, default=1,
+                   help="with --multi: time the watershed instance head "
+                        "(up to N component boxes per class)")
     p.add_argument("--latency", action="store_true",
                    help="synchronous dispatch-to-result latency per batch "
                         "size (median/p99) beside the async-pipelined "
@@ -625,7 +633,7 @@ def main(argv=None):
         try:
             engine = make_engine(model, mode)
             dt = bench_engine(engine, images, args.runs, args.detect,
-                              multi=args.multi)
+                              multi=args.multi, instances=args.instances)
         except Exception as e:
             print(f"\n  {mode}: FAILED ({e})")
             continue

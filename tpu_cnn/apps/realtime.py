@@ -321,7 +321,9 @@ def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
     FPS, and per-stage ms are rendered into the pixels
     (``software/realtime_detect.py:490-514``), not just the console line.
     ``detections`` (multi-object mode): [(class_idx, prob, bbox), ...] — one
-    labelled rectangle per detection replaces the single argmax box."""
+    labelled rectangle per detection replaces the single argmax box. A
+    4th element, if present, overrides the rendered label (the tracker
+    passes "name #id" here)."""
     h, w = frame.shape[:2]
     # undo the center-crop: offsets mirror preprocess() for both landscape
     # (horizontal crop) and portrait (vertical crop) frames
@@ -334,11 +336,13 @@ def draw_overlay(frame, idx, name, conf, probs, bbox, fps, conv_ms, read_ms,
         box_texts.append((x1, y1, f"{name} {conf * 100:.0f}%",
                           COLORS[idx % len(COLORS)]))
     else:
-        for k, p, bb in detections:
+        for det in detections:
+            k, p, bb = det[:3]
             ck = COLORS[k % len(COLORS)]
             bx1, by1 = _frame_box(frame, bb, ck, xo, yo, s)
+            label = det[3] if len(det) > 3 else names[k]
             box_texts.append((bx1, by1,
-                              f"{names[k]} {p * 100:.0f}%", ck))
+                              f"{label} {p * 100:.0f}%", ck))
     c = COLORS[idx % len(COLORS)]
     # probability bars, top-right
     bw, bh = 110, 10
@@ -521,6 +525,11 @@ def main(argv=None):
                     help="with --multi: up to N watershed component boxes "
                          "per class, so two objects of the SAME class get "
                          "separate boxes (default 1)")
+    ap.add_argument("--track", action="store_true",
+                    help="with --multi: frame-to-frame object tracking — "
+                         "stable '#id' labels, smoothed boxes, flicker "
+                         "suppression (head.tracker, SORT-style greedy "
+                         "IoU association)")
     ap.add_argument("--fused", action="store_true",
                     help="run the whole head on device (one fused jit per "
                          "frame; only pred/conf/probs/box cross back — "
@@ -547,6 +556,13 @@ def main(argv=None):
                  "(train one: python -m tpu_cnn.apps.train_bbox)")
     if args.multi and model.head_mode != "bins":
         ap.error("--multi needs the spatial-bin head (per-class CAM)")
+    if args.track and not args.multi:
+        ap.error("--track rides the multi-object detections; add --multi")
+    tracker = None
+    if args.track:
+        from tpu_cnn.head.tracker import Tracker
+
+        tracker = Tracker()
     multi_thresh = (args.multi_thresh if args.multi_thresh is not None
                     else (model.multi_thresh
                           if model.multi_thresh is not None else 0.15))
@@ -666,6 +682,12 @@ def main(argv=None):
                         detections = detections_above(probs, boxes_all,
                                                       multi_thresh)
 
+            if tracker is not None and detections is not None:
+                tracks = tracker.update(detections)
+                detections = [
+                    (t.cls, t.prob, t.ibox(), f"{names[t.cls]} #{t.id}")
+                    for t in tracks
+                ]
             fps = ema.tick()
             out = frame if frame.ndim == 3 else np.stack([frame] * 3, axis=2)
             draw_overlay(out, idx, name, conf, probs, bbox, fps, conv_ms,

@@ -99,11 +99,19 @@ class NativeFrontEnd:
                                           else res.bbox[i])],
             }
             if multi_thresh is not None:
+                if getattr(res, "inst_boxes", None) is not None:
+                    from tpu_cnn.engine.tpu import instance_detections
+
+                    dets = instance_detections(
+                        res.probs[i], res.boxes[i], res.inst_boxes[i],
+                        res.inst_counts[i], multi_thresh)
+                else:
+                    dets = detections_above(res.probs[i], res.boxes[i],
+                                            multi_thresh)
                 obj["detections"] = [
                     {"pred": k, "name": class_names[k], "conf": prob,
                      "bbox": list(bbox)}
-                    for k, prob, bbox in detections_above(
-                        res.probs[i], res.boxes[i], multi_thresh)
+                    for k, prob, bbox in dets
                 ]
             payload = json.dumps(obj).encode()
             self._lib.tcnn_http_respond(
@@ -140,6 +148,9 @@ def main(argv=None):
     p.add_argument("--multi-thresh", type=float, default=None,
                    help="uniform floor (default: the bundle's calibrated "
                         "multi_thresh.json if present, else 0.15)")
+    p.add_argument("--instances", type=int, default=1,
+                   help="with --multi: up to N watershed component boxes "
+                        "per class in 'detections' (default 1)")
     p.add_argument("--head-prefix", default="")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
@@ -156,12 +167,28 @@ def main(argv=None):
     if args.multi and model.head_mode != "bins":
         p.error("--multi needs the spatial-bin head (per-class CAM)")
     engine = make_engine(model, args.mode, box_mode=args.box)
+    if args.instances > 1:
+        import inspect
+
+        if (not args.multi or not hasattr(engine, "detect_multi_batch")
+                or "instances" not in inspect.signature(
+                    engine.detect_multi_batch).parameters):
+            p.error("--instances needs --multi and an engine with "
+                    "instance support")
     if hasattr(engine, "warmup"):
-        engine.warmup(batch=args.max_batch, multi=args.multi)
+        engine.warmup(batch=args.max_batch, multi=args.multi,
+                      instances=args.instances)
     if not hasattr(engine, "detect_batch"):
         engine = _HostDetectAdapter(engine, model, box=args.box)
-    detect_fn = (engine.detect_multi_batch if args.multi
-                 else engine.detect_batch)
+    if args.multi and args.instances > 1:
+        import functools
+
+        detect_fn = functools.partial(engine.detect_multi_batch,
+                                      instances=args.instances)
+    elif args.multi:
+        detect_fn = engine.detect_multi_batch
+    else:
+        detect_fn = engine.detect_batch
     multi_thresh = None
     if args.multi:
         multi_thresh = (args.multi_thresh if args.multi_thresh is not None
