@@ -183,6 +183,61 @@ def test_export_multi_roundtrip(model, images):
         plain.detect_multi(images)
 
 
+def test_export_instances_roundtrip(model, images):
+    """--multi --instances export: the baked watershed instance head
+    reproduces the live engine's instance outputs exactly (two chained
+    while_loops survive jax.export serialization), and instances=1
+    containers keep the plain 4-output contract."""
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    blob = export_bundle(model, batch=(2, 4), backend="xla",
+                         platforms=("cpu",), multi=True, instances=2)
+    det = DeployedDetector(blob)
+    assert det.manifest["instances"] == 2
+    out = det.detect_multi(images)
+    assert len(out) == 6
+    want = TPUEngine(model, backend="xla").detect_multi_batch(
+        images, instances=2)
+    np.testing.assert_array_equal(out[3], want.boxes)
+    np.testing.assert_array_equal(out[4], want.inst_boxes)
+    np.testing.assert_array_equal(out[5], want.inst_counts)
+
+    plain = DeployedDetector(export_bundle(model, batch=(2,), backend="xla",
+                                           platforms=("cpu",), multi=True))
+    assert plain.manifest["instances"] == 1
+    assert len(plain.detect_multi(images)) == 4
+
+
+def test_serve_from_deployable_instances(tmp_path, model, images):
+    """serve --deployable --multi --instances: detections ride the baked
+    instance program; a plain-multi container is refused for instances."""
+    from tpu_cnn.apps.serve import build_service
+
+    path = os.path.join(tmp_path, "mi.tcnnx")
+    with open(path, "wb") as f:
+        f.write(export_bundle(model, batch=(2,), backend="xla",
+                              platforms=("cpu",), multi=True, instances=2))
+    batcher, _ = build_service(None, max_batch=2, max_wait_ms=2.0,
+                               deployable=path, multi=True,
+                               multi_thresh=0.0, instances=2)
+    res = batcher.submit(images[0])
+    assert "detections" in res and len(res["detections"]) >= 6
+    batcher.stop()
+
+    plain = os.path.join(tmp_path, "pm.tcnnx")
+    with open(plain, "wb") as f:
+        f.write(export_bundle(model, batch=(2,), backend="xla",
+                              platforms=("cpu",), multi=True))
+    batcher2, _ = build_service(None, max_batch=2, max_wait_ms=2.0,
+                                deployable=plain, multi=True,
+                                multi_thresh=0.0, instances=2)
+    try:
+        res2 = batcher2.submit(images[0])
+        assert "error" in res2 and "instance" in res2["error"]
+    finally:
+        batcher2.stop()
+
+
 def test_serve_from_deployable_multi(tmp_path, model, images):
     """serve --deployable --multi: responses carry detections from the
     exported multi program; a non-multi container is refused."""

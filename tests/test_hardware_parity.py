@@ -162,7 +162,7 @@ def test_exported_deployable_runs_on_hardware(stock_kernels, rng):
     fc_w = rng.randn(6, 1024).astype(np.float32) * 0.1
     model = FpgaCNN(stock_kernels, fc_w, np.zeros(6, np.float32), CLASS_NAMES)
     blob = export_bundle(model, batch=8, backend="mega", platforms=("tpu",),
-                         multi=True)
+                         multi=True, instances=2)
     det = DeployedDetector(blob)
     imgs = _stimuli(rng, 128, n=8)
     pred, conf, probs, bbox = det.detect(imgs)
@@ -173,13 +173,15 @@ def test_exported_deployable_runs_on_hardware(stock_kernels, rng):
     np.testing.assert_array_equal(bbox, live.bbox)
     np.testing.assert_allclose(probs, live.probs, atol=1e-6)
 
-    # the exported multi-object program must also run on chip, box-equal
-    # to the live kernel-fused multi path
-    mp, _, mprobs, mboxes = det.detect_multi(imgs)
-    mlive = eng.detect_multi_batch(imgs)
+    # the exported multi-object program (with the baked instance head)
+    # must also run on chip, box-equal to the live kernel-fused paths
+    mp, _, mprobs, mboxes, miboxes, micounts = det.detect_multi(imgs)
+    mlive = eng.detect_multi_batch(imgs, instances=2)
     np.testing.assert_array_equal(mp, mlive.pred)
     np.testing.assert_array_equal(mboxes, mlive.boxes)
     np.testing.assert_allclose(mprobs, mlive.probs, atol=1e-6)
+    np.testing.assert_array_equal(miboxes, mlive.inst_boxes)
+    np.testing.assert_array_equal(micounts, mlive.inst_counts)
 
 
 def test_device_preprocess_parity_on_hardware(rng):

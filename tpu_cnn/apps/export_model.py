@@ -73,11 +73,14 @@ def build_detect_fn(model, backend: str, box_mode: str):
     return detect
 
 
-def build_detect_multi_fn(model, backend: str, box_mode: str):
+def build_detect_multi_fn(model, backend: str, box_mode: str,
+                          instances: int = 1):
     """The multi-object head (images, shifts) -> (pred, conf, probs,
     boxes (B, K, 4)) with weights closed over — the exportable twin of
     ``TPUEngine._detect_multi`` ('reg' engines export the 'ref' CAM
-    profile, the regressor being class-agnostic)."""
+    profile, the regressor being class-agnostic). ``instances > 1``
+    bakes the watershed instance head in (two extra outputs, like the
+    live engine's ``detect_multi_batch(instances=)``)."""
     import jax.numpy as jnp
 
     from tpu_cnn.ops import detect_head, pallas_poly, quant
@@ -108,6 +111,7 @@ def build_detect_multi_fn(model, backend: str, box_mode: str):
             )
             return detect_head.detect_multi_with_pooled(
                 pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
+                instances=instances,
             )
     else:
         use_mega_feats = backend.startswith("mega")
@@ -120,14 +124,15 @@ def build_detect_multi_fn(model, backend: str, box_mode: str):
                 else quant.cnn_forward(images, kernels, shifts)
             )
             return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
-                                            img_size, box_mode=box_mode)
+                                            img_size, box_mode=box_mode,
+                                            instances=instances)
 
     return detect_multi
 
 
 def export_bundle(model, batch=1536, backend: str = "mega",
                   box_mode: str = "ref", platforms=("tpu",),
-                  multi: bool = False) -> bytes:
+                  multi: bool = False, instances: int = 1) -> bytes:
     """Serialize the fused detect program for ``platforms``. ``batch`` may
     be an int or a sequence of bucket sizes — each bucket is its own
     compiled program in the container, and the loader picks the smallest
@@ -150,7 +155,8 @@ def export_bundle(model, batch=1536, backend: str = "mega",
     jitted = jax.jit(detect)
     programs = {}
     multi_programs = {}
-    jitted_multi = (jax.jit(build_detect_multi_fn(model, backend, box_mode))
+    jitted_multi = (jax.jit(build_detect_multi_fn(model, backend, box_mode,
+                                                  instances))
                     if multi else None)
     for b in batches:
         shapes = (jax.ShapeDtypeStruct((b, s, s), jnp.uint8),
@@ -171,6 +177,7 @@ def export_bundle(model, batch=1536, backend: str = "mega",
         "classes": list(model.class_names),
         "default_shifts": [int(v) for v in model.shifts],
         "multi": bool(multi),
+        "instances": int(instances) if multi else 1,
         "multi_thresh": ([float(t) for t in model.multi_thresh]
                          if getattr(model, "multi_thresh", None) is not None
                          else None),
@@ -248,7 +255,8 @@ class DeployedDetector:
             res = calls[eb](jnp.asarray(chunk), sj)
             outs.append([np.asarray(r)[:b] for r in res])
             c0 += b
-        return tuple(np.concatenate([o[i] for o in outs]) for i in range(4))
+        return tuple(np.concatenate([o[i] for o in outs])
+                     for i in range(len(outs[0])))
 
     def detect(self, images: np.ndarray, shifts=None):
         """(B, S, S) u8 -> (pred, conf, probs, bbox) numpy arrays."""
@@ -256,7 +264,9 @@ class DeployedDetector:
 
     def detect_multi(self, images: np.ndarray, shifts=None):
         """(B, S, S) u8 -> (pred, conf, probs, boxes (B, K, 4)) — only in
-        containers exported with --multi (``manifest["multi"]``)."""
+        containers exported with --multi (``manifest["multi"]``). When the
+        container was exported with --instances N, two extra arrays
+        (inst_boxes (B, K, N, 4), inst_counts (B, K, N)) follow."""
         if not self._multi_calls:
             raise ValueError(
                 "this .tcnnx has no multi-object program — re-export with "
@@ -283,6 +293,10 @@ def main(argv=None):
                    help="also export the multi-object program (one CAM box "
                         "per class; DeployedDetector.detect_multi / "
                         "serve --deployable --multi)")
+    p.add_argument("--instances", type=int, default=1,
+                   help="with --multi: bake the watershed instance head "
+                        "into the multi program (up to N component boxes "
+                        "per class)")
     p.add_argument("--platforms", default="tpu",
                    help="comma list (tpu[,cpu]; mega is tpu-only)")
     from tpu_cnn.apps.common import add_variant_arg, load_model
@@ -323,8 +337,10 @@ def main(argv=None):
     model = load_model(args.artifacts, args.variant, args.head_prefix)
     platforms = tuple(s.strip() for s in args.platforms.split(","))
     batches = [int(v) for v in str(args.batch).split(",")]
+    if args.instances > 1 and not args.multi:
+        p.error("--instances needs --multi")
     blob = export_bundle(model, batches, args.backend, args.box, platforms,
-                         multi=args.multi)
+                         multi=args.multi, instances=args.instances)
     with open(args.output, "wb") as f:
         f.write(blob)
     print(f"  exported {args.output}: {len(blob):,} bytes "

@@ -402,11 +402,19 @@ class _DeployableMultiAdapter(_DeployableAdapter):
     multi-object program (kept on a subclass so DynamicBatcher's
     hasattr-based capability check stays honest)."""
 
-    def detect_multi_batch(self, images):
+    def detect_multi_batch(self, images, instances: int = 1):
         from tpu_cnn.engine.tpu import MultiDetectResult
 
-        pred, conf, probs, boxes = self.det.detect_multi(images)
-        return MultiDetectResult(pred, conf, probs, boxes)
+        out = self.det.detect_multi(images)
+        baked = int(self.det.manifest.get("instances", 1))
+        if instances > 1 and baked < 2:
+            raise ValueError(
+                "this .tcnnx has no instance program — re-export with "
+                "apps.export_model --multi --instances N")
+        # the container bakes ONE instance count; instances=1 requests
+        # strip the extra outputs (plain multi semantics)
+        inst = out[4:6] if instances > 1 and len(out) > 4 else (None, None)
+        return MultiDetectResult(*out[:4], *inst)
 
 
 class _HostDetectAdapter:
