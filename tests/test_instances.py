@@ -70,6 +70,36 @@ def test_connected_labels_random_parity(rng):
         assert np.array_equal(lab[i], host_cam.connected_labels_np(masks[i]))
 
 
+def test_component_stats_matches_onehot_ranking(rng):
+    """_component_stats (run-length counts over sorted labels) must
+    reproduce the brute-force one-hot ranking it replaced: exact integer
+    key count*1024 + (1023 - label), absent slots -> (label -1, count 0).
+    Includes an all-background row and a single-component row."""
+    s = 16
+    masks = rng.rand(8, s, s) < 0.3
+    masks[5] = False  # all background
+    masks[6] = False
+    masks[6, 2:5, 3:7] = True  # exactly one component
+    labels = _device_labels(masks).reshape(8, s * s)
+    for max_i in (1, 2, 4):
+        lab_d, cnt_d = jax.jit(
+            detect_head._component_stats, static_argnums=1
+        )(jnp.asarray(labels), max_i)
+        lab_d, cnt_d = np.asarray(lab_d), np.asarray(cnt_d)
+        for r in range(len(labels)):
+            uniq = [int(v) for v in np.unique(labels[r]) if v != s * s]
+            ranked = sorted(
+                uniq,
+                key=lambda v: -(int((labels[r] == v).sum()) * 1024
+                                + (1023 - v)),
+            )[:max_i]
+            want_lab = ranked + [-1] * (max_i - len(ranked))
+            want_cnt = [int((labels[r] == v).sum()) for v in ranked]
+            want_cnt += [0] * (max_i - len(ranked))
+            assert lab_d[r].tolist() == want_lab
+            assert cnt_d[r].tolist() == want_cnt
+
+
 def test_grow_labels_parity(rng):
     """Watershed growth: same layer-synchronous min-label rule on device
     and host, including contested (equidistant) pixels."""

