@@ -172,6 +172,37 @@ def _normalized_cam_f32(
     return jnp.where(cam_max > 0, cam / jnp.maximum(cam_max, 1e-30), cam)
 
 
+def _multi_cam_stack(
+    features: jax.Array,  # (B, C, S*S) float32
+    fc_weight: jax.Array,  # (num_classes, C*16) float32
+) -> jax.Array:
+    """Every class's normalised CAM, stacked: (B*K, s, s).
+
+    The single shared producer for the multi-box AND instance heads —
+    computing it twice was the measured dominant cost of instance mode
+    (the K f32 CAM matmuls, ~0.7 us/img each pass, docs/DESIGN.md). Each
+    class row keeps the exact single-path dot shapes of
+    :func:`_normalized_cam_f32`, so per-class box parity with the host
+    twin is unchanged."""
+    b, _, ss = features.shape
+    s = int(round(ss**0.5))
+    num_classes = fc_weight.shape[0]
+    cams = jnp.stack([
+        _normalized_cam_f32(features, jnp.full((b,), k, jnp.int32), fc_weight)
+        for k in range(num_classes)
+    ], axis=1)  # (B, K, S*S)
+    return cams.reshape(b * num_classes, s, s)
+
+
+def _cam_threshold(flat: jax.Array) -> jax.Array:
+    """(N, S*S) normalised CAMs -> (N,) box threshold: percentile-70 with
+    the 0.25 floor (``software/realtime_detect.py:104-109``). The single
+    shared threshold the mask-box and instance heads both consume."""
+    return jnp.maximum(
+        _percentile_topk(flat, CAM_PERCENTILE), CAM_THRESHOLD_FLOOR
+    )
+
+
 def _percentile_topk(x: jax.Array, q_pct: float) -> jax.Array:
     """Linear-interpolated percentile via the two order statistics it needs,
     from ``lax.top_k`` instead of a full sort. For the CAM's (B, 256) rows
@@ -197,15 +228,18 @@ def _percentile_topk(x: jax.Array, q_pct: float) -> jax.Array:
     return a_lo + (a_hi - a_lo) * jnp.float32(q - lo)
 
 
-def _bbox_from_cam(cam: jax.Array, img_size: int) -> jax.Array:
+def _bbox_from_cam(
+    cam: jax.Array, img_size: int, thr: jax.Array | None = None
+) -> jax.Array:
     """(B, s, s) normalised CAM -> (B, 4) int32 boxes: percentile-70
     threshold with the 0.25 floor, extremal rows/cols, grid->image scaling
-    (``software/realtime_detect.py:104-116``)."""
+    (``software/realtime_detect.py:104-116``). Pass a precomputed ``thr``
+    (:func:`_cam_threshold`) to share it with the instance head."""
     b, s, _ = cam.shape
     ss = s * s
     scale = img_size // s
-    thr = _percentile_topk(cam.reshape(b, ss), CAM_PERCENTILE)
-    thr = jnp.maximum(thr, CAM_THRESHOLD_FLOOR)  # (B,)
+    if thr is None:
+        thr = _cam_threshold(cam.reshape(b, ss))  # (B,)
     mask = cam > thr[:, None, None]  # (B, s, s)
 
     rows = mask.any(axis=2)  # (B, s)
@@ -293,19 +327,56 @@ def cam_bbox_multi_f32(
     the K f32 CAM matmuls — the tail share is neutral-to-small within
     the relay's variance band.
     """
-    b, _, ss = features.shape
-    s = int(round(ss**0.5))
+    b = features.shape[0]
     num_classes = fc_weight.shape[0]
-    cams = jnp.stack([
-        _normalized_cam_f32(features, jnp.full((b,), k, jnp.int32), fc_weight)
-        for k in range(num_classes)
-    ], axis=1)  # (B, K, S*S)
-    stacked = cams.reshape(b * num_classes, s, s)
+    stacked = _multi_cam_stack(features, fc_weight)
     if box_mode == "centroid":
         boxes = _bbox_from_cam_centroid(stacked, img_size)
     else:
         boxes = _bbox_from_cam(stacked, img_size)
     return boxes.reshape(b, num_classes, 4)
+
+
+def _multi_head_shared(
+    f32: jax.Array,  # (B, C, S*S) float32 features
+    cam_w: jax.Array,  # (num_classes, C*16) float32
+    img_size: int,
+    box_mode: str,
+    instances: int,
+):
+    """Multi-box + instance outputs from ONE shared CAM stack and ONE
+    shared percentile threshold. ``detect_multi_with_pooled`` previously
+    called :func:`cam_bbox_multi_f32` and :func:`cam_instances_f32` back
+    to back, each rebuilding the identical (B*K) normalised CAM stack (the
+    measured dominant cost of the multi head — the K f32 CAM matmuls) and
+    recomputing the identical percentile-70 threshold. Here both heads
+    consume the same ``stacked``/``thr``, so instance mode pays the CAM
+    matmuls and the top_k percentile exactly once. Outputs are bit-equal
+    to the two-call formulation (same dot shapes, same threshold values).
+
+    Returns ``boxes (B, K, 4)`` and, when ``instances > 1``, additionally
+    ``(inst_boxes (B, K, I, 4), inst_counts (B, K, I))``.
+    """
+    b = f32.shape[0]
+    num_classes = cam_w.shape[0]
+    stacked = _multi_cam_stack(f32, cam_w)  # (B*K, s, s)
+    n, s, _ = stacked.shape
+    thr = _cam_threshold(stacked.reshape(n, s * s))  # (B*K,)
+    if box_mode == "centroid":
+        boxes = _bbox_from_cam_centroid(stacked, img_size)
+    else:
+        boxes = _bbox_from_cam(stacked, img_size, thr)
+    boxes = boxes.reshape(b, num_classes, 4)
+    if instances <= 1:
+        return (boxes,)
+    inst_boxes, inst_counts = _instances_from_cam(
+        stacked, img_size, instances, thr
+    )
+    return (
+        boxes,
+        inst_boxes.reshape(b, num_classes, instances, 4),
+        inst_counts.reshape(b, num_classes, instances),
+    )
 
 
 def _connected_labels(mask: jax.Array) -> jax.Array:
@@ -425,6 +496,13 @@ def _component_stats(
     bitwise-identical to the host twin's sorted-by-key ranking
     (``head.cam._instances_from_cam_np``)."""
     n, p = labels.shape
+    if p > 1024:
+        # the int32 packing key encodes the label as (1023 - label):
+        # a CAM larger than 32x32 would silently corrupt labels here
+        raise ValueError(
+            f"_component_stats key packing supports at most 1024 pixels "
+            f"(CAM <= 32x32); got {p}"
+        )
     sent = jnp.int32(p)
     r = jnp.sort(labels, axis=1)  # ascending; background sorts last
     pos = jnp.arange(p, dtype=jnp.int32)[None, :]
@@ -450,6 +528,7 @@ def _instances_from_cam(
     cam: jax.Array,  # (N, s, s) normalised CAM
     img_size: int,
     max_instances: int,
+    thr: jax.Array | None = None,  # precomputed _cam_threshold (N,)
 ) -> tuple[jax.Array, jax.Array]:
     """Marker-based watershed instance boxes from the SAME threshold mask
     the single-box head uses: (N, I, 4) int32 boxes + (N, I) int32 pixel
@@ -473,9 +552,8 @@ def _instances_from_cam(
     ss = s * s
     scale = img_size // s
     flat = cam.reshape(n, ss)
-    thr = jnp.maximum(
-        _percentile_topk(flat, CAM_PERCENTILE), CAM_THRESHOLD_FLOOR
-    )
+    if thr is None:
+        thr = _cam_threshold(flat)
     mask = cam > thr[:, None, None]
     core_thr = jnp.maximum(_percentile_topk(flat, CAM_CORE_PERCENTILE), thr)
     cores = cam > core_thr[:, None, None]
@@ -528,19 +606,38 @@ def cam_instances_f32(
     into one spanning box. Uses the identical normalised CAM and threshold
     as the single-box path, so instance 0 of the argmax class is always
     contained in (and usually equals) the production single box."""
-    b, _, ss = features.shape
-    s = int(round(ss**0.5))
+    b = features.shape[0]
     num_classes = fc_weight.shape[0]
-    cams = jnp.stack([
-        _normalized_cam_f32(features, jnp.full((b,), k, jnp.int32), fc_weight)
-        for k in range(num_classes)
-    ], axis=1)  # (B, K, S*S)
-    stacked = cams.reshape(b * num_classes, s, s)
+    stacked = _multi_cam_stack(features, fc_weight)
     boxes, counts = _instances_from_cam(stacked, img_size, max_instances)
     return (
         boxes.reshape(b, num_classes, max_instances, 4),
         counts.reshape(b, num_classes, max_instances),
     )
+
+
+def multi_scores(
+    pooled: jax.Array,  # (B, D) — the SAME pooled features the fc reads
+    mw: jax.Array,  # (num_classes, D) float32 multi-label head weight
+    mb: jax.Array,  # (num_classes,) float32 multi-label head bias
+) -> jax.Array:
+    """Per-class MULTI-LABEL presence scores: independent sigmoids over a
+    learned (K, D) head on the classifier's own pooled features.
+
+    Softmax probabilities sum to 1, so two confident objects structurally
+    suppress each other — the measured cap on multi-object detection F1
+    (scripts/probe_multilabel.py: flagship held-out F1 0.650 with
+    calibrated softmax floors). Sigmoid scores don't compete; the head is
+    fit by ``apps.calibrate_multi --fit-head`` on composite-scene dumps
+    (the reference's adapt-the-head-to-real-features loop,
+    ``software/retrain_classifier.py:24-124``, applied to the multi-object
+    task) and ships as ``multi_head.npz``. One fused (D, K) matmul —
+    epsilon beside the CAM stack. ``pred/conf/probs`` stay softmax: only
+    the presence FILTER consumes these scores."""
+    z = (
+        jnp.dot(pooled, mw.T, precision=jax.lax.Precision.HIGHEST) + mb
+    )
+    return jax.nn.sigmoid(z)
 
 
 def detect_multi_with_pooled(
@@ -551,20 +648,21 @@ def detect_multi_with_pooled(
     img_size: int = 128,
     box_mode: str = "ref",
     instances: int = 1,
+    multi_head: tuple[jax.Array, jax.Array] | None = None,
 ):
     """Multi-object head on kernel-fused bins: classify + a CAM box per
     class. Returns (pred, conf, probs, boxes (B, K, 4)); with
     ``instances > 1`` additionally (inst_boxes (B, K, I, 4), inst_counts
-    (B, K, I)) — per-component boxes from :func:`cam_instances_f32`."""
+    (B, K, I)) — per-component boxes from :func:`cam_instances_f32`; with
+    ``multi_head`` additionally :func:`multi_scores` as the LAST output."""
     pred, conf, probs = _classify_pooled(pooled, fc_weight, fc_bias)
     f32 = features_twin.astype(jnp.float32)
-    boxes = cam_bbox_multi_f32(f32, fc_weight, img_size, box_mode=box_mode)
-    if instances > 1:
-        inst_boxes, inst_counts = cam_instances_f32(
-            f32, fc_weight, img_size, max_instances=instances
-        )
-        return pred, conf, probs, boxes, inst_boxes, inst_counts
-    return pred, conf, probs, boxes
+    out = (pred, conf, probs) + _multi_head_shared(
+        f32, fc_weight, img_size, box_mode, instances
+    )
+    if multi_head is not None:
+        out += (multi_scores(pooled, *multi_head),)
+    return out
 
 
 def detect_multi(
@@ -575,13 +673,15 @@ def detect_multi(
     img_size: int = 128,
     box_mode: str = "ref",
     instances: int = 1,
+    multi_head: tuple[jax.Array, jax.Array] | None = None,
 ):
     """Multi-object fused classify + per-class boxes from u8 features.
 
     Returns (pred, conf, probs, boxes (B, K, 4)); with ``instances > 1``
     additionally (inst_boxes, inst_counts) like
-    :func:`detect_multi_with_pooled`. With the 64-d GAP head the CAM has
-    no spatial weights, so every class shares the unweighted
+    :func:`detect_multi_with_pooled`, and with ``multi_head`` the
+    :func:`multi_scores` as the LAST output. With the 64-d GAP head the
+    CAM has no spatial weights, so every class shares the unweighted
     activation-map box (same fallback as :func:`detect`).
     """
     pred, conf, probs = classify(features, fc_weight, fc_bias, head_mode)
@@ -591,13 +691,14 @@ def detect_multi(
     else:
         c = features.shape[1]
         cam_w = jnp.ones((fc_weight.shape[0], c * 16), dtype=jnp.float32)
-    boxes = cam_bbox_multi_f32(f32, cam_w, img_size, box_mode)
-    if instances > 1:
-        inst_boxes, inst_counts = cam_instances_f32(
-            f32, cam_w, img_size, max_instances=instances
-        )
-        return pred, conf, probs, boxes, inst_boxes, inst_counts
-    return pred, conf, probs, boxes
+    out = (pred, conf, probs) + _multi_head_shared(
+        f32, cam_w, img_size, box_mode, instances
+    )
+    if multi_head is not None:
+        pooled = bin_pool(features) if head_mode == "bins" else gap_pool(
+            features)
+        out += (multi_scores(pooled, *multi_head),)
+    return out
 
 
 def bbox_regress(
