@@ -216,18 +216,23 @@ def main():
         val_truth = val_t + singles_truth(sg_val_l)
         sgrid = np.arange(0.05, 0.95 + 1e-9, 0.01)
 
+        # floors are fit on scenes + single-object frames together, so the
+        # operating point respects both regimes
+        tr_truth = tr_t + singles_truth(sg_tr_l)
         best = None
         for init_name, init in (("fc-init",
                                  (model.fc_weight, model.fc_bias)),
                                 ("zero-init", None)):
-            for wd in (3e-2, 1e-2, 3e-3, 1e-3, 3e-4):
+            for wd in (3e-3, 1e-3, 3e-4, 1e-4, 3e-5, 0.0):
                 w_ml, b_ml = train_multilabel(x_tr, y_tr, k_count, wd=wd,
                                               init=init)
 
                 def sc(pool, w=w_ml, b=b_ml):
                     return 1.0 / (1.0 + np.exp(-(pool @ w.T + b)))
 
-                thr = coord_descent(sc(pools["tr"]), tr_t, sgrid)
+                thr = coord_descent(
+                    np.concatenate([sc(pools["tr"]), sc(pools["sg_tr"])]),
+                    tr_truth, sgrid)
                 val_scores = np.concatenate(
                     [sc(pools["val"]), sc(pools["sg_val"])])
                 vf1 = prf(val_scores, val_truth, thr)[2]

@@ -367,3 +367,117 @@ def test_detections_above_vector_threshold(bins_model, images):
     dets = detections_above(probs, boxes, 0.0)
     assert [p for _, p, _ in dets] == sorted((float(v) for v in probs),
                                              reverse=True)
+
+
+# ── multi-label presence head (beyond-reference: sigmoid scores) ─────
+
+
+@pytest.fixture(scope="module")
+def ml_model(stock_kernels):
+    """bins model with a multi-label presence head attached."""
+    rs = np.random.RandomState(7)
+    fc_w = rs.randn(6, 1024).astype(np.float32) * 0.1
+    fc_b = rs.randn(6).astype(np.float32) * 0.01
+    mw = rs.randn(6, 1024).astype(np.float32) * 0.1
+    mb = rs.randn(6).astype(np.float32) * 0.01
+    return FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES,
+                   multi_head=(mw, mb))
+
+
+def test_multi_scores_match_host_twin(ml_model, images):
+    """Device multi-label scores equal multi_scores_np on the engine's
+    own features (sigmoid is transcendental: tight allclose, not bits);
+    pred/conf/probs stay the softmax classifier, boxes unchanged."""
+    eng = TPUEngine(ml_model, backend="xla")
+    res = eng.detect_multi_batch(images)
+    assert res.scores is not None and res.scores.shape == (len(images), 6)
+    feats = eng.run_batch(images)
+    want = host_classify.multi_scores_np(
+        host_classify.pool_for_head(feats, ml_model.fc_weight),
+        *ml_model.multi_head)
+    # f32 dot accumulation order differs device vs numpy (z is a 1024-sum)
+    np.testing.assert_allclose(res.scores, want, atol=1e-4)
+    # softmax surfaces unaffected by the head
+    plain = FpgaCNN(ml_model.kernels, ml_model.fc_weight, ml_model.fc_bias,
+                    CLASS_NAMES)
+    ref = TPUEngine(plain, backend="xla").detect_multi_batch(images)
+    assert ref.scores is None
+    np.testing.assert_array_equal(res.pred, ref.pred)
+    np.testing.assert_allclose(res.probs, ref.probs, rtol=1e-6)
+    np.testing.assert_array_equal(res.boxes, ref.boxes)
+
+
+def test_multi_scores_instances_mode(ml_model, images):
+    """scores ride as the LAST output in instance mode too — resolve
+    must not confuse them with inst outputs."""
+    eng = TPUEngine(ml_model, backend="xla")
+    res = eng.detect_multi_batch(images, instances=2)
+    assert res.scores is not None and res.scores.shape == (len(images), 6)
+    assert res.inst_boxes.shape == (len(images), 6, 2, 4)
+    ref = eng.detect_multi_batch(images)
+    np.testing.assert_allclose(res.scores, ref.scores, rtol=1e-6)
+
+
+def test_detections_use_scores_when_present(ml_model, images):
+    """MultiDetectResult.detections thresholds the sigmoid scores (the
+    space multi_thresh.json is calibrated in), NOT softmax probs."""
+    from tpu_cnn.engine.tpu import presence_scores
+
+    eng = TPUEngine(ml_model, backend="xla")
+    res = eng.detect_multi_batch(images)
+    np.testing.assert_array_equal(presence_scores(res), res.scores)
+    sc = res.scores[0]
+    thr = np.asarray(sc, np.float64).copy()
+    k0 = int(np.argmin(sc))
+    thr[k0] = sc[k0] + 1e-6  # floor just above class k0's SCORE
+    dets = res.detections(thr)[0]
+    assert len(dets) == 5 and all(k != k0 for k, _, _ in dets)
+    # reported confidence is the score, sorted descending
+    assert [p for _, p, _ in dets] == sorted(
+        (float(v) for k, v in enumerate(sc) if k != k0), reverse=True)
+
+
+def test_multi_head_bundle_roundtrip(tmp_path, stock_kernels):
+    """multi_head.npz rides the bundle save/load like every per-head
+    artifact."""
+    from tpu_cnn.utils import artifacts as art
+
+    rs = np.random.RandomState(3)
+    bundle = art.ArtifactBundle(
+        kernels=stock_kernels,
+        fc_weight=rs.randn(6, 1024).astype(np.float32),
+        fc_bias=rs.randn(6).astype(np.float32),
+        class_names=list(CLASS_NAMES),
+        multi_thresh=[0.5, 0.4, 0.3, 0.2, 0.6, 0.7],
+        multi_head=(rs.randn(6, 1024).astype(np.float32),
+                    rs.randn(6).astype(np.float32)),
+    )
+    art.save_bundle(tmp_path, bundle)
+    got = art.load_bundle(tmp_path)
+    np.testing.assert_array_equal(got.multi_head[0], bundle.multi_head[0])
+    np.testing.assert_array_equal(got.multi_head[1], bundle.multi_head[1])
+    model = FpgaCNN(got.kernels, got.fc_weight, got.fc_bias,
+                    got.class_names, multi_thresh=got.multi_thresh,
+                    multi_head=got.multi_head)
+    assert model.multi_head is not None
+
+
+def test_multi_head_shape_validation(stock_kernels):
+    rs = np.random.RandomState(3)
+    fc_w = rs.randn(6, 1024).astype(np.float32)
+    fc_b = rs.randn(6).astype(np.float32)
+    with pytest.raises(ValueError, match="multi_head"):
+        FpgaCNN(stock_kernels, fc_w, fc_b, CLASS_NAMES,
+                multi_head=(rs.randn(6, 64).astype(np.float32),
+                            rs.randn(6).astype(np.float32)))
+
+
+def test_multi_scores_mega_matches_xla(ml_model, images):
+    """The fused-bins mega path produces the same scores as the XLA
+    path (pooled bins are bit-identical; sigmoid rounding may differ by
+    ulps)."""
+    ref = TPUEngine(ml_model, backend="xla").detect_multi_batch(images)
+    got = TPUEngine(ml_model, backend="mega").detect_multi_batch(images)
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(got.boxes, ref.boxes)

@@ -261,3 +261,85 @@ def test_serve_from_deployable_multi(tmp_path, model, images):
                               platforms=("cpu",)))
     with pytest.raises(ValueError, match="re-export"):
         build_service(None, max_batch=2, deployable=plain, multi=True)
+
+
+@pytest.fixture(scope="module")
+def ml_model(artifact_dir):
+    """model with a multi-label presence head + calibrated floors — the
+    full deployment contract the manifest must carry."""
+    bundle = art.load_bundle(artifact_dir)
+    rs = np.random.RandomState(11)
+    mh = (rs.randn(6, 1024).astype(np.float32) * 0.05,
+          rs.randn(6).astype(np.float32) * 0.1)
+    return FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
+                   CLASS_NAMES, multi_head=mh,
+                   multi_thresh=[0.5, 0.45, 0.55, 0.5, 0.48, 0.52])
+
+
+def test_export_multi_head_scores(ml_model, images):
+    """A bundle shipping multi_head.npz bakes the presence head into the
+    exported multi program; scores ride LAST and match the live engine."""
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    blob = export_bundle(ml_model, batch=(2, 4), backend="xla",
+                         platforms=("cpu",), multi=True)
+    det = DeployedDetector(blob)
+    assert det.manifest["multi_head"] is True
+    out = det.detect_multi(images)
+    assert len(out) == 5
+    want = TPUEngine(ml_model, backend="xla").detect_multi_batch(images)
+    np.testing.assert_allclose(out[-1], want.scores, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out[3], want.boxes)
+
+
+def test_deployable_detections_match_live_engine(ml_model, images):
+    """VERDICT r3 item 7: the .tcnnx manifest carries the calibrated
+    floors + instance emission policy, and DeployedDetector.detections()
+    equals the live engine's filtered output on the same frames — the
+    deployable IS the deployment contract (reference: weights/ + .bit +
+    .hwh)."""
+    from tpu_cnn.engine.tpu import TPUEngine
+
+    for instances in (1, 2):
+        blob = export_bundle(ml_model, batch=(2, 4), backend="xla",
+                             platforms=("cpu",), multi=True,
+                             instances=instances)
+        det = DeployedDetector(blob)
+        assert det.manifest["multi_thresh"] == [
+            float(t) for t in ml_model.multi_thresh]
+        assert det.manifest["instance_min_pixels"] > 0
+        got = det.detections(images)
+        eng = TPUEngine(ml_model, backend="xla")
+        want = eng.detect_multi_batch(
+            images, instances=instances).detections(ml_model.multi_thresh)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert [(k, b) for k, _, b in g] == [(k, b) for k, _, b in w]
+            np.testing.assert_allclose([p for _, p, _ in g],
+                                       [p for _, p, _ in w], rtol=1e-5)
+
+
+def test_serve_from_deployable_multi_head(tmp_path, ml_model, images):
+    """serve --deployable: the adapter unpacks the scores output, and the
+    served detections threshold scores (not softmax probs)."""
+    from tpu_cnn.apps.serve import build_service
+
+    path = os.path.join(tmp_path, "mh.tcnnx")
+    with open(path, "wb") as f:
+        f.write(export_bundle(ml_model, batch=(2,), backend="xla",
+                              platforms=("cpu",), multi=True))
+    batcher, _ = build_service(None, max_batch=2, max_wait_ms=2.0,
+                               deployable=path, multi=True)
+    try:
+        res = batcher.submit(images[0])
+        assert "detections" in res
+        from tpu_cnn.engine.tpu import TPUEngine, detections_above
+
+        live = TPUEngine(ml_model, backend="xla").detect_multi_batch(
+            images[:1])
+        want = detections_above(live.scores[0], live.boxes[0],
+                                ml_model.multi_thresh)
+        got = [(d["pred"], tuple(d["bbox"])) for d in res["detections"]]
+        assert got == [(k, b) for k, _, b in want]
+    finally:
+        batcher.stop()

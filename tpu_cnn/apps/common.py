@@ -47,4 +47,5 @@ def load_model(
     return FpgaCNN(bundle.kernels, bundle.fc_weight, bundle.fc_bias,
                    bundle.class_names, shifts=shifts, config=config,
                    bbox_weight=bundle.bbox_weight,
-                   multi_thresh=bundle.multi_thresh)
+                   multi_thresh=bundle.multi_thresh,
+                   multi_head=bundle.multi_head)

@@ -102,19 +102,22 @@ def evaluate(model: FpgaCNN, mode: str = "auto", n_per_class: int = 30,
 
 def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
                    seed: int = 123, thresh=0.15, box: str = "ref",
-                   verbose: bool = True):
+                   verbose: bool = True, scenes_cls=None):
     """Multi-object evaluation on composite scenes (2 objects/frame).
 
     Scores the beyond-reference multi head (one CAM box per class above
     ``thresh``): object recall, per-matched-object IoU, false positives per
     frame — against the single-box (argmax) detector, which by construction
-    can recover at most one of the objects. Returns the metrics dict."""
+    can recover at most one of the objects. Returns the metrics dict.
+    ``scenes_cls`` swaps the scene source (``train.data.RealComposites``
+    for real-photograph statistics)."""
     from tpu_cnn.train.data import CompositeScenes
 
+    scenes_cls = scenes_cls or CompositeScenes
     if model.head_mode != "bins":
         raise ValueError("multi-object eval needs the spatial-bin head")
     img_size = model.config.img_size
-    ds = CompositeScenes(n_scenes=n_scenes, seed=seed, img_size=img_size)
+    ds = scenes_cls(n_scenes=n_scenes, seed=seed, img_size=img_size)
     imgs, truths = ds.arrays()
     u8 = np.round(imgs * 255).astype(np.uint8)
 
@@ -123,13 +126,21 @@ def evaluate_multi(model: FpgaCNN, mode: str = "auto", n_scenes: int = 60,
     engine = make_engine(model, mode, box_mode=box)
     if hasattr(engine, "detect_multi_batch"):
         res = engine.detect_multi_batch(u8)
-        probs, boxes = res.probs, res.boxes
+        # presence scores: the multi-label head when the bundle ships one
+        # (floors live in its space), else softmax probs
+        probs = res.scores if res.scores is not None else res.probs
+        boxes = res.boxes
     else:
         from tpu_cnn.head import cam as cam_host
-        from tpu_cnn.head.classify import classify_np
+        from tpu_cnn.head.classify import (classify_np, multi_scores_np,
+                                           pool_for_head)
 
         feats = engine.run_batch(u8)
-        _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
+        if model.multi_head is not None:
+            probs = multi_scores_np(pool_for_head(feats, model.fc_weight),
+                                    *model.multi_head)
+        else:
+            _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
         boxes = np.stack([
             cam_host.cam_bbox_multi(
                 feats[i], model.fc_weight, img_size=img_size,
@@ -184,7 +195,8 @@ def evaluate_instances(model: FpgaCNN, mode: str = "auto",
                        n_scenes: int = 60, seed: int = 123, thresh=0.15,
                        instances: int = 2, same_class: bool = False,
                        iou_floors=(0.1, 0.3), min_pixels: int | None = None,
-                       min_frac: float | None = None, verbose: bool = True):
+                       min_frac: float | None = None, verbose: bool = True,
+                       scenes_cls=None):
     """Multi-INSTANCE evaluation: per-component boxes greedily matched to
     ground-truth objects of the same class.
 
@@ -203,11 +215,12 @@ def evaluate_instances(model: FpgaCNN, mode: str = "auto",
         min_pixels = _dh.INSTANCE_MIN_PIXELS
     if min_frac is None:
         min_frac = _dh.INSTANCE_MIN_FRAC
+    scenes_cls = scenes_cls or CompositeScenes
     if model.head_mode != "bins":
         raise ValueError("multi-object eval needs the spatial-bin head")
     img_size = model.config.img_size
-    ds = CompositeScenes(n_scenes=n_scenes, seed=seed, img_size=img_size,
-                         same_class=same_class)
+    ds = scenes_cls(n_scenes=n_scenes, seed=seed, img_size=img_size,
+                    same_class=same_class)
     imgs, truths = ds.arrays()
     u8 = np.round(imgs * 255).astype(np.uint8)
 
@@ -216,15 +229,20 @@ def evaluate_instances(model: FpgaCNN, mode: str = "auto",
     engine = make_engine(model, mode)
     if hasattr(engine, "detect_multi_batch"):
         res = engine.detect_multi_batch(u8, instances=instances)
-        probs = res.probs
+        probs = res.scores if res.scores is not None else res.probs
         boxes, inst_boxes, inst_counts = (
             res.boxes, res.inst_boxes, res.inst_counts)
     else:
         from tpu_cnn.head import cam as cam_host
-        from tpu_cnn.head.classify import classify_np
+        from tpu_cnn.head.classify import (classify_np, multi_scores_np,
+                                           pool_for_head)
 
         feats = engine.run_batch(u8)
-        _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
+        if model.multi_head is not None:
+            probs = multi_scores_np(pool_for_head(feats, model.fc_weight),
+                                    *model.multi_head)
+        else:
+            _, _, probs = classify_np(feats, model.fc_weight, model.fc_bias)
         boxes = np.stack([
             cam_host.cam_bbox_multi(feats[i], model.fc_weight,
                                     img_size=img_size)
@@ -327,6 +345,13 @@ def main(argv=None):
                    help="with --multi --instances: scenes place 2 objects "
                         "of the SAME class (the per-class head's blind "
                         "spot)")
+    p.add_argument("--real", action="store_true",
+                   help="with --multi: composite scenes from REAL "
+                        "photograph tiles (artifacts/realphoto/val_bins) "
+                        "instead of synthetic shapes")
+    p.add_argument("--real-root", default=None,
+                   help="with --real: tile directory (default the "
+                        "held-out val_bins split)")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -339,6 +364,16 @@ def main(argv=None):
     print("  DETECTION QUALITY EVALUATION")
     print("=" * 60)
     model = load_model(args.artifacts, args.variant)
+    scenes_cls = None
+    if args.real:
+        import functools
+
+        from tpu_cnn.train.data import RealComposites
+
+        scenes_cls = (functools.partial(RealComposites, root=args.real_root)
+                      if args.real_root else RealComposites)
+        print("  scenes: REAL photograph composites "
+              f"({args.real_root or 'val_bins'})")
     if args.multi:
         thresh = (args.multi_thresh if args.multi_thresh is not None
                   else (model.multi_thresh
@@ -347,11 +382,13 @@ def main(argv=None):
             evaluate_instances(model, mode=args.mode, n_scenes=args.n_scenes,
                                thresh=thresh,
                                instances=max(args.instances, 1),
-                               same_class=args.same_class)
+                               same_class=args.same_class,
+                               scenes_cls=scenes_cls)
         else:
             evaluate_multi(model, mode=args.mode, n_scenes=args.n_scenes,
                            thresh=thresh,
-                           box="centroid" if args.box == "centroid" else "ref")
+                           box="centroid" if args.box == "centroid" else "ref",
+                           scenes_cls=scenes_cls)
     else:
         evaluate(model, mode=args.mode, n_per_class=args.n_per_class,
                  box=args.box)

@@ -80,7 +80,9 @@ def build_detect_multi_fn(model, backend: str, box_mode: str,
     ``TPUEngine._detect_multi`` ('reg' engines export the 'ref' CAM
     profile, the regressor being class-agnostic). ``instances > 1``
     bakes the watershed instance head in (two extra outputs, like the
-    live engine's ``detect_multi_batch(instances=)``)."""
+    live engine's ``detect_multi_batch(instances=)``). A bundle shipping
+    ``multi_head.npz`` bakes the multi-label presence head in too (scores
+    as the LAST output, mirroring the live engine)."""
     import jax.numpy as jnp
 
     from tpu_cnn.ops import detect_head, pallas_poly, quant
@@ -88,6 +90,8 @@ def build_detect_multi_fn(model, backend: str, box_mode: str,
     kernels = [jnp.asarray(k) for k in model.kernels]
     fc_w = jnp.asarray(model.fc_weight)
     fc_b = jnp.asarray(model.fc_bias)
+    mh = (tuple(jnp.asarray(a) for a in model.multi_head)
+          if getattr(model, "multi_head", None) is not None else None)
     img_size = model.config.img_size
     head_mode = model.head_mode
     box_mode = "centroid" if box_mode == "centroid" else "ref"
@@ -111,7 +115,7 @@ def build_detect_multi_fn(model, backend: str, box_mode: str,
             )
             return detect_head.detect_multi_with_pooled(
                 pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
-                instances=instances,
+                instances=instances, multi_head=mh,
             )
     else:
         use_mega_feats = backend.startswith("mega")
@@ -125,7 +129,8 @@ def build_detect_multi_fn(model, backend: str, box_mode: str,
             )
             return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
                                             img_size, box_mode=box_mode,
-                                            instances=instances)
+                                            instances=instances,
+                                            multi_head=mh)
 
     return detect_multi
 
@@ -141,6 +146,8 @@ def export_bundle(model, batch=1536, backend: str = "mega",
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
+
+    from tpu_cnn.ops import detect_head as _dh
 
     if backend == "mega" and any(p != "tpu" for p in platforms):
         raise ValueError(
@@ -181,6 +188,16 @@ def export_bundle(model, batch=1536, backend: str = "mega",
         "multi_thresh": ([float(t) for t in model.multi_thresh]
                          if getattr(model, "multi_thresh", None) is not None
                          else None),
+        # whether the multi program's LAST output is the multi-label
+        # presence scores (the space multi_thresh is calibrated in) — the
+        # head weights themselves are baked into the program
+        "multi_head": bool(multi
+                           and getattr(model, "multi_head", None) is not None),
+        # instance emission policy floors (engine.instance_detections
+        # semantics) — the deployable must reproduce the live engine's
+        # filtered detections without the bundle on the serving host
+        "instance_min_pixels": _dh.INSTANCE_MIN_PIXELS,
+        "instance_min_frac": _dh.INSTANCE_MIN_FRAC,
         "jax_version": jax.__version__,
     }
     buf = io.BytesIO()
@@ -266,12 +283,47 @@ class DeployedDetector:
         """(B, S, S) u8 -> (pred, conf, probs, boxes (B, K, 4)) — only in
         containers exported with --multi (``manifest["multi"]``). When the
         container was exported with --instances N, two extra arrays
-        (inst_boxes (B, K, N, 4), inst_counts (B, K, N)) follow."""
+        (inst_boxes (B, K, N, 4), inst_counts (B, K, N)) follow; when the
+        bundle shipped a multi-label presence head, its scores ride as
+        the LAST array (``manifest["multi_head"]``)."""
         if not self._multi_calls:
             raise ValueError(
                 "this .tcnnx has no multi-object program — re-export with "
                 "apps.export_model --multi")
         return self._run_chunked(self._multi_calls, images, shifts)
+
+    def detections(self, images: np.ndarray, shifts=None, threshold=None):
+        """Filtered per-image detections [(class_idx, score, (x1, y1, x2,
+        y2)), ...] — the deployment twin of
+        ``MultiDetectResult.detections``. The calibrated floors, presence
+        score space, and instance emission policy all travel in the
+        manifest, so a serving host WITHOUT the artifact bundle reproduces
+        the live engine's filtered output exactly (the .tcnnx is the whole
+        deployment contract, like the reference's weights/ + .bit +
+        .hwh)."""
+        from tpu_cnn.engine.tpu import detections_above, instance_detections
+
+        m = self.manifest
+        out = self.detect_multi(images, shifts)
+        scores = None
+        if m.get("multi_head"):
+            scores, out = out[-1], out[:-1]
+        pred, conf, probs, boxes = out[:4]
+        inst = out[4:] if len(out) > 4 else None
+        sc = scores if scores is not None else probs
+        if threshold is None:
+            threshold = (m["multi_thresh"] if m.get("multi_thresh")
+                         is not None else 0.15)
+        if inst is not None and m.get("instances", 1) > 1:
+            return [
+                instance_detections(
+                    sc[i], boxes[i], inst[0][i], inst[1][i], threshold,
+                    min_pixels=m.get("instance_min_pixels"),
+                    min_frac=m.get("instance_min_frac"))
+                for i in range(len(sc))
+            ]
+        return [detections_above(sc[i], boxes[i], threshold)
+                for i in range(len(sc))]
 
 
 def main(argv=None):

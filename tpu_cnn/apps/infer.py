@@ -109,6 +109,11 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
     if multi_thresh is not None:
         from tpu_cnn.engine.tpu import detections_above, instance_detections
 
+        sc = probs
+        if model.multi_head is not None:
+            sc = classify_host.multi_scores_np(
+                classify_host.pool_for_head(feat, model.fc_weight),
+                *model.multi_head)
         boxes_all = cam_host.cam_bbox_multi(
             feat, model.fc_weight, img_size=size,
             box_mode="centroid" if box == "centroid" else "ref",
@@ -119,10 +124,10 @@ def run_inference(engine, model, image_path, verbose=True, save_output=True,
                 max_instances=instances,
             )
             detections = instance_detections(
-                probs, boxes_all, inst_boxes, inst_counts, multi_thresh
+                sc, boxes_all, inst_boxes, inst_counts, multi_thresh
             )
         else:
-            detections = detections_above(probs, boxes_all, multi_thresh)
+            detections = detections_above(sc, boxes_all, multi_thresh)
     if box == "reg":
         from tpu_cnn.head.bbox import bbox_regress_features_np
 

@@ -668,6 +668,14 @@ def main(argv=None):
                     from tpu_cnn.engine.tpu import (detections_above,
                                                     instance_detections)
 
+                    sc = probs
+                    if model.multi_head is not None:
+                        from tpu_cnn.head.classify import (multi_scores_np,
+                                                           pool_for_head)
+
+                        sc = multi_scores_np(
+                            pool_for_head(feat, model.fc_weight),
+                            *model.multi_head)
                     boxes_all = cam_host.cam_bbox_multi(
                         feat, model.fc_weight, img_size=img_size,
                         box_mode="centroid" if args.box == "centroid"
@@ -677,9 +685,9 @@ def main(argv=None):
                             feat, model.fc_weight, img_size=img_size,
                             max_instances=args.instances)
                         detections = instance_detections(
-                            probs, boxes_all, ib, ic, multi_thresh)
+                            sc, boxes_all, ib, ic, multi_thresh)
                     else:
-                        detections = detections_above(probs, boxes_all,
+                        detections = detections_above(sc, boxes_all,
                                                       multi_thresh)
 
             if tracker is not None and detections is not None:

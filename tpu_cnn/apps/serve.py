@@ -37,13 +37,14 @@ from tpu_cnn.models.cnn import IMG_SIZE
 
 
 class _Pending:
-    __slots__ = ("image", "event", "result", "thresh")
+    __slots__ = ("image", "event", "result", "thresh", "t0")
 
     def __init__(self, image: np.ndarray, thresh: float | None = None):
         self.image = image
         self.event = threading.Event()
         self.result: dict | None = None
         self.thresh = thresh  # per-request multi threshold (multi mode)
+        self.t0 = time.perf_counter()  # submit time -> /stats percentiles
 
 
 class DynamicBatcher:
@@ -79,7 +80,13 @@ class DynamicBatcher:
         self.multi_thresh = multi_thresh
         self.q: queue.Queue[_Pending] = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batch_ms_ema": 0.0,
-                      "mean_batch_size": 0.0}
+                      "mean_batch_size": 0.0, "errors": 0}
+        # per-request submit->result latencies (ms), last 4096 — /stats
+        # reports p50/p99 from this window (serving SLO measurement,
+        # docs/OPERATIONS.md load harness)
+        from collections import deque
+
+        self._lat: deque[float] = deque(maxlen=4096)
         self._lock = threading.Lock()
         self.running = True
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -124,26 +131,34 @@ class DynamicBatcher:
             }
             if self.multi:
                 from tpu_cnn.engine.tpu import (detections_above,
-                                                instance_detections)
+                                                instance_detections,
+                                                presence_scores)
 
                 thr = p.thresh if p.thresh is not None else self.multi_thresh
+                sc = presence_scores(res)
                 if getattr(res, "inst_boxes", None) is not None:
                     dets = instance_detections(
-                        res.probs[i], res.boxes[i], res.inst_boxes[i],
+                        sc[i], res.boxes[i], res.inst_boxes[i],
                         res.inst_counts[i], thr)
                 else:
-                    dets = detections_above(res.probs[i], res.boxes[i], thr)
+                    dets = detections_above(sc[i], res.boxes[i], thr)
                 p.result["detections"] = [
                     {"pred": k, "name": self.class_names[k], "conf": prob,
                      "bbox": list(bbox)}
                     for k, prob, bbox in dets
                 ]
             p.event.set()
+        now = time.perf_counter()
+        lats = [(now - p.t0) * 1e3 for p in batch]
+        with self._lock:
+            self._lat.extend(lats)
 
     def _fail(self, batch, e):
         for p in batch:
             p.result = {"error": f"{type(e).__name__}: {e}"}
             p.event.set()
+        with self._lock:
+            self.stats["errors"] += len(batch)
 
     def _record(self, n, t0):
         dt = (time.perf_counter() - t0) * 1e3
@@ -231,7 +246,16 @@ class DynamicBatcher:
 
     def snapshot(self) -> dict:
         with self._lock:
-            return dict(self.stats)
+            out = dict(self.stats)
+            lats = sorted(self._lat)
+        out["queue_depth"] = self.q.qsize()
+        inflight = getattr(self, "_inflight", None)
+        out["batches_in_flight"] = inflight.qsize() if inflight else 0
+        if lats:
+            out["p50_ms"] = round(lats[len(lats) // 2], 3)
+            out["p99_ms"] = round(lats[min(len(lats) - 1,
+                                           int(len(lats) * 0.99))], 3)
+        return out
 
     def stop(self):
         self.running = False
@@ -406,6 +430,9 @@ class _DeployableMultiAdapter(_DeployableAdapter):
         from tpu_cnn.engine.tpu import MultiDetectResult
 
         out = self.det.detect_multi(images)
+        scores = None
+        if self.det.manifest.get("multi_head"):  # scores ride LAST
+            scores, out = out[-1], out[:-1]
         baked = int(self.det.manifest.get("instances", 1))
         if instances > 1 and baked < 2:
             raise ValueError(
@@ -414,7 +441,7 @@ class _DeployableMultiAdapter(_DeployableAdapter):
         # the container bakes ONE instance count; instances=1 requests
         # strip the extra outputs (plain multi semantics)
         inst = out[4:6] if instances > 1 and len(out) > 4 else (None, None)
-        return MultiDetectResult(*out[:4], *inst)
+        return MultiDetectResult(*out[:4], *inst, scores=scores)
 
 
 class _HostDetectAdapter:

@@ -99,14 +99,17 @@ class NativeFrontEnd:
                                           else res.bbox[i])],
             }
             if multi_thresh is not None:
+                from tpu_cnn.engine.tpu import presence_scores
+
+                sc = presence_scores(res)
                 if getattr(res, "inst_boxes", None) is not None:
                     from tpu_cnn.engine.tpu import instance_detections
 
                     dets = instance_detections(
-                        res.probs[i], res.boxes[i], res.inst_boxes[i],
+                        sc[i], res.boxes[i], res.inst_boxes[i],
                         res.inst_counts[i], multi_thresh)
                 else:
-                    dets = detections_above(res.probs[i], res.boxes[i],
+                    dets = detections_above(sc[i], res.boxes[i],
                                             multi_thresh)
                 obj["detections"] = [
                     {"pred": k, "name": class_names[k], "conf": prob,

@@ -126,7 +126,7 @@ def build_backends(kernels, shifts, names, img_size: int = 128):
 
 
 def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
-                img_size, want_feats, use_mega):
+                img_size, want_feats, use_mega, multi_head=None):
     """Fused-head verify stage: the PRODUCTION on-device head (classifier +
     CAM box, with the bin pooling fused into the megakernel epilogue when
     the geometry supports it) vs the host numpy twins. The reference's
@@ -144,6 +144,14 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
     sj = jnp.asarray(list(shifts), jnp.int32)
     fc_w = jnp.asarray(fc_weight)
     fc_b = jnp.asarray(fc_bias)
+    if multi_head is None:
+        # no shipped head: seeded random weights — the arithmetic parity
+        # of the sigmoid-score path is verified regardless (random-kernel
+        # idiom of the feature stage)
+        rs = np.random.RandomState(11)
+        multi_head = ((rs.randn(*fc_weight.shape) * 0.05).astype(np.float32),
+                      np.zeros(fc_weight.shape[0], np.float32))
+    mh = tuple(jnp.asarray(a) for a in multi_head)
 
     if use_mega:
         from tpu_cnn.ops import pallas_poly
@@ -161,7 +169,8 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
             )
             return (pooled,) + detect_head.detect_with_pooled(
                 feats, pooled, fc_w, fc_b, img_size, features_twin=f32
-            ) + (mboxes, iboxes, icounts)
+            ) + (mboxes, iboxes, icounts,
+                 detect_head.multi_scores(pooled, *mh))
 
         label = "mega(+fused bins)"
     else:
@@ -179,14 +188,18 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
             )
             return (pooled,) + detect_head.detect(
                 feats, fc_w, fc_b, "bins", img_size
-            ) + (mboxes, iboxes, icounts)
+            ) + (mboxes, iboxes, icounts,
+                 detect_head.multi_scores(pooled, *mh))
 
         label = "xla"
-    pooled, pred, conf, probs, bbox, mboxes, iboxes, icounts = (
+    pooled, pred, conf, probs, bbox, mboxes, iboxes, icounts, mscores = (
         np.asarray(a) for a in head_fn(jnp.asarray(batch))
     )
 
     widx, wconf, wprobs = classify_np(want_feats, fc_weight, fc_bias)
+    from tpu_cnn.head.classify import multi_scores_np
+
+    want_mscores = multi_scores_np(bin_pool_np(want_feats), *multi_head)
     want_pooled = bin_pool_np(want_feats)
     want_bbox = np.stack([
         cam_bbox_fast(want_feats[i], int(widx[i]), fc_weight, img_size)
@@ -213,6 +226,11 @@ def verify_head(kernels, shifts, fc_weight, fc_bias, batch, stim_names,
         ("instances", np.array_equal(iboxes,
                                      want_iboxes.astype(iboxes.dtype))
          and np.array_equal(icounts, want_icounts.astype(icounts.dtype))),
+        # sigmoid over a (D=1024)-sum f32 logit: dot accumulation order
+        # differs device vs numpy (measured up to ~5e-6 on the shipped
+        # head, z spanning +-24) — same tolerance as probabilities; the
+        # calibrated floors are spaced 0.01, so 1e-4 slack is meaningless
+        ("multi scores", np.allclose(mscores, want_mscores, atol=1e-4)),
     ]
     for name, good in checks:
         if good:
@@ -333,6 +351,7 @@ def main(argv=None):
         # arithmetic parity, same idiom as the random kernels above)
         oc_last = kernels[-1].shape[0]
         fcw = fcb = None
+        multi_head = None
         if args.variant == "lyr3-std":
             try:
                 from tpu_cnn.utils import artifacts as art
@@ -341,6 +360,7 @@ def main(argv=None):
                 bundle = art.load_bundle(default_artifacts())
                 if bundle.fc_weight.shape[1] == oc_last * 16:
                     fcw, fcb = bundle.fc_weight, bundle.fc_bias
+                    multi_head = bundle.multi_head  # shipped presence head
             except Exception:
                 pass
         if fcw is None:
@@ -351,6 +371,7 @@ def main(argv=None):
         head_ok = verify_head(
             kernels, shifts, fcw, fcb, batch, list(stims.keys()),
             config.img_size, outputs[ref], use_mega="mega" in outputs,
+            multi_head=multi_head,
         )
         ok = ok and head_ok
     print("=" * 64)

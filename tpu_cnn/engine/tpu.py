@@ -41,6 +41,16 @@ class DetectResult:
     bbox: np.ndarray  # (B, 4) int32 (x1, y1, x2, y2)
 
 
+def presence_scores(res) -> np.ndarray:
+    """The (B, K) presence matrix the multi-object filter thresholds:
+    the multi-label head's sigmoid scores when the bundle ships one
+    (``multi_head.npz`` — the calibrated floors live in that space),
+    else the softmax probabilities. Single definition for every surface
+    that filters detections from a ``MultiDetectResult``."""
+    sc = getattr(res, "scores", None)
+    return sc if sc is not None else res.probs
+
+
 def detections_above(probs_row, boxes_row, threshold):
     """One image's multi-object detections: [(class_idx, prob, (x1, y1,
     x2, y2)), ...] for every class with prob >= its threshold, sorted by
@@ -115,21 +125,30 @@ class MultiDetectResult:
     # instance mode (detect_multi_batch(instances=I > 1)) only, else None:
     inst_boxes: np.ndarray | None = None  # (B, num_classes, I, 4) int32
     inst_counts: np.ndarray | None = None  # (B, num_classes, I) int32
+    # multi-label presence scores (bundles shipping multi_head.npz — see
+    # ops.detect_head.multi_scores), else None. When present, the
+    # detection filter thresholds THESE (the calibrated multi_thresh.json
+    # floors live in this sigmoid-score space); pred/conf/probs stay the
+    # softmax classifier.
+    scores: np.ndarray | None = None
 
     def detections(self, threshold: float = 0.15,
                    min_pixels: int | None = None):
         """Per image: :func:`detections_above` of each row — or
-        :func:`instance_detections` when instance outputs are present."""
+        :func:`instance_detections` when instance outputs are present.
+        The presence score is ``scores`` (multi-label head) when the
+        bundle ships one, else the softmax ``probs``."""
+        sc = self.scores if self.scores is not None else self.probs
         if self.inst_boxes is not None:
             return [
-                instance_detections(self.probs[b], self.boxes[b],
+                instance_detections(sc[b], self.boxes[b],
                                     self.inst_boxes[b], self.inst_counts[b],
                                     threshold, min_pixels)
-                for b in range(self.probs.shape[0])
+                for b in range(sc.shape[0])
             ]
         return [
-            detections_above(self.probs[b], self.boxes[b], threshold)
-            for b in range(self.probs.shape[0])
+            detections_above(sc[b], self.boxes[b], threshold)
+            for b in range(sc.shape[0])
         ]
 
 
@@ -157,6 +176,7 @@ class TPUEngine:
         max_batch: int = 4096,
         timeout_s: float | None = 300.0,  # first call includes XLA compile
         box_mode: str = "ref",  # reference CAM | "centroid" | "reg" (learned)
+        compact_multi: bool | None = None,  # None = auto (see _compact_multi)
     ):
         from tpu_cnn.utils.compile_cache import enable_persistent_cache
 
@@ -178,7 +198,16 @@ class TPUEngine:
         self._kernels_dev = [jnp.asarray(k) for k in model.kernels]
         self._fc_w_dev = jnp.asarray(model.fc_weight)
         self._fc_b_dev = jnp.asarray(model.fc_bias)
+        # learned multi-label presence head (calibrate_multi --fit-head) —
+        # staged at init like the fc weights; adds one fused (D, K) matmul
+        # + sigmoid to the multi program and a scores output
+        self._multi_head_dev = (
+            (jnp.asarray(model.multi_head[0]),
+             jnp.asarray(model.multi_head[1]))
+            if model.multi_head is not None else None
+        )
         self._shifts_dev = jnp.asarray(model.shifts, jnp.int32)
+        self._compact_multi_opt = compact_multi
         self.backend = self._resolve_backend(backend)
         self._forward = self._make_forward()
         self._detect = self._make_detect()
@@ -411,16 +440,42 @@ class TPUEngine:
     def detect_multi_resolve(self, handle) -> MultiDetectResult:
         *out, b = handle
         out = self._fetch(tuple(out))
+        scores = None
+        if self._multi_head_dev is not None:  # scores ride as LAST output
+            scores, out = out[-1][:b], out[:-1]
         pred, conf, probs, boxes = out[:4]
         inst = tuple(a[:b] for a in out[4:]) if len(out) > 4 else (None, None)
+        if self._compact_multi:  # restore the u8/i16 wire dtypes to i32
+            boxes = boxes.astype(np.int32)
+            inst = tuple(a.astype(np.int32) if a is not None else None
+                         for a in inst)
         return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b],
-                                 *inst)
+                                 *inst, scores=scores)
 
     @property
     def _detect_multi(self):
         """The instances=1 multi program (kept as a property for warmup
         and the mesh engine's parity tests)."""
         return self._detect_multi_prog(1)
+
+    @property
+    def _compact_multi(self) -> bool:
+        """Compact device->host encoding for the multi program's box
+        outputs: coordinates ride as uint8 (img_size <= 256 — every
+        registry geometry) and instance pixel counts as int16 (<= s*s =
+        256), restored to int32 after the fetch, values identical.
+
+        Why: the instance-mode ablation (scripts/probe_instance_ablate.py)
+        showed compute costs only +1.27 us/img over plain multi, yet the
+        e2e benchmark measured ~12-14 us/img — the gap is RESULT READBACK
+        (~330 KB/batch of int32 boxes through the ~30 MB/s relay;
+        CLAUDE.md transport rules). int32->u8/i16 cuts the multi-program
+        readback ~3.4x. The same economics hold on any real link (PCIe,
+        DCN): detection payloads are bytes, not words."""
+        if self._compact_multi_opt is not None:
+            return (self._compact_multi_opt
+                    and self.model.config.img_size <= 256)
+        return self.model.config.img_size <= 256
 
     def _detect_multi_prog(self, instances: int = 1):
         cache = self.__dict__.setdefault("_detect_multi_progs", {})
@@ -442,6 +497,8 @@ class TPUEngine:
                     with_bins=True, with_twin=True, with_feats=True,
                 ) is not None
 
+            compact = self._compact_multi
+
             @jax.jit
             def detect_multi(images, shifts):
                 if fuse_bins:
@@ -451,15 +508,26 @@ class TPUEngine:
                         images, self._kernels_dev, shifts,
                         with_bins=True, with_twin=True, with_feats=True,
                     )
-                    return detect_head.detect_multi_with_pooled(
+                    out = detect_head.detect_multi_with_pooled(
                         pooled, twin, self._fc_w_dev, self._fc_b_dev,
                         img_size, box_mode=box_mode, instances=instances,
+                        multi_head=self._multi_head_dev,
                     )
-                feats = features_fn(images, self._kernels_dev, shifts)
-                return detect_head.detect_multi(
-                    feats, self._fc_w_dev, self._fc_b_dev, head_mode,
-                    img_size, box_mode=box_mode, instances=instances,
-                )
+                else:
+                    feats = features_fn(images, self._kernels_dev, shifts)
+                    out = detect_head.detect_multi(
+                        feats, self._fc_w_dev, self._fc_b_dev, head_mode,
+                        img_size, box_mode=box_mode, instances=instances,
+                        multi_head=self._multi_head_dev,
+                    )
+                if compact:  # see _compact_multi — u8/i16 on the wire
+                    out = list(out)
+                    out[3] = out[3].astype(jnp.uint8)  # boxes
+                    if instances > 1:
+                        out[4] = out[4].astype(jnp.uint8)  # inst_boxes
+                        out[5] = out[5].astype(jnp.int16)  # inst_counts
+                    out = tuple(out)
+                return out
 
             cache[instances] = detect_multi
         return cache[instances]

@@ -59,3 +59,21 @@ def classify_np(
         name = class_names[i] if class_names else str(i)
         return i, name, float(conf[0]), probs[0]
     return idx, conf, probs
+
+
+def multi_scores_np(
+    pooled: np.ndarray,  # (B, D) or (D,) — pool_for_head output
+    multi_w: np.ndarray,  # (num_classes, D) float32
+    multi_b: np.ndarray,  # (num_classes,) float32
+) -> np.ndarray:
+    """Host twin of ``ops.detect_head.multi_scores``: per-class sigmoid
+    presence scores from the learned multi-label head
+    (``apps.calibrate_multi --fit-head``). Unlike softmax probabilities
+    these do not sum to 1, so co-present objects don't suppress each
+    other — the score space the calibrated ``multi_thresh.json`` floors
+    live in when ``multi_head.npz`` ships with the bundle. Float32
+    throughout, same formulation as the device head (parity to ~1 ulp —
+    the sigmoid exp is transcendental, so tests compare with a tight
+    allclose rather than bit equality)."""
+    z = (pooled @ multi_w.T + multi_b).astype(np.float32)
+    return (1.0 / (1.0 + np.exp(-z))).astype(np.float32)

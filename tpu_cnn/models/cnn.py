@@ -119,6 +119,7 @@ class FpgaCNN:
         config: CNNConfig = CNNConfig(),
         bbox_weight: np.ndarray | None = None,  # (D+1, 4) regression head
         multi_thresh=None,  # per-class multi-object thresholds (K,) or None
+        multi_head=None,  # (w (K, D), b (K,)) multi-label presence head
     ):
         self.config = config
         expected = [(oc, ic, 3, 3) for ic, oc, _ in config.layer_configs]
@@ -152,6 +153,19 @@ class FpgaCNN:
         if (self.multi_thresh is not None
                 and self.multi_thresh.shape != (len(self.class_names),)):
             raise ValueError("one multi threshold per class required")
+        # multi-label presence head (apps.calibrate_multi --fit-head):
+        # replaces softmax probs as the --multi presence score; floors in
+        # multi_thresh then live in its sigmoid-score space
+        self.multi_head = None
+        if multi_head is not None:
+            mw = np.asarray(multi_head[0], np.float32)
+            mb = np.asarray(multi_head[1], np.float32)
+            if mw.shape != self.fc_weight.shape or mb.shape != (
+                    len(self.class_names),):
+                raise ValueError(
+                    f"multi_head shapes {mw.shape}/{mb.shape} must match "
+                    f"the fc head {self.fc_weight.shape}")
+            self.multi_head = (mw, mb)
 
     @property
     def head_mode(self) -> str:
@@ -182,5 +196,6 @@ class FpgaCNN:
             class_names=bundle.class_names,
             bbox_weight=bundle.bbox_weight,
             multi_thresh=bundle.multi_thresh,
+            multi_head=bundle.multi_head,
             **kw,
         )

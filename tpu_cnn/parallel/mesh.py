@@ -185,18 +185,22 @@ def sharded_detect_multi_mega(
     img_size: int = 128,
     box_mode: str = "ref",
     instances: int = 1,
+    multi_head=None,
 ):
     """Multi-object head under the mesh: fused megakernel + one CAM box
     per class (``detect_head.detect_multi_with_pooled``), data-parallel
     over every mesh axis — the multi-chip twin of
     ``TPUEngine._detect_multi``. ``instances > 1`` adds the watershed
-    per-component boxes (two extra batch-sharded outputs)."""
+    per-component boxes (two extra batch-sharded outputs); ``multi_head``
+    adds the multi-label presence scores as the LAST output."""
     from tpu_cnn.ops import pallas_poly
 
     axes = _all_axes(mesh)
     kernels = [jnp.asarray(k) for k in kernels]
     fc_w = jnp.asarray(fc_weight)
     fc_b = jnp.asarray(fc_bias)
+    mh = (tuple(jnp.asarray(a) for a in multi_head)
+          if multi_head is not None else None)
 
     def per_shard(images, shifts):
         if head_mode == "bins":
@@ -206,14 +210,14 @@ def sharded_detect_multi_mega(
             )
             return detect_head.detect_multi_with_pooled(
                 pooled, twin, fc_w, fc_b, img_size, box_mode=box_mode,
-                instances=instances,
+                instances=instances, multi_head=mh,
             )
         feats = pallas_poly.cnn_forward_mega(images, kernels, shifts)
         return detect_head.detect_multi(feats, fc_w, fc_b, head_mode,
                                         img_size, box_mode=box_mode,
-                                        instances=instances)
+                                        instances=instances, multi_head=mh)
 
-    n_out = 6 if instances > 1 else 4
+    n_out = (6 if instances > 1 else 4) + (1 if mh is not None else 0)
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
@@ -233,6 +237,7 @@ def sharded_detect_multi(
     img_size: int = 128,
     box_mode: str = "ref",
     instances: int = 1,
+    multi_head=None,
     *,
     compute_dtype: str = "float32",
 ):
@@ -241,13 +246,15 @@ def sharded_detect_multi(
     forward = sharded_forward(mesh, kernels, compute_dtype=compute_dtype)
     fc_w = jax.device_put(fc_weight, NamedSharding(mesh, P(None, "model")))
     fc_b = jax.device_put(fc_bias, NamedSharding(mesh, P()))
+    mh = (tuple(jnp.asarray(a) for a in multi_head)
+          if multi_head is not None else None)
 
     @jax.jit
     def detect_multi(images, shifts):
         feats = forward(images, shifts)
         out = detect_head.detect_multi(
             feats, fc_w, fc_b, head_mode, img_size, box_mode=box_mode,
-            instances=instances,
+            instances=instances, multi_head=mh,
         )
         pred, conf, probs, boxes = out[:4]
         res = (
@@ -261,6 +268,8 @@ def sharded_detect_multi(
                 _constrain(mesh, out[4], P("data", None, None, None)),
                 _constrain(mesh, out[5], P("data", None, None)),
             )
+        if mh is not None:
+            res += (_constrain(mesh, out[-1], P("data", None)),)
         return res
 
     return detect_multi
@@ -447,7 +456,7 @@ class MeshEngine:
             cache[instances] = build(
                 self.mesh, kernels, m.fc_weight, m.fc_bias,
                 m.head_mode, m.config.img_size, box_mode=box_mode,
-                instances=instances,
+                instances=instances, multi_head=m.multi_head,
             )
         return cache[instances]
 
@@ -482,10 +491,13 @@ class MeshEngine:
 
         *out, b = handle
         out = jax.device_get(tuple(out))
+        scores = None
+        if self.model.multi_head is not None:  # scores ride as LAST output
+            scores, out = out[-1][:b], out[:-1]
         pred, conf, probs, boxes = out[:4]
         inst = tuple(a[:b] for a in out[4:]) if len(out) > 4 else (None, None)
         return MultiDetectResult(pred[:b], conf[:b], probs[:b], boxes[:b],
-                                 *inst)
+                                 *inst, scores=scores)
 
 
 def sharded_detect(

@@ -37,9 +37,16 @@ class ArtifactBundle:
     # absent file falls back to the variant's default ladder.
     shifts: list[int] | None = None
     # optional per-class multi-object detection thresholds
-    # (apps.calibrate_multi --save): F1-calibrated probability floors,
-    # one per class. Absent -> the uniform 0.15 default.
+    # (apps.calibrate_multi --save): F1-calibrated floors, one per class.
+    # Absent -> the uniform 0.15 default. When multi_head is present the
+    # floors live in ITS sigmoid-score space, else in softmax-prob space.
     multi_thresh: list[float] | None = None
+    # optional multi-label presence head (apps.calibrate_multi --fit-head):
+    # (w (K, D), b (K,)) f32 — independent per-class sigmoids over the
+    # same pooled features the classifier reads (ops.detect_head
+    # .multi_scores). Replaces softmax probs as the --multi presence
+    # score, breaking the sum-to-1 suppression between co-present objects.
+    multi_head: tuple[np.ndarray, np.ndarray] | None = None
 
 
 WEIGHTS_BIN = "weights.bin"
@@ -49,6 +56,7 @@ CLASSES = "classes.json"
 BBOX_WEIGHT = "bbox_weight.npy"
 SHIFTS_JSON = "shifts.json"
 MULTI_THRESH_JSON = "multi_thresh.json"
+MULTI_HEAD_NPZ = "multi_head.npz"
 
 
 def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
@@ -92,9 +100,15 @@ def load_bundle(artifact_dir: str | os.PathLike, prefix: str = "",
     if os.path.exists(mt_path):
         with open(mt_path) as f:
             multi_thresh = [float(t) for t in json.load(f)]
+    mh_path = os.path.join(d, prefix + MULTI_HEAD_NPZ)
+    multi_head = None
+    if os.path.exists(mh_path):
+        mh = np.load(mh_path)
+        multi_head = (mh["w"].astype(np.float32),
+                      mh["b"].astype(np.float32))
     return ArtifactBundle(kernels, fc_w, fc_b, class_names,
                           bbox_weight=bbox_w, shifts=shifts,
-                          multi_thresh=multi_thresh)
+                          multi_thresh=multi_thresh, multi_head=multi_head)
 
 
 def save_bundle(
@@ -116,6 +130,10 @@ def save_bundle(
     if bundle.multi_thresh is not None:
         with open(os.path.join(d, prefix + MULTI_THRESH_JSON), "w") as f:
             json.dump([float(t) for t in bundle.multi_thresh], f)
+    if bundle.multi_head is not None:
+        np.savez(os.path.join(d, prefix + MULTI_HEAD_NPZ),
+                 w=bundle.multi_head[0].astype(np.float32),
+                 b=bundle.multi_head[1].astype(np.float32))
     with open(os.path.join(d, CLASSES), "w") as f:
         json.dump(list(bundle.class_names), f)
 
