@@ -52,9 +52,17 @@ class Track:
     hits: int = 1
     age: int = 0  # frames since last match
     confirmed: bool = False
+    # per-coordinate velocity estimate (px/frame), used only when the
+    # tracker runs with velocity=True (constant-velocity association gate)
+    vel: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     def ibox(self) -> tuple[int, int, int, int]:
         return tuple(int(round(v)) for v in self.box)
+
+    def predicted(self, lead: int = 1) -> tuple[float, float, float, float]:
+        """Where a constant-velocity model expects the box ``lead``
+        frames after the last match."""
+        return tuple(b + v * lead for b, v in zip(self.box, self.vel))
 
 
 class Tracker:
@@ -66,7 +74,8 @@ class Tracker:
     """
 
     def __init__(self, iou_floor: float = 0.2, max_age: int = 8,
-                 min_hits: int = 2, smooth: float = 0.6):
+                 min_hits: int = 2, smooth: float = 0.6,
+                 velocity: bool = False, vel_smooth: float = 0.5):
         if not 0.0 < smooth <= 1.0:
             raise ValueError("smooth must be in (0, 1]: the weight of the "
                              "NEW observation")
@@ -74,6 +83,12 @@ class Tracker:
         self.max_age = max_age
         self.min_hits = min_hits
         self.smooth = smooth
+        # velocity=True matches detections against each track's
+        # CONSTANT-VELOCITY predicted box instead of its last box — the
+        # SORT-style motion gate. Default off: measured on MovingScenes
+        # (apps.eval_tracking A/B) — see docs/ROADMAP.md for the verdict.
+        self.velocity = velocity
+        self.vel_smooth = vel_smooth
         self.tracks: list[Track] = []
         self._next_id = 1
         self.frames = 0
@@ -83,9 +98,14 @@ class Tracker:
         ...]``; returns the confirmed live tracks (stable order: by id)."""
         self.frames += 1
         # candidate (iou, track_idx, det_idx), best first; ties by
-        # (track id, detection order) for determinism
+        # (track id, detection order) for determinism. With velocity on,
+        # an unmatched track's prediction keeps advancing (age+1 frames
+        # since the last match), so a briefly-occluded object is re-found
+        # where it SHOULD be, not where it last was.
+        ref = ([t.predicted(t.age + 1) for t in self.tracks]
+               if self.velocity else [t.box for t in self.tracks])
         cand = sorted(
-            ((_iou(t.box, d[2]), ti, di)
+            ((_iou(ref[ti], d[2]), ti, di)
              for ti, t in enumerate(self.tracks)
              for di, d in enumerate(detections)
              if t.cls == d[0]),
@@ -103,7 +123,16 @@ class Tracker:
             used_d.add(di)
             t = self.tracks[ti]
             _, prob, box = detections[di]
+            old = t.box
             t.box = tuple((1 - a) * o + a * n for o, n in zip(t.box, box))
+            if self.velocity:
+                # per-frame displacement of the SMOOTHED box, spread over
+                # the frames since the last match, exponentially smoothed
+                b = self.vel_smooth
+                dt = max(t.age + 1, 1)
+                t.vel = tuple(
+                    (1 - b) * v + b * (n - o) / dt
+                    for v, o, n in zip(t.vel, old, t.box))
             t.prob = (1 - a) * t.prob + a * prob
             t.hits += 1
             t.age = 0
