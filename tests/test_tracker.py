@@ -143,3 +143,25 @@ def test_realtime_track_requires_multi(artifact_dir):
             "--source", "synthetic", "--frames", "2", "--no-serve",
             "--track",
         ])
+
+
+def test_realtime_track_velocity_smoke(artifact_dir, capsys):
+    from tpu_cnn.apps import realtime
+
+    realtime.main([
+        "--artifacts", artifact_dir, "--mode", "cpu",
+        "--source", "synthetic", "--frames", "6", "--no-serve",
+        "--multi", "--track", "--track-velocity",
+    ])
+    assert "Done. 6 frames." in capsys.readouterr().out
+
+
+def test_realtime_track_velocity_requires_track(artifact_dir):
+    from tpu_cnn.apps import realtime
+
+    with pytest.raises(SystemExit):
+        realtime.main([
+            "--artifacts", artifact_dir, "--mode", "cpu",
+            "--source", "synthetic", "--frames", "2", "--no-serve",
+            "--multi", "--track-velocity",
+        ])

@@ -530,6 +530,11 @@ def main(argv=None):
                          "stable '#id' labels, smoothed boxes, flicker "
                          "suppression (head.tracker, SORT-style greedy "
                          "IoU association)")
+    ap.add_argument("--track-velocity", action="store_true",
+                    help="with --track: constant-velocity association "
+                         "gate. Measured no better than static IoU on "
+                         "every eval_tracking regime (docs/ROADMAP.md "
+                         "1f) — opt in only for small fast objects")
     ap.add_argument("--fused", action="store_true",
                     help="run the whole head on device (one fused jit per "
                          "frame; only pred/conf/probs/box cross back — "
@@ -558,11 +563,13 @@ def main(argv=None):
         ap.error("--multi needs the spatial-bin head (per-class CAM)")
     if args.track and not args.multi:
         ap.error("--track rides the multi-object detections; add --multi")
+    if args.track_velocity and not args.track:
+        ap.error("--track-velocity is a --track option")
     tracker = None
     if args.track:
         from tpu_cnn.head.tracker import Tracker
 
-        tracker = Tracker()
+        tracker = Tracker(velocity=args.track_velocity)
     multi_thresh = (args.multi_thresh if args.multi_thresh is not None
                     else (model.multi_thresh
                           if model.multi_thresh is not None else 0.15))
