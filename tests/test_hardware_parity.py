@@ -302,3 +302,22 @@ def test_instance_head_on_hardware(stock_kernels, rng):
             want_feats[b], fc_w, max_instances=3)
         np.testing.assert_array_equal(res.inst_boxes[b], want_boxes)
         np.testing.assert_array_equal(res.inst_counts[b], want_counts)
+
+
+def test_chunked_single_layer_on_hardware(rng):
+    """conv_pool_layer_poly — the chunked-accumulator single-layer kernel
+    the lyr4-wide chained plan now uses for its 256^2 layer 0 — bit-exact
+    on the chip at the planned and a finer sub-chunk count (interpret mode
+    cannot catch Mosaic staging miscompiles; the round-2 lyr4 tb=1 bug was
+    exactly this class)."""
+    from tpu_cnn.engine.cpu_ref import numpy_conv_layer
+    from tpu_cnn.ops import pallas_poly
+
+    k = rng.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8)
+    x = _stimuli(rng, 256, n=5)[:, None, :, :]
+    want = np.stack([numpy_conv_layer(x[b], k, 2) for b in range(len(x))])
+    for n_sub in (1, 2):
+        got = np.asarray(pallas_poly.conv_pool_layer_poly(
+            jnp.asarray(x), jnp.asarray(k), jnp.int32(2), n_sub=n_sub,
+        ))
+        np.testing.assert_array_equal(got, want)

@@ -243,3 +243,73 @@ def test_sub4row_reroute_still_exact(rng):
     ))
     want = numpy_conv_layer(x[0], k, 3)
     np.testing.assert_array_equal(got[0], want)
+
+
+def test_chunked_single_layer_parity(rng):
+    """conv_pool_layer_poly (the chunked-accumulator single-layer kernel
+    that puts lyr4-wide's 256^2 layer 0 in VMEM) is bit-exact vs the oracle
+    at every supported sub-chunk count, including a batch that needs
+    padding to the batch tile."""
+    from tpu_cnn.ops import pallas_poly
+
+    k = rng.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8)
+    x = rng.randint(0, 256, size=(5, 1, 256, 256)).astype(np.uint8)
+    want = np.stack([numpy_conv_layer(x[b], k, 2) for b in range(len(x))])
+    for n_sub in (1, 2, 4):
+        assert pallas_poly.single_layer_supported(1, 16, 256, n_sub=n_sub)
+        got = np.asarray(pallas_poly.conv_pool_layer_poly(
+            jnp.asarray(x), jnp.asarray(k), jnp.int32(2),
+            interpret=True, n_sub=n_sub,
+        ))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_single_layer_plan_logic():
+    """The plan picks the coarsest fitting sub-chunk count and refuses
+    geometries outside the kernel's contract (t must be lane-aligned,
+    >= 4 staged sublane rows, even size)."""
+    from tpu_cnn.ops import pallas_poly
+
+    assert pallas_poly.single_layer_plan(1, 16, 256) == 1
+    # t = 64 is not a multiple of the 128-lane tile
+    assert pallas_poly.single_layer_plan(1, 16, 128) is None
+    # odd size
+    assert pallas_poly.single_layer_plan(1, 16, 255) is None
+    # < 4 staged sublane rows at tb=1
+    assert pallas_poly.single_layer_plan(1, 16, 256, tb=1) is None
+    # the VMEM model rejects 512^2 (the widened i32 input alone cannot
+    # shrink with chunking)
+    assert pallas_poly.single_layer_plan(1, 16, 512) is None
+
+
+def test_chunked_single_layer_rejects_unsupported(rng):
+    from tpu_cnn.ops import pallas_poly
+
+    k = jnp.asarray(rng.randint(-127, 128, size=(16, 1, 3, 3)), jnp.int8)
+    x = jnp.asarray(rng.randint(0, 256, size=(2, 1, 128, 128)), jnp.uint8)
+    with pytest.raises(ValueError, match="single-layer kernel"):
+        pallas_poly.conv_pool_layer_poly(x, k, jnp.int32(2), interpret=True)
+
+
+def test_chained_mega_head_uses_chunked_kernel(rng):
+    """cnn_forward_mega's chained plan routes the lyr4-wide head layer
+    through the chunked single-layer kernel (geometry qualifies) and stays
+    bit-exact end to end."""
+    from tpu_cnn.models.registry import get_config
+    from tpu_cnn.ops import pallas_poly
+
+    cfg = get_config("lyr4-wide")
+    assert pallas_poly.single_layer_supported(*cfg.layer_configs[0])
+    kernels = [
+        rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    shifts = [2, 4, 5, 6]
+    imgs = rng.randint(0, 256, size=(2, 256, 256)).astype(np.uint8)
+    got = np.asarray(pallas_poly.cnn_forward_mega(
+        jnp.asarray(imgs), [jnp.asarray(k) for k in kernels],
+        jnp.asarray(shifts, jnp.int32), interpret=True,
+    ))
+    for b in range(len(imgs)):
+        want = numpy_cnn_forward(imgs[b], kernels, shifts)
+        np.testing.assert_array_equal(got[b], want)

@@ -630,12 +630,13 @@ def cnn_forward_mega(
 ) -> jax.Array:
     """The general production mega entry: the WHOLE net in one polyphase
     megakernel when its working set fits VMEM (the flagship plan), else the
-    ``polyphase_plan`` chain — head layers through
-    ``pallas_int8.fused_conv_layer`` (which itself reroutes sub-4-row
-    geometries to the XLA conv), tail in one megakernel at the planned batch
-    tile. Bit-exact either way; same output contract/options as
-    :func:`cnn_forward_polyphase_pallas`. Raises when no plan exists
-    (``polyphase_plan`` returned None — use hybrid)."""
+    ``polyphase_plan`` chain — each head layer through the chunked
+    single-layer Pallas kernel (:func:`conv_pool_layer_poly`) when its
+    geometry qualifies, else ``pallas_int8.fused_conv_layer`` (which itself
+    reroutes sub-4-row geometries to the XLA conv), tail in one megakernel
+    at the planned batch tile. Bit-exact every way; same output
+    contract/options as :func:`cnn_forward_polyphase_pallas`. Raises when no
+    plan exists (``polyphase_plan`` returned None — use hybrid)."""
     if images.ndim == 4:
         images = images[..., 0]
     b, s, _ = images.shape
@@ -659,10 +660,208 @@ def cnn_forward_mega(
 
     x = images[:, None, :, :]  # NCHW
     for i in range(n_head):
-        kmat = pallas_int8.pack_kernel_matrix(kernels[i])
-        x = pallas_int8.fused_conv_layer(x, kmat, shifts[i],
-                                         interpret=interpret)
+        ic_i, oc_i, s_i = layer_configs[i]
+        if single_layer_supported(ic_i, oc_i, s_i):
+            # the head layer itself in VMEM — the XLA reroute is correct
+            # but memory-bound (its f32 conv output round-trips HBM; 24.2
+            # of lyr4-wide's 29.6 us/img, scripts/probe_lyr4_roofline.py)
+            x = conv_pool_layer_poly(x, kernels[i], shifts[i],
+                                     interpret=interpret)
+        else:
+            kmat = pallas_int8.pack_kernel_matrix(kernels[i])
+            x = pallas_int8.fused_conv_layer(x, kmat, shifts[i],
+                                             interpret=interpret)
     return cnn_forward_polyphase_pallas(
         x, kernels[n_head:], shifts[n_head:], interpret=interpret,
         with_bins=with_bins, with_twin=with_twin, with_feats=with_feats, tb=tb,
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunked single-layer kernel: the big-geometry head layer in Pallas.
+#
+# The polyphase megakernel cannot take lyr4-wide's 256^2 layer 0: the whole-
+# net working set blows VMEM at any batch tile, tb=1 hits the <4-sublane-row
+# int8 staging miscompile, and both padded-channel workarounds OOM Mosaic's
+# scoped VMEM (25.8M > 16M, scripts/probe_lyr4_padded.py). The XLA conv
+# reroute is CORRECT but memory-bound: its f32 conv output materialises in
+# HBM (4.2 MB/img at 256^2 x 16ch) and the measured L0 stage costs 24.9 of
+# the chain's 29.6 us/img while holding 4% of the MACs — and every XLA-level
+# reformulation probed within 14% of it (bf16/NCHW/im2col/space-to-depth,
+# scripts/probe_lyr4_l0.py: conv dtype is irrelevant, traffic is the wall).
+#
+# This kernel runs ONE conv3x3 -> >>shift -> clip -> 2x2-maxpool layer
+# entirely in VMEM at the single-layer polyphase layout (g=2): the input
+# image stays resident, activations never touch HBM, and the int32
+# accumulator — the object that made the layer un-fusable (4 MB/img) — is
+# CHUNKED: the kernel walks the 4 phase blocks x n_sub lane sub-chunks,
+# staging taps and running the block-diag int8 MXU dot per chunk, folding
+# the 2x2 pool as a running max across the 4 phase blocks (shift/clip and
+# max are monotone, so pooling raw accumulators is exact). Chunking makes
+# every tap a STATIC in-bounds lane slice — g=2 gives each (phase block,
+# tap) exactly ONE carry variant (sy = -1 forces the source phase row to 1
+# and vice versa), so the full kernel's roll + corrective-run machinery
+# degenerates to 36 masked slice-stores with no rolls and no padding.
+# The reference hits the same wall at the same layer and splits it 4-ways
+# spatially in hardware (layer 0 capacity split, ``rtl/core/layer_fsm.v:
+# 206-213``); this is that split, on the lane axis of one core.
+# ---------------------------------------------------------------------------
+
+
+def _single_layer_body(shift_ref, x_ref, k_ref, corr_ref, out_ref, xs_ref,
+                       *, ic, oc, tb, t, n_sub):
+    m = t * t
+    lanes = 4 * m
+    rows = tb * ic
+    x_i32 = x_ref[:].reshape(rows, lanes).astype(jnp.int32)
+    ln = m // n_sub
+
+    def cvt(v_i32):
+        return pltpu.bitcast(v_i32.astype(jnp.uint8) ^ jnp.uint8(0x80),
+                             jnp.int8)
+
+    for c in range(n_sub):
+        off = c * ln
+        masks = {}
+        mx = None
+        for blk in range(4):
+            ry, rx = blk // 2, blk % 2
+            for i, (dy, dx) in enumerate(
+                    (a, b) for a in range(3) for b in range(3)):
+                ay, ax = dy - 1, dx - 1
+                sy, sx = (ry + ay) // 2, (rx + ax) // 2
+                sb = (ry + ay - 2 * sy) * 2 + (rx + ax - 2 * sx)
+                r = sb * m + sy * t + sx + off
+                src = jax.lax.slice(x_i32, (0, r), (rows, r + ln))
+                if sy or sx:
+                    if (sy, sx) not in masks:
+                        p = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, ln), 1) + off
+                        yy, xx = p // t + sy, p % t + sx
+                        masks[(sy, sx)] = ((yy >= 0) & (yy < t)
+                                           & (xx >= 0) & (xx < t))
+                    src = jnp.where(masks[(sy, sx)], src, 0)
+                xs_ref[i * rows:(i + 1) * rows, :] = cvt(src)
+            acc = jnp.dot(k_ref[:], xs_ref[:],
+                          preferred_element_type=jnp.int32)
+            acc = acc + corr_ref[:]
+            mx = acc if mx is None else jnp.maximum(mx, acc)
+        act = jnp.clip(jnp.right_shift(mx, shift_ref[0]), 0, 255)
+        out_ref[:, off:off + ln] = act.astype(jnp.uint8)
+
+
+def single_layer_vmem_estimate(ic: int, oc: int, s: int, tb: int,
+                               n_sub: int) -> int:
+    """Peak-VMEM model (bytes) for ``conv_pool_layer_poly``: double-buffered
+    u8 in/out blocks, the widened i32 input (resident across chunks), the
+    per-chunk int8 tap scratch, and two live i32 dot outputs (current max +
+    incoming block)."""
+    lanes = s * s
+    m = lanes // 4
+    ln = m // n_sub
+    rows = tb * ic
+    return (2 * tb * ic * lanes          # in block (u8, double-buffered)
+            + 4 * rows * lanes           # widened i32 input (value)
+            + 9 * rows * ln              # int8 tap scratch
+            + 2 * 4 * tb * oc * ln       # running max + incoming acc (i32)
+            + 2 * tb * oc * m            # out block (u8, double-buffered)
+            + tb * oc * 9 * rows + 4 * tb * oc)  # packed weights + corr
+
+
+def single_layer_plan(ic: int, oc: int, s: int,
+                      tb: int = POLY_TB) -> int | None:
+    """Smallest power-of-two sub-chunk count whose working set fits the VMEM
+    budget, or None when the chunked single-layer kernel cannot handle this
+    geometry: it needs a square even size with t = s/2 a multiple of the
+    128-lane tile (static slices at sy*t offsets must stay layout-aligned),
+    >= 4 staged sublane rows, and sub-chunks no finer than one lane tile."""
+    t = s // 2
+    m = t * t
+    if s % 2 or t % 128 or tb * ic < 4:
+        return None
+    n_sub = 1
+    while m % n_sub == 0 and m // n_sub >= 128:
+        if single_layer_vmem_estimate(ic, oc, s, tb, n_sub) \
+                <= POLY_VMEM_BUDGET:
+            return n_sub
+        n_sub *= 2
+    return None
+
+
+def single_layer_supported(ic: int, oc: int, s: int, tb: int = POLY_TB,
+                           n_sub: int | None = None) -> bool:
+    """True when ``conv_pool_layer_poly`` handles this geometry (at the
+    given sub-chunk count, or at the auto-planned one when None)."""
+    if n_sub is None:
+        return single_layer_plan(ic, oc, s, tb) is not None
+    t = s // 2
+    m = t * t
+    return (s % 2 == 0 and t % 128 == 0 and tb * ic >= 4
+            and m % n_sub == 0
+            and single_layer_vmem_estimate(ic, oc, s, tb, n_sub)
+            <= POLY_VMEM_BUDGET)
+
+
+@partial(jax.jit, static_argnames=("interpret", "tb", "n_sub"))
+def conv_pool_layer_poly(
+    x: jax.Array,  # (B, ic, S, S) uint8
+    kernel: jax.Array,  # (oc, ic, 3, 3) int8
+    shift: jax.Array,  # scalar int32
+    *,
+    interpret: bool | None = None,
+    tb: int | None = None,
+    n_sub: int | None = None,
+) -> jax.Array:
+    """One contract layer (conv3x3 -> >>shift -> clip -> 2x2 maxpool) as a
+    chunked-accumulator Pallas kernel at the g=2 polyphase layout. Returns
+    (B, oc, S/2, S/2) uint8 — bit-exact with ``quant.fixed_point_conv_layer``
+    (the 1-channel 256^2 case is hardware-parity-gated in the tpu lane)."""
+    b, ic, s, _ = x.shape
+    oc = int(kernel.shape[0])
+    if interpret is None:
+        interpret = _interpret_default()
+    if tb is None:
+        tb = POLY_TB
+    if n_sub is None:
+        n_sub = single_layer_plan(ic, oc, s, tb)
+    if n_sub is None or not single_layer_supported(ic, oc, s, tb, n_sub):
+        raise ValueError(
+            f"chunked single-layer kernel does not support ic={ic} oc={oc} "
+            f"s={s} tb={tb} n_sub={n_sub} — use fused_conv_layer's XLA path"
+        )
+    t = s // 2
+    m = t * t
+    pb = b
+    if b % tb:
+        pb = ((b + tb - 1) // tb) * tb
+        x = jnp.concatenate(
+            [x, jnp.zeros((pb - b, ic, s, s), x.dtype)], axis=0
+        )
+    x_rows = phase_split_nchw(x, 2)  # (pb, ic, 4m)
+    kmat, corr = _pack_blockdiag_poly(kernel, tb)
+    out = pl.pallas_call(
+        partial(_single_layer_body, ic=ic, oc=oc, tb=tb, t=t, n_sub=n_sub),
+        out_shape=jax.ShapeDtypeStruct((pb * oc, m), jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # shift scalar in SMEM
+            grid=(pb // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, ic, 4 * m), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tb * oc, m), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((9 * tb * ic, m // n_sub), jnp.int8),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * ic * oc * s * s * pb,
+            bytes_accessed=pb * (ic * s * s + oc * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(shift.reshape(1).astype(jnp.int32), x_rows, kmat, corr)
+    return out.reshape(pb, oc, t, t)[:b]
