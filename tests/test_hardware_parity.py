@@ -321,3 +321,25 @@ def test_chunked_single_layer_on_hardware(rng):
             jnp.asarray(x), jnp.asarray(k), jnp.int32(2), n_sub=n_sub,
         ))
         np.testing.assert_array_equal(got, want)
+
+
+def test_phase_aligned_layer_on_hardware(rng):
+    """conv_pool_layer_phase — the phase-ALIGNED chunked L0 whose output
+    rows feed the tail megakernel with no XLA relayout (the r4 lyr4-wide
+    2.4x, scripts/probe_lyr4_phase.py) — bit-exact on the chip at the
+    planned and a finer sub-chunk count."""
+    from tpu_cnn.engine.cpu_ref import numpy_conv_layer
+    from tpu_cnn.ops import pallas_poly
+
+    k = rng.randint(-127, 128, size=(16, 1, 3, 3)).astype(np.int8)
+    x = _stimuli(rng, 256, n=5)[:, None, :, :]
+    want_nchw = np.stack(
+        [numpy_conv_layer(x[b], k, 2) for b in range(len(x))])
+    want = np.asarray(pallas_poly.phase_split_nchw(
+        jnp.asarray(want_nchw), 8))
+    for n_sub in (1, 2):
+        got = np.asarray(pallas_poly.conv_pool_layer_phase(
+            jnp.asarray(x), jnp.asarray(k), jnp.int32(2), h=8,
+            n_sub=n_sub,
+        ))
+        np.testing.assert_array_equal(got, want)

@@ -313,3 +313,67 @@ def test_chained_mega_head_uses_chunked_kernel(rng):
     for b in range(len(imgs)):
         want = numpy_cnn_forward(imgs[b], kernels, shifts)
         np.testing.assert_array_equal(got[b], want)
+
+
+def test_phase_aligned_layer_parity(rng):
+    """conv_pool_layer_phase emits phase_split_nchw(oracle, h) rows
+    bit-exactly across geometries, h values, sub-chunk counts, and a
+    batch that needs padding to the batch tile."""
+    from tpu_cnn.ops import pallas_poly
+
+    for (ic, oc, s, h, n_subs) in (
+        (1, 16, 256, 8, (1, 2)),   # lyr4-wide L0 + its tail g0
+        (1, 16, 256, 4, (2,)),     # same layer, different tail depth
+        (4, 8, 64, 4, (1,)),       # multi-input-channel, small geometry
+    ):
+        k = rng.randint(-127, 128, size=(oc, ic, 3, 3)).astype(np.int8)
+        x = rng.randint(0, 256, size=(5, ic, s, s)).astype(np.uint8)
+        want_nchw = np.stack(
+            [numpy_conv_layer(x[b], k, 2) for b in range(len(x))])
+        want = np.asarray(pallas_poly.phase_split_nchw(
+            jnp.asarray(want_nchw), h))
+        for n_sub in n_subs:
+            got = np.asarray(pallas_poly.conv_pool_layer_phase(
+                jnp.asarray(x), jnp.asarray(k), jnp.int32(2),
+                h=h, interpret=True, n_sub=n_sub,
+            ))
+            np.testing.assert_array_equal(got, want, err_msg=(
+                f"ic={ic} oc={oc} s={s} h={h} n_sub={n_sub}"))
+
+
+def test_phase_layer_plan_logic():
+    from tpu_cnn.ops import pallas_poly
+
+    assert pallas_poly.phase_layer_plan(1, 16, 256, 8) is not None
+    # W = s/(2h) must be >= 2
+    assert pallas_poly.phase_layer_plan(1, 16, 256, 128) is None
+    # (s/2) must divide by h
+    assert pallas_poly.phase_layer_plan(1, 16, 200, 8) is None
+    # >= 4 staged sublane rows
+    assert pallas_poly.phase_layer_plan(1, 16, 256, 8, tb=1) is None
+
+
+def test_pre_split_tail_matches_nchw_tail(rng):
+    """The tail megakernel consuming pre-split rows (the phase-aligned
+    chain's layout contract) is bit-identical to the NCHW entry."""
+    from tpu_cnn.models.registry import get_config
+    from tpu_cnn.ops import pallas_poly
+
+    cfg = get_config("lyr4-wide")
+    kernels = [
+        jnp.asarray(rng.randint(-127, 128, size=(oc, ic, 3, 3))
+                    .astype(np.int8))
+        for ic, oc, _ in cfg.layer_configs
+    ]
+    shifts = jnp.asarray([2, 4, 5, 6], jnp.int32)
+    x = jnp.asarray(
+        rng.randint(0, 256, size=(3, 16, 128, 128)).astype(np.uint8))
+    want = pallas_poly.cnn_forward_polyphase_pallas(
+        x, kernels[1:], shifts[1:], tb=1, interpret=True,
+        with_bins=True, with_twin=True)
+    rows = pallas_poly.phase_split_nchw(x, 8)
+    got = pallas_poly.cnn_forward_polyphase_pallas(
+        rows, kernels[1:], shifts[1:], tb=1, interpret=True,
+        with_bins=True, with_twin=True, pre_split=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -450,7 +450,7 @@ def phase_split_nchw(x: jax.Array, g: int) -> jax.Array:
 
 @partial(jax.jit,
          static_argnames=("interpret", "with_bins", "with_twin", "with_feats",
-                          "roll_dtype", "ablate", "tb"))
+                          "roll_dtype", "ablate", "tb", "pre_split"))
 def cnn_forward_polyphase_pallas(
     images: jax.Array,  # (B, S, S) / (B, S, S, 1) u8; (B, ic0, S, S) if ic0>1
     kernels: Sequence[jax.Array],
@@ -463,6 +463,7 @@ def cnn_forward_polyphase_pallas(
     roll_dtype: str = "int32",
     ablate: str = "",
     tb: int | None = None,
+    pre_split: bool = False,
 ) -> jax.Array:
     """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
     same layout contract as ``ops.quant.cnn_forward`` (the final single
@@ -481,7 +482,20 @@ def cnn_forward_polyphase_pallas(
         raise ValueError("at least one of with_feats/with_bins/with_twin "
                          "must be requested")
     ic0 = int(kernels[0].shape[1])
-    if ic0 == 1:
+    if pre_split:
+        # (B, ic0, S*S) rows already in the phase_split_nchw(x, g0) layout
+        # (e.g. straight from conv_pool_layer_phase) — skips the XLA
+        # phase-split transpose entirely.
+        if ic0 == 1 or images.ndim != 3 or images.shape[1] != ic0:
+            raise ValueError(
+                f"pre_split megakernel input must be (B, {ic0}, S*S) rows "
+                f"with ic0 > 1"
+            )
+        b = images.shape[0]
+        s = int(round(images.shape[2] ** 0.5))
+        if s * s != images.shape[2]:
+            raise ValueError("pre_split rows must cover a square image")
+    elif ic0 == 1:
         if images.ndim == 4:
             images = images[..., 0]
         b, s, _ = images.shape
@@ -526,12 +540,16 @@ def cnn_forward_polyphase_pallas(
     pb = b
     if b % tb:
         pb = ((b + tb - 1) // tb) * tb
-        pad_shape = ((pb - b, s, s) if ic0 == 1 else (pb - b, ic0, s, s))
+        pad_shape = (
+            (pb - b, ic0, s * s) if pre_split
+            else (pb - b, s, s) if ic0 == 1
+            else (pb - b, ic0, s, s))
         images = jnp.concatenate(
             [images, jnp.zeros(pad_shape, images.dtype)], axis=0
         )
 
-    x_rows = (phase_split_batch(images, g0) if ic0 == 1
+    x_rows = (images if pre_split
+              else phase_split_batch(images, g0) if ic0 == 1
               else phase_split_nchw(images, g0))
 
     kmats, corrs = [], []
@@ -659,12 +677,22 @@ def cnn_forward_mega(
     from tpu_cnn.ops import pallas_int8
 
     x = images[:, None, :, :]  # NCHW
+    h_tail = 2 ** (len(kernels) - n_head)
+    pre_split = False
     for i in range(n_head):
         ic_i, oc_i, s_i = layer_configs[i]
-        if single_layer_supported(ic_i, oc_i, s_i):
-            # the head layer itself in VMEM — the XLA reroute is correct
-            # but memory-bound (its f32 conv output round-trips HBM; 24.2
-            # of lyr4-wide's 29.6 us/img, scripts/probe_lyr4_roofline.py)
+        if (i == n_head - 1
+                and phase_layer_plan(ic_i, oc_i, s_i, h_tail) is not None):
+            # the last head layer in VMEM, phase-ALIGNED: its output rows
+            # ARE the tail's phase-split input, skipping both the XLA
+            # relayout (which degenerates to ~+14 us/img when composed
+            # with a Pallas output reshape) and the memory-bound XLA conv
+            # (19.1 vs 4.4 us/img real, scripts/probe_lyr4_floor.py)
+            x = conv_pool_layer_phase(x, kernels[i], shifts[i], h=h_tail,
+                                      interpret=interpret)
+            pre_split = True
+        elif single_layer_supported(ic_i, oc_i, s_i):
+            # mid-chain big layer in VMEM at the g=2 layout (NCHW out)
             x = conv_pool_layer_poly(x, kernels[i], shifts[i],
                                      interpret=interpret)
         else:
@@ -674,6 +702,7 @@ def cnn_forward_mega(
     return cnn_forward_polyphase_pallas(
         x, kernels[n_head:], shifts[n_head:], interpret=interpret,
         with_bins=with_bins, with_twin=with_twin, with_feats=with_feats, tb=tb,
+        pre_split=pre_split,
     )
 
 
@@ -865,3 +894,207 @@ def conv_pool_layer_poly(
         interpret=interpret,
     )(shift.reshape(1).astype(jnp.int32), x_rows, kmat, corr)
     return out.reshape(pb, oc, t, t)[:b]
+
+
+# ---------------------------------------------------------------------------
+# Phase-aligned chunked single-layer kernel: same contract layer as
+# conv_pool_layer_poly, but the OUTPUT is written directly in the tail
+# megakernel's phase-split rows layout (phase_split_nchw(pooled, h)).
+#
+# Why: probe_lyr4_floor measured the chunked L0 at 4.4 us/img real vs the
+# XLA reroute's 19.1 — but chaining it through the tail gave ~zero,
+# because XLA composes the kernel's (pb*oc, m) -> NCHW lane-split reshape
+# with the tail's g=8 phase-split transpose into one degenerate
+# byte-granular relayout (~+14 us/img, vs 2.2 for the standalone
+# transpose). The fix is layout co-design, not a faster transpose: stage
+# the INPUT sub-phase-major — lane = ((a*2+b)*h^2 + qy*h + qx)*M + ly*W
+# + lx for input pixel (y, x) = (16*ly + 2*qy + a, ...) — and the conv
+# output for pool sub-phase (a, b) lands at exactly the OUTPUT q-lane, so
+# pooling is again a running max over the four sub-phase groups and the
+# store order IS phase_split_nchw(out, h). Every tap is one contiguous
+# slice at offset (dqy*h + dqx)*M, plus masked boundary-correction slices
+# at -dqy*(h^2*M - W) / -dqx*(h*M - 1) for the wrap rows/columns (an
+# m-lane zero pad on each side keeps all slices in bounds; out-of-image
+# lanes are masked to zero, which the block-diag zero-point correction
+# maps to an exact zero contribution). The reference pays the same
+# capacity split in hardware (``rtl/core/layer_fsm.v:206-213``); here the
+# split is chosen so the NEXT stage's layout falls out for free.
+# ---------------------------------------------------------------------------
+
+
+def phase_input_split(x: jax.Array, h: int) -> jax.Array:
+    """(B, C, S, S) u8 -> (B, C, 4*h*h*W*W) sub-phase-major rows, W =
+    S/(2h): groups (y%2, x%2) major, then the g=h phase split of each
+    group's (S/2)^2 sub-image (block (qy, qx) = ((y//2)%h, (x//2)%h),
+    local (ly, lx) = (y//(2h), x//(2h)))."""
+    b, c, s, _ = x.shape
+    w = s // (2 * h)
+    v = x.reshape(b, c, w, h, 2, w, h, 2)
+    v = v.transpose(0, 1, 4, 7, 3, 6, 2, 5)
+    return v.reshape(b, c, 4 * h * h * w * w)
+
+
+def _phase_layer_body(shift_ref, x_ref, k_ref, corr_ref, out_ref, xs_ref,
+                      *, ic, oc, tb, h, w, n_sub):
+    mm = w * w
+    m = h * h * mm           # output lanes (= one sub-phase group's lanes)
+    rows = tb * ic
+    x_i32 = x_ref[:].reshape(rows, 4 * m).astype(jnp.int32)
+    zpad = jnp.zeros((rows, m), jnp.int32)
+    xp = jnp.concatenate([zpad, x_i32, zpad], axis=1)
+    ln = m // n_sub
+    yc = h * h * mm - w      # y-wrap source correction magnitude
+    xc = h * mm - 1          # x-wrap source correction magnitude
+
+    def cvt(v_i32):
+        return pltpu.bitcast(v_i32.astype(jnp.uint8) ^ jnp.uint8(0x80),
+                             jnp.int8)
+
+    for c in range(n_sub):
+        off = c * ln
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, ln), 1) + off
+        qy, qx = (p // mm) // h, (p // mm) % h
+        ly, lx = (p % mm) // w, p % w
+        mx = None
+        for a in range(2):
+            for b2 in range(2):
+                for i, (dy, dx) in enumerate(
+                        (t0, t1) for t0 in range(3) for t1 in range(3)):
+                    uy, ux = a + dy - 1, b2 + dx - 1
+                    sa, sb = uy % 2, ux % 2
+                    dqy, dqx = (uy - sa) // 2, (ux - sb) // 2
+                    o0 = m + (sa * 2 + sb) * m + (dqy * h + dqx) * mm + off
+                    src = jax.lax.slice(xp, (0, o0), (rows, o0 + ln))
+                    if dqy:
+                        sel = qy == (0 if dqy < 0 else h - 1)
+                        ok = (ly >= 1) if dqy < 0 else (ly <= w - 2)
+                        cs = jax.lax.slice(
+                            xp, (0, o0 - dqy * yc), (rows, o0 - dqy * yc + ln))
+                        src = jnp.where(sel, jnp.where(sel & ok, cs, 0), src)
+                    if dqx:
+                        sel = qx == (0 if dqx < 0 else h - 1)
+                        ok = (lx >= 1) if dqx < 0 else (lx <= w - 2)
+                        cs = jax.lax.slice(
+                            xp, (0, o0 - dqx * xc), (rows, o0 - dqx * xc + ln))
+                        src = jnp.where(sel, jnp.where(sel & ok, cs, 0), src)
+                    if dqy and dqx:
+                        sel = ((qy == (0 if dqy < 0 else h - 1))
+                               & (qx == (0 if dqx < 0 else h - 1)))
+                        oky = (ly >= 1) if dqy < 0 else (ly <= w - 2)
+                        okx = (lx >= 1) if dqx < 0 else (lx <= w - 2)
+                        o2 = o0 - dqy * yc - dqx * xc
+                        cs = jax.lax.slice(xp, (0, o2), (rows, o2 + ln))
+                        src = jnp.where(
+                            sel, jnp.where(sel & oky & okx, cs, 0), src)
+                    xs_ref[i * rows:(i + 1) * rows, :] = cvt(src)
+                acc = jnp.dot(k_ref[:], xs_ref[:],
+                              preferred_element_type=jnp.int32)
+                acc = acc + corr_ref[:]
+                mx = acc if mx is None else jnp.maximum(mx, acc)
+        act = jnp.clip(jnp.right_shift(mx, shift_ref[0]), 0, 255)
+        out_ref[:, off:off + ln] = act.astype(jnp.uint8)
+
+
+def phase_layer_vmem_estimate(ic: int, oc: int, s: int, h: int, tb: int,
+                              n_sub: int) -> int:
+    """Peak-VMEM model (bytes) for ``conv_pool_layer_phase``: u8 in/out
+    blocks (double-buffered), the widened i32 input plus its zero-padded
+    concat value, per-chunk int8 tap scratch, two live i32 dot outputs."""
+    m = (s // 2) ** 2
+    ln = m // n_sub
+    rows = tb * ic
+    return (2 * tb * ic * 4 * m        # in block (u8, double-buffered)
+            + 4 * rows * 4 * m         # widened i32 input
+            + 4 * rows * 6 * m         # zero-padded concat value
+            + 9 * rows * ln            # int8 tap scratch
+            + 2 * 4 * tb * oc * ln     # running max + incoming acc (i32)
+            + 2 * tb * oc * m          # out block (u8, double-buffered)
+            + tb * oc * 9 * rows + 4 * tb * oc)
+
+
+def phase_layer_plan(ic: int, oc: int, s: int, h: int,
+                     tb: int = POLY_TB) -> int | None:
+    """Smallest power-of-two sub-chunk count that fits VMEM, or None when
+    the phase-aligned kernel cannot handle (ic, oc, s, h): needs an even
+    size with W = s/(2h) >= 2, h >= 2, >= 4 staged sublane rows, and
+    sub-chunks no finer than one lane tile."""
+    if s % 2 or h < 2 or (s // 2) % h or s // 2 // h < 2 or tb * ic < 4:
+        return None
+    m = (s // 2) ** 2
+    n_sub = 1
+    while m % n_sub == 0 and m // n_sub >= 128:
+        if phase_layer_vmem_estimate(ic, oc, s, h, tb, n_sub) \
+                <= POLY_VMEM_BUDGET:
+            return n_sub
+        n_sub *= 2
+    return None
+
+
+@partial(jax.jit, static_argnames=("h", "interpret", "tb", "n_sub"))
+def conv_pool_layer_phase(
+    x: jax.Array,  # (B, ic, S, S) uint8
+    kernel: jax.Array,  # (oc, ic, 3, 3) int8
+    shift: jax.Array,  # scalar int32
+    *,
+    h: int,
+    interpret: bool | None = None,
+    tb: int | None = None,
+    n_sub: int | None = None,
+) -> jax.Array:
+    """One contract layer (conv3x3 -> >>shift -> clip -> 2x2 maxpool),
+    phase-aligned: returns (B, oc, (S/2)^2) uint8 rows equal to
+    ``phase_split_nchw(nchw_out, h)`` — the exact input layout of an
+    h = 2^n_tail_layers tail megakernel, with no XLA relayout between.
+    Bit-exact with ``quant.fixed_point_conv_layer`` (hardware parity in
+    the -m tpu lane)."""
+    b, ic, s, _ = x.shape
+    oc = int(kernel.shape[0])
+    if interpret is None:
+        interpret = _interpret_default()
+    if tb is None:
+        tb = POLY_TB
+    if n_sub is None:
+        n_sub = phase_layer_plan(ic, oc, s, h, tb)
+    if n_sub is None or phase_layer_vmem_estimate(
+            ic, oc, s, h, tb, n_sub) > POLY_VMEM_BUDGET:
+        raise ValueError(
+            f"phase-aligned single-layer kernel does not support ic={ic} "
+            f"oc={oc} s={s} h={h} tb={tb} n_sub={n_sub}"
+        )
+    m = (s // 2) ** 2
+    w = s // 2 // h
+    pb = b
+    if b % tb:
+        pb = ((b + tb - 1) // tb) * tb
+        x = jnp.concatenate(
+            [x, jnp.zeros((pb - b, ic, s, s), x.dtype)], axis=0
+        )
+    x_rows = phase_input_split(x, h)  # (pb, ic, 4m)
+    kmat, corr = _pack_blockdiag_poly(kernel, tb)
+    out = pl.pallas_call(
+        partial(_phase_layer_body, ic=ic, oc=oc, tb=tb, h=h, w=w,
+                n_sub=n_sub),
+        out_shape=jax.ShapeDtypeStruct((pb * oc, m), jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pb // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, ic, 4 * m), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tb * oc, m), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((9 * tb * ic, m // n_sub), jnp.int8),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * ic * oc * s * s * pb,
+            bytes_accessed=pb * (ic * s * s + oc * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(shift.reshape(1).astype(jnp.int32), x_rows, kmat, corr)
+    return out.reshape(pb, oc, m)[:b]
