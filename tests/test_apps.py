@@ -857,3 +857,22 @@ def test_calibrate_multi_head_prefix_scoped(artifact_dir, tmp_path):
     assert not os.path.exists(os.path.join(d, "multi_thresh.json"))
     assert load_model(d).multi_thresh is None
     assert load_model(d, "lyr3-std", "alt_").multi_thresh is not None
+
+
+def test_default_artifacts_variant_aware(monkeypatch):
+    """--variant lyr4-wide CLIs resolve artifacts/pretrained-lyr4 without
+    an explicit --artifacts; unknown families fall back to the flagship
+    bundle; TPU_CNN_ARTIFACTS still wins."""
+    from tpu_cnn.utils import paths
+
+    monkeypatch.delenv("TPU_CNN_ARTIFACTS", raising=False)
+    flag = paths.default_artifacts()
+    assert flag == paths.default_artifacts("lyr3-std")
+    lyr4 = paths.default_artifacts("lyr4-wide")
+    assert lyr4.endswith("pretrained-lyr4") and os.path.exists(
+        os.path.join(lyr4, "weights.bin"))
+    assert paths.default_artifacts("lyr2-small").endswith("pretrained-lyr2")
+    # a family with no shipped bundle falls back
+    assert paths.default_artifacts("nosuch-family") == flag
+    monkeypatch.setenv("TPU_CNN_ARTIFACTS", "/tmp/elsewhere")
+    assert paths.default_artifacts("lyr4-wide") == "/tmp/elsewhere"

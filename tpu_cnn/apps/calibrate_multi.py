@@ -367,7 +367,8 @@ def main(argv=None):
     from tpu_cnn.utils import artifacts as art
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
 
     print("=" * 60)
     print("  MULTI-OBJECT THRESHOLD CALIBRATION")

@@ -93,7 +93,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
     shifts = None
     if args.shifts is not None:
         shifts = [int(v) for v in args.shifts.split(",")]

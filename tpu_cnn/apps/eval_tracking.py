@@ -234,7 +234,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
     print("=" * 60)
     print("  TRACKING QUALITY EVALUATION")
     print("=" * 60)

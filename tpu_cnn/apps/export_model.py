@@ -385,7 +385,8 @@ def main(argv=None):
         p.error("need --output (export) or --load (inspect/run)")
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
     model = load_model(args.artifacts, args.variant, args.head_prefix)
     platforms = tuple(s.strip() for s in args.platforms.split(","))
     batches = [int(v) for v in str(args.batch).split(",")]

@@ -212,7 +212,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
 
     shifts = ([int(s) for s in args.shifts.split(",")]
               if args.shifts is not None else None)

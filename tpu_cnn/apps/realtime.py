@@ -547,7 +547,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
     cam_w, cam_h = (int(v) for v in args.res.split("x"))
 
     print("=" * 60)

@@ -540,7 +540,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
 
     batcher, backend = build_service(args.artifacts, args.mode,
                                      args.max_batch, args.max_wait_ms,

@@ -161,7 +161,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     from tpu_cnn.utils.paths import default_artifacts
 
-    args.artifacts = args.artifacts or default_artifacts()
+    args.artifacts = (args.artifacts
+                      or default_artifacts(getattr(args, "variant", "lyr3-std")))
     model = load_model(args.artifacts, args.variant, args.head_prefix)
 
     from tpu_cnn.apps.infer import make_engine

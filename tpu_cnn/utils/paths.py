@@ -14,11 +14,22 @@ PRETRAINED_DIR = os.path.join(_REPO_ROOT, "artifacts", "pretrained")
 REFERENCE_DIR = "/root/reference/weights"
 
 
-def default_artifacts() -> str:
+def default_artifacts(variant: str = "lyr3-std") -> str:
+    """Resolve the default bundle dir, variant-aware: a non-flagship
+    ``--variant`` (e.g. ``lyr4-wide``) prefers its own shipped bundle
+    ``artifacts/pretrained-<family>`` when present, so CLIs work without
+    an explicit ``--artifacts`` for every registry geometry (the
+    reference's scripts likewise resolve their one weights dir
+    implicitly, ``software/pynq_inference.py:24-31``)."""
     env = os.environ.get("TPU_CNN_ARTIFACTS")
     if env:
         return env
-    for d in (PRETRAINED_DIR, REFERENCE_DIR):
+    dirs = []
+    if variant and variant != "lyr3-std":
+        dirs.append(os.path.join(_REPO_ROOT, "artifacts",
+                                 "pretrained-" + variant.split("-")[0]))
+    dirs += [PRETRAINED_DIR, REFERENCE_DIR]
+    for d in dirs:
         if os.path.exists(os.path.join(d, "weights.bin")):
             return d
     raise FileNotFoundError(
