@@ -574,3 +574,56 @@ def test_mesh_engine_detect_multi(mesh, stock_kernels, rng):
         staged = eng.stage_batch(imgs)
         res2 = eng.detect_multi_resolve(eng.detect_multi_batch_async(staged))
         np.testing.assert_array_equal(res2.boxes, got.boxes)
+
+
+def test_sharded_detect_multi_mega_presence_head(mesh, stock_kernels, rng):
+    """sharded_detect_multi_mega with multi_head (the PRODUCTION shape:
+    MeshEngine._detect_multi_prog passes the bundle's presence head) must
+    emit the presence scores as the LAST output, bit-matching
+    detect_head.multi_scores on the single-device pooled features — both
+    alone and combined with instances=2 (round-4 verdict: a shipped path
+    with zero mesh value-checks is a hole)."""
+    from tpu_cnn.ops import detect_head, pallas_poly
+    from tpu_cnn.parallel.mesh import sharded_detect_multi_mega
+
+    kj = [jnp.asarray(k) for k in stock_kernels]
+    fc_w = jnp.asarray(rng.randn(6, 1024).astype(np.float32) * 0.05)
+    fc_b = jnp.asarray(np.zeros(6, np.float32))
+    mh = (rng.randn(6, 1024).astype(np.float32) * 0.05,
+          rng.randn(6).astype(np.float32))
+    shifts = jnp.asarray(DEFAULT_SHIFTS, jnp.int32)
+    imgs = rng.randint(0, 256, size=(16, 128, 128)).astype(np.uint8)
+
+    # single-device production twin
+    _, pooled1, twin1 = pallas_poly.cnn_forward_polyphase_pallas(
+        jnp.asarray(imgs), kj, shifts,
+        with_bins=True, with_twin=True, with_feats=True,
+    )
+    want = detect_head.detect_multi_with_pooled(
+        pooled1, twin1, fc_w, fc_b, 128, multi_head=mh
+    )
+    scores_fn = np.asarray(detect_head.multi_scores(
+        pooled1, jnp.asarray(mh[0]), jnp.asarray(mh[1])))
+
+    det = sharded_detect_multi_mega(mesh, kj, fc_w, fc_b, multi_head=mh)
+    out = det(shard_batch(mesh, jnp.asarray(imgs), all_axes=True), shifts)
+    assert len(out) == 5
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(want[3]))
+    np.testing.assert_allclose(np.asarray(out[4]), np.asarray(want[-1]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[4]), scores_fn,
+                               rtol=0, atol=1e-6)
+
+    # combined with the watershed instance head: scores stay LAST
+    det_i = sharded_detect_multi_mega(mesh, kj, fc_w, fc_b, instances=2,
+                                      multi_head=mh)
+    out_i = det_i(shard_batch(mesh, jnp.asarray(imgs), all_axes=True), shifts)
+    assert len(out_i) == 7
+    want_i = detect_head.detect_multi_with_pooled(
+        pooled1, twin1, fc_w, fc_b, 128, instances=2, multi_head=mh
+    )
+    np.testing.assert_array_equal(np.asarray(out_i[4]), np.asarray(want_i[4]))
+    np.testing.assert_array_equal(np.asarray(out_i[5]), np.asarray(want_i[5]))
+    np.testing.assert_allclose(np.asarray(out_i[6]), scores_fn,
+                               rtol=0, atol=1e-6)
