@@ -213,3 +213,53 @@ def test_variant_megakernel_chained_parity(rng):
     np.testing.assert_array_equal(np.asarray(feats), want)
     np.testing.assert_array_equal(np.asarray(f32), want.astype(np.float32))
     np.testing.assert_allclose(np.asarray(bins), bin_pool_np(want), atol=1e-5)
+
+
+def test_lyr4_routes_through_phase_aligned_l0(rng, monkeypatch):
+    """Regression trip for the round-4 production routing (round-4 verdict
+    item 6): lyr4-wide's chained plan must run layer 0 through the
+    phase-aligned kernel (conv_pool_layer_phase) feeding a pre-split tail —
+    NOT fall back to the XLA-L0 chain (pallas_int8.fused_conv_layer), which
+    measured 27.4 vs 12.0 us/img (docs/DESIGN.md "Roofline — lyr4-wide").
+    Fails if phase_layer_plan stops covering the (1, 16, 256, h=8) geometry
+    or cnn_forward_mega's branch order changes."""
+    from tpu_cnn.ops import pallas_int8, pallas_poly
+
+    # the plan gate itself: the phase kernel must accept lyr4's layer 0
+    assert pallas_poly.phase_layer_plan(1, 16, 256, 8) is not None
+
+    calls = {"phase": 0, "poly": 0, "int8": 0}
+    real_phase = pallas_poly.conv_pool_layer_phase
+
+    def spy_phase(*a, **k):
+        calls["phase"] += 1
+        return real_phase(*a, **k)
+
+    monkeypatch.setattr(pallas_poly, "conv_pool_layer_phase", spy_phase)
+    monkeypatch.setattr(
+        pallas_poly, "conv_pool_layer_poly",
+        lambda *a, **k: calls.__setitem__("poly", calls["poly"] + 1)
+        or (_ for _ in ()).throw(AssertionError("poly L0 route taken")),
+    )
+    monkeypatch.setattr(
+        pallas_int8, "fused_conv_layer",
+        lambda *a, **k: calls.__setitem__("int8", calls["int8"] + 1)
+        or (_ for _ in ()).throw(AssertionError("XLA-L0 route taken")),
+    )
+
+    cfg = get_config("lyr4-wide")
+    kernels = make_kernels(cfg, rng)
+    s = cfg.img_size
+    # batch 3: a shape no other test traces, so the jit cache cannot
+    # serve a pre-spy trace and hide the routing
+    imgs = rng.randint(0, 256, size=(3, s, s)).astype(np.uint8)
+    feats = pallas_poly.cnn_forward_mega(
+        jnp.asarray(imgs), [jnp.asarray(k) for k in kernels],
+        jnp.asarray(default_shifts(cfg), jnp.int32), interpret=True,
+    )
+    assert calls == {"phase": 1, "poly": 0, "int8": 0}
+    want = np.stack([
+        numpy_cnn_forward(im, kernels, shifts=default_shifts(cfg))
+        for im in imgs
+    ])
+    np.testing.assert_array_equal(np.asarray(feats), want)
