@@ -31,9 +31,12 @@ import numpy as np
 
 def load(port: int, frame: bytes, duration: float, conc: int):
     """Closed-loop load: conc threads, one in-flight request each.
-    Returns (req/s, p50_ms, p99_ms, errors, non200)."""
+    Returns (req/s, p50_ms, p99_ms, errors, shed503, other_non200).
+    ``errors`` counts CONNECTION-level failures (resets, refused, timeouts)
+    — the silent shedding the round-4 verdict flagged; a clean 503 +
+    Retry-After shed is counted separately and honoured (brief backoff)."""
     stop = time.perf_counter() + duration
-    lats, errs, bad = [], [0], [0]
+    lats, errs, shed, bad = [], [0], [0], [0]
     lock = threading.Lock()
 
     def client():
@@ -45,6 +48,13 @@ def load(port: int, frame: bytes, duration: float, conc: int):
                 c.request("POST", "/detect", body=frame)
                 r = c.getresponse()
                 r.read()
+                if r.status == 503:
+                    with lock:
+                        shed[0] += 1
+                    # honour Retry-After, capped so the cell keeps loading
+                    ra = r.getheader("Retry-After")
+                    time.sleep(min(float(ra) if ra else 0.2, 0.5))
+                    continue
                 if r.status != 200:
                     with lock:
                         bad[0] += 1
@@ -71,10 +81,10 @@ def load(port: int, frame: bytes, duration: float, conc: int):
     dt = time.perf_counter() - t0
     lats.sort()
     if not lats:
-        return 0.0, 0.0, 0.0, errs[0], bad[0]
+        return 0.0, 0.0, 0.0, errs[0], shed[0], bad[0]
     p50 = lats[len(lats) // 2]
     p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
-    return len(lats) / dt, p50, p99, errs[0], bad[0]
+    return len(lats) / dt, p50, p99, errs[0], shed[0], bad[0]
 
 
 def stats(port: int) -> dict:
@@ -95,11 +105,10 @@ def main():
     args = ap.parse_args()
     concs = [int(c) for c in args.conc.split(",")]
 
-    from http.server import ThreadingHTTPServer
-
     from tpu_cnn.apps.common import load_model
     from tpu_cnn.apps.infer import make_engine
-    from tpu_cnn.apps.serve import DynamicBatcher, make_handler
+    from tpu_cnn.apps.serve import (DynamicBatcher, ServiceHTTPServer,
+                                    make_handler)
     from tpu_cnn.apps.serve_native import NativeFrontEnd
     from tpu_cnn.utils.paths import default_artifacts
 
@@ -117,7 +126,7 @@ def main():
     batcher = DynamicBatcher(engine, model.class_names,
                              max_batch=args.max_batch,
                              img_size=s)
-    httpd = ThreadingHTTPServer(
+    httpd = ServiceHTTPServer(
         ("127.0.0.1", 0), make_handler(batcher, engine.backend))
     py_port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -137,12 +146,13 @@ def main():
     rows = []
     for conc in concs:
         for name, port in (("python", py_port), ("native", front.port)):
-            rps, p50, p99, errs, bad = load(port, frame, args.duration,
-                                            conc)
-            rows.append((name, conc, rps, p50, p99, errs, bad))
+            rps, p50, p99, errs, shed, bad = load(port, frame,
+                                                  args.duration, conc)
+            rows.append((name, conc, rps, p50, p99, errs, shed, bad))
             print(f"  {name:7s} conc={conc:<4d} {rps:9.1f} req/s   "
                   f"p50 {p50:7.1f} ms   p99 {p99:7.1f} ms   "
-                  f"errors {errs}  non200 {bad}", flush=True)
+                  f"conn-errors {errs}  shed-503 {shed}  non200 {bad}",
+                  flush=True)
     print("\n  server-side /stats after load:")
     print(f"    python: {json.dumps(batcher.snapshot())}")
     print(f"    native: {json.dumps(stats(front.port))}")
@@ -153,9 +163,10 @@ def main():
     front.stop()
 
     print(f"\n  {'front':7s} {'conc':>5s} {'req/s':>9s} {'p50 ms':>8s} "
-          f"{'p99 ms':>8s}")
-    for name, conc, rps, p50, p99, errs, bad in rows:
-        print(f"  {name:7s} {conc:5d} {rps:9.1f} {p50:8.1f} {p99:8.1f}")
+          f"{'p99 ms':>8s} {'conn-err':>9s} {'shed-503':>9s}")
+    for name, conc, rps, p50, p99, errs, shed, bad in rows:
+        print(f"  {name:7s} {conc:5d} {rps:9.1f} {p50:8.1f} {p99:8.1f} "
+              f"{errs:9d} {shed:9d}")
 
 
 if __name__ == "__main__":

@@ -204,6 +204,85 @@ def test_http_service_rejects_oversized_body(artifact_dir):
         batcher.stop()
 
 
+def test_http_service_sheds_overload_with_503(artifact_dir):
+    """Graceful overload (round-4 verdict item 5): when the batcher's
+    bounded admission queue is full, the front answers a clean 503 with a
+    Retry-After hint — never a dropped/reset connection. The reference
+    signals the same condition at the protocol level (tready = !busy,
+    ``rtl/axi_wrapper/lyr3_cnn_axi_slave_lite_v1_0_S00_AXI.v:390``)."""
+    import http.client
+    import time
+
+    from tpu_cnn.apps.serve import (DynamicBatcher, Overloaded,
+                                    ServiceHTTPServer, make_handler)
+    from tpu_cnn.engine.tpu import DetectResult
+
+    class _SlowEngine:
+        backend = "slow"
+
+        def detect_batch(self, images):
+            time.sleep(0.25)  # keep the worker busy so the queue fills
+            n = len(images)
+            return DetectResult(
+                np.zeros(n, np.int32), np.ones(n, np.float32),
+                np.full((n, 6), 1 / 6, np.float32),
+                np.zeros((n, 4), np.int32))
+
+    batcher = DynamicBatcher(_SlowEngine(), list(CLASS_NAMES), max_batch=1,
+                             max_wait_ms=1.0, max_queue=2)
+    srv = ServiceHTTPServer(("127.0.0.1", 0),
+                            make_handler(batcher, "slow"))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    body = np.random.RandomState(0).randint(
+        0, 256, 128 * 128).astype(np.uint8).tobytes()
+    statuses, retry_after, conn_errors = [], [], []
+
+    def call():
+        try:
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("POST", "/detect", body=body)
+            r = c.getresponse()
+            payload = json.loads(r.read())
+            statuses.append(r.status)
+            if r.status == 503:
+                retry_after.append(r.getheader("Retry-After"))
+                assert payload["error"] == "overloaded"
+            c.close()
+        except Exception as e:  # pragma: no cover - the failure under test
+            conn_errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=call) for _ in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not conn_errors, f"connections dropped: {conn_errors}"
+        assert len(statuses) == 12
+        assert set(statuses) <= {200, 503}
+        assert 200 in statuses and 503 in statuses
+        assert all(ra and int(ra) >= 1 for ra in retry_after)
+        assert batcher.snapshot()["shed"] == statuses.count(503)
+        # the direct API raises a typed error carrying the hint: stop the
+        # worker, fill the queue, and submit once more
+        from tpu_cnn.apps.serve import _Pending
+
+        batcher.stop()
+        time.sleep(0.8)  # the worker finishes its in-flight batch and exits
+        while True:
+            try:
+                batcher.q.put_nowait(_Pending(np.zeros((128, 128), np.uint8)))
+            except Exception:
+                break
+        with pytest.raises(Overloaded) as ei:
+            batcher.submit(np.zeros((128, 128), np.uint8), timeout_s=0.1)
+        assert ei.value.retry_after_s >= 1
+    finally:
+        srv.shutdown()
+        batcher.stop()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import optax

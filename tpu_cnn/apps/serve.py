@@ -36,6 +36,30 @@ import numpy as np
 from tpu_cnn.models.cnn import IMG_SIZE
 
 
+class Overloaded(Exception):
+    """The batcher's admission queue is full. Carries a Retry-After hint
+    (seconds) derived from the backlog the client would otherwise join.
+    The reference signals the same condition at the protocol level —
+    ``tready = !busy``
+    (``rtl/axi_wrapper/lyr3_cnn_axi_slave_lite_v1_0_S00_AXI.v:390``):
+    backpressure is an explicit signal, never a dropped transaction."""
+
+    def __init__(self, retry_after_s: int):
+        super().__init__(f"server overloaded, retry after {retry_after_s}s")
+        self.retry_after_s = retry_after_s
+
+
+class ServiceHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a deep accept backlog. The default
+    ``request_queue_size=5`` RESETS the 6th simultaneous connect while the
+    GIL-bound accept loop is busy — measured as 354 silent client errors
+    at 64 concurrent clients (docs/OPERATIONS.md). Overload must surface
+    as a 503, which requires accepting the connection first."""
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
 class _Pending:
     __slots__ = ("image", "event", "result", "thresh", "t0")
 
@@ -57,7 +81,7 @@ class DynamicBatcher:
     def __init__(self, engine, class_names, max_batch: int = 256,
                  max_wait_ms: float = 5.0, img_size: int = IMG_SIZE,
                  multi: bool = False, multi_thresh: float = 0.15,
-                 instances: int = 1):
+                 instances: int = 1, max_queue: int | None = None):
         if multi and not hasattr(engine, "detect_multi_batch"):
             raise ValueError(
                 f"--multi is not supported by this engine "
@@ -78,9 +102,13 @@ class DynamicBatcher:
         self.img_size = img_size
         self.multi = multi
         self.multi_thresh = multi_thresh
-        self.q: queue.Queue[_Pending] = queue.Queue()
+        # Bounded admission queue: beyond ~4 full device batches of backlog
+        # the client is better served by an immediate 503 + Retry-After than
+        # by joining a queue whose wait already exceeds any sane deadline.
+        self.max_queue = max_queue if max_queue is not None else 4 * max_batch
+        self.q: queue.Queue[_Pending] = queue.Queue(maxsize=self.max_queue)
         self.stats = {"requests": 0, "batches": 0, "batch_ms_ema": 0.0,
-                      "mean_batch_size": 0.0, "errors": 0}
+                      "mean_batch_size": 0.0, "errors": 0, "shed": 0}
         # per-request submit->result latencies (ms), last 4096 — /stats
         # reports p50/p99 from this window (serving SLO measurement,
         # docs/OPERATIONS.md load harness)
@@ -95,7 +123,17 @@ class DynamicBatcher:
     def submit(self, image: np.ndarray, timeout_s: float = 30.0,
                thresh: float | None = None) -> dict:
         p = _Pending(image, thresh)
-        self.q.put(p)
+        try:
+            self.q.put_nowait(p)
+        except queue.Full:
+            with self._lock:
+                self.stats["shed"] += 1
+                ema = self.stats["batch_ms_ema"]
+            # hint: the time to drain the backlog ahead of this client
+            # (queue depth / batch size, at the EMA batch latency)
+            backlog_batches = self.max_queue / max(1, self.max_batch)
+            retry = max(1, int(round(backlog_batches * max(ema, 50.0) / 1e3)))
+            raise Overloaded(min(retry, 30))
         if not p.event.wait(timeout_s):
             raise TimeoutError("inference timed out")
         assert p.result is not None
@@ -284,11 +322,13 @@ MAX_BODY_BYTES = 8 * 1024 * 1024
 
 def make_handler(batcher: DynamicBatcher, backend: str):
     class Handler(BaseHTTPRequestHandler):
-        def _json(self, code: int, obj: dict):
+        def _json(self, code: int, obj: dict, extra_headers=()):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in extra_headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -330,6 +370,14 @@ def make_handler(batcher: DynamicBatcher, backend: str):
             try:
                 image = decode_image(body, batcher.img_size)
                 result = batcher.submit(image, thresh=thresh)
+            except Overloaded as e:
+                # graceful shed: a protocol-level backpressure signal (the
+                # reference's tready=!busy), never a dropped connection
+                self._json(503, {"error": "overloaded",
+                                 "retry_after_s": e.retry_after_s},
+                           extra_headers=[("Retry-After",
+                                           str(e.retry_after_s))])
+                return
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -552,8 +600,8 @@ def main(argv=None):
                                      multi=args.multi,
                                      multi_thresh=args.multi_thresh,
                                      instances=args.instances)
-    srv = ThreadingHTTPServer((args.host, args.port),
-                              make_handler(batcher, backend))
+    srv = ServiceHTTPServer((args.host, args.port),
+                            make_handler(batcher, backend))
     print(f"serving on {args.host}:{args.port} (backend {backend}, "
           f"max_batch {args.max_batch}, max_wait {args.max_wait_ms}ms)")
     try:
