@@ -59,6 +59,34 @@ def prf(probs, truths, thr):
     return p, r, 2 * p * r / max(p + r, 1e-9)
 
 
+def per_class_prf(probs, truths, thr):
+    """Per-class (tp, fp, fn, precision, recall, F1) — the error-analysis
+    decomposition of the aggregate F1 (which classes drive the misses vs
+    the false alarms). Returns a list of dicts, one per class."""
+    k_count = probs.shape[1]
+    tp = np.zeros(k_count, int)
+    fp = np.zeros(k_count, int)
+    fn = np.zeros(k_count, int)
+    for i, truth in enumerate(truths):
+        gt = {c for c, _ in truth}
+        for k in range(k_count):
+            det = probs[i, k] >= thr[k]
+            if det and k in gt:
+                tp[k] += 1
+            elif det:
+                fp[k] += 1
+            elif k in gt:
+                fn[k] += 1
+    out = []
+    for k in range(k_count):
+        p = tp[k] / max(tp[k] + fp[k], 1)
+        r = tp[k] / max(tp[k] + fn[k], 1)
+        out.append({"tp": int(tp[k]), "fp": int(fp[k]), "fn": int(fn[k]),
+                    "precision": p, "recall": r,
+                    "f1": 2 * p * r / max(p + r, 1e-9)})
+    return out
+
+
 def coord_descent(scores, truths, grid, rounds: int = 3, init=None):
     """Per-class threshold sweep by coordinate descent on detection F1 —
     the shared fitter for softmax floors and multi-label score floors."""
@@ -383,7 +411,7 @@ def main(argv=None):
             import functools
             import os
 
-            from tpu_cnn.train.data import RealComposites
+            from tpu_cnn.train.data import BinFolderDataset, RealComposites
             from tpu_cnn.utils.paths import _REPO_ROOT
 
             rp = os.path.join(_REPO_ROOT, "artifacts", "realphoto")
@@ -393,11 +421,20 @@ def main(argv=None):
                 RealComposites, root=os.path.join(rp, "val_bins"))
             print("  scenes: REAL photograph composites "
                   "(fit: train_bins, held-out: val_bins)")
-            from tpu_cnn.train.data import BinFolderDataset
+
+            def tiles_at_native(root):
+                # raw 128^2 tiles, bilinearly rescaled to the variant's
+                # native image size (lyr2-small 64^2, lyr4-wide 256^2)
+                imgs, labels = BinFolderDataset(root, img_size=128).arrays()
+                s = model.config.img_size
+                if s != 128:
+                    imgs = np.stack([RealComposites._resize(t, s)
+                                     for t in imgs])
+                return imgs, labels
 
             singles = (
-                BinFolderDataset(os.path.join(rp, "train_bins")).arrays(),
-                BinFolderDataset(os.path.join(rp, "val_bins")).arrays(),
+                tiles_at_native(os.path.join(rp, "train_bins")),
+                tiles_at_native(os.path.join(rp, "val_bins")),
             )
         head, thr, rep = fit_head(model, mode=args.mode,
                                   eval_seed=args.eval_seed,
@@ -418,8 +455,6 @@ def main(argv=None):
             json.dump([round(float(t), 4) for t in thr], f)
         print(f"\n  saved {path} — --multi surfaces now default to it")
         if head is not None:
-            import numpy as np
-
             hpath = os.path.join(args.artifacts,
                                  args.head_prefix + art.MULTI_HEAD_NPZ)
             np.savez(hpath, w=head[0].astype(np.float32),

@@ -38,14 +38,14 @@ from tpu_cnn.head.tracker import Tracker
 from tpu_cnn.models.cnn import FpgaCNN
 
 
-def frame_detections(model: FpgaCNN, mode: str, imgs_u8: np.ndarray,
-                     thresh, instances: int = 1):
-    """Per-frame detections [(cls, prob, box), ...] for a (N, s, s) u8
-    stack, through the production emission policy (the same
-    ``detections_above`` / ``instance_detections`` + calibrated floors
-    that realtime/serve use)."""
+def frame_scores(model: FpgaCNN, mode: str, imgs_u8: np.ndarray,
+                 instances: int = 1):
+    """Raw per-frame presence scores + boxes for a (N, s, s) u8 stack —
+    the pre-threshold state, so emission policies (per-frame floors vs
+    temporally smoothed scores, ``emit_detections``) can be A/B'd on
+    identical cached model output. Returns (probs, boxes, inst_boxes,
+    inst_counts) with the instance pair None when ``instances`` == 1."""
     from tpu_cnn.apps.infer import make_engine
-    from tpu_cnn.engine.tpu import detections_above, instance_detections
 
     engine = make_engine(model, mode)
     if hasattr(engine, "detect_multi_batch"):
@@ -80,9 +80,28 @@ def frame_detections(model: FpgaCNN, mode: str, imgs_u8: np.ndarray,
             inst_counts = np.stack([p[1] for p in pairs])
         else:
             inst_boxes = inst_counts = None
+    return np.asarray(probs), np.asarray(boxes), inst_boxes, inst_counts
 
+
+def emit_detections(probs, boxes, inst_boxes, inst_counts, thresh,
+                    score_ema: float = 1.0):
+    """Cached scores -> per-frame detections through the production
+    emission policy. ``score_ema`` < 1 first smooths the presence scores
+    along the frame axis (sm[t] = a*p[t] + (1-a)*sm[t-1], sm[0] = p[0])
+    — the cheap temporal-recall lever the round-4 verdict asked to probe:
+    a briefly-dipping score keeps emitting, at the cost of a lag on
+    appearance/disappearance. Boxes stay per-frame (the CAM box of the
+    CURRENT frame; only the gate is smoothed)."""
+    from tpu_cnn.engine.tpu import detections_above, instance_detections
+
+    if score_ema < 1.0:
+        sm = np.empty_like(probs)
+        sm[0] = probs[0]
+        for t in range(1, len(probs)):
+            sm[t] = score_ema * probs[t] + (1 - score_ema) * sm[t - 1]
+        probs = sm
     out = []
-    for i in range(len(imgs_u8)):
+    for i in range(len(probs)):
         if inst_boxes is not None:
             out.append(instance_detections(probs[i], boxes[i],
                                            inst_boxes[i], inst_counts[i],
@@ -90,6 +109,16 @@ def frame_detections(model: FpgaCNN, mode: str, imgs_u8: np.ndarray,
         else:
             out.append(detections_above(probs[i], boxes[i], thresh))
     return out
+
+
+def frame_detections(model: FpgaCNN, mode: str, imgs_u8: np.ndarray,
+                     thresh, instances: int = 1):
+    """Per-frame detections [(cls, prob, box), ...] for a (N, s, s) u8
+    stack, through the production emission policy (the same
+    ``detections_above`` / ``instance_detections`` + calibrated floors
+    that realtime/serve use)."""
+    return emit_detections(*frame_scores(model, mode, imgs_u8, instances),
+                           thresh)
 
 
 def score_tracker(seq_dets, seq_truths, make_tracker,
@@ -162,11 +191,19 @@ def evaluate_tracking(model: FpgaCNN, mode: str = "auto", n_seqs: int = 8,
                       n_frames: int = 24, seed: int = 123,
                       same_class: bool = False, instances: int = 1,
                       speed: tuple[float, float] = (1.5, 3.5),
-                      thresh=None, configs=None, verbose: bool = True):
+                      thresh=None, configs=None, verbose: bool = True,
+                      scenes_cls=None, score_ema: float = 1.0,
+                      ema_ab=()):
     """Score tracker configurations on identical cached detections over
     ``MovingScenes``. ``configs`` is [(name, make_tracker), ...]; default
     compares raw per-frame IDs, the production static-IoU tracker, and
-    the constant-velocity variant."""
+    the constant-velocity variant.
+
+    ``scenes_cls`` swaps the sequence source (``RealMovingScenes`` for
+    real-photo tiles). ``score_ema`` < 1 smooths presence scores across
+    frames before thresholding (see ``emit_detections``); ``ema_ab`` adds
+    extra result rows scoring the PRODUCTION tracker at each listed EMA
+    alpha on the same cached scores — the recall-lever A/B."""
     from tpu_cnn.train.data import MovingScenes
 
     if model.head_mode != "bins":
@@ -174,14 +211,27 @@ def evaluate_tracking(model: FpgaCNN, mode: str = "auto", n_seqs: int = 8,
     if thresh is None:
         thresh = (model.multi_thresh if model.multi_thresh is not None
                   else 0.15)
-    ds = MovingScenes(n_seqs=n_seqs, n_frames=n_frames, seed=seed,
-                      img_size=model.config.img_size,
-                      same_class=same_class, speed=speed)
+    scenes_cls = scenes_cls or MovingScenes
+    ds = scenes_cls(n_seqs=n_seqs, n_frames=n_frames, seed=seed,
+                    img_size=model.config.img_size,
+                    same_class=same_class, speed=speed)
     imgs, truths = ds.arrays()
     n, T, s, _ = imgs.shape
     u8 = np.round(imgs.reshape(n * T, s, s) * 255).astype(np.uint8)
-    flat = frame_detections(model, mode, u8, thresh, instances=instances)
-    seq_dets = [flat[i * T:(i + 1) * T] for i in range(n)]
+    probs, boxes, ib, ic = frame_scores(model, mode, u8,
+                                        instances=instances)
+
+    def seq_detections(a):
+        out = []
+        for i in range(n):
+            sl = slice(i * T, (i + 1) * T)
+            out.append(emit_detections(
+                probs[sl], boxes[sl],
+                None if ib is None else ib[sl],
+                None if ic is None else ic[sl], thresh, score_ema=a))
+        return out
+
+    seq_dets = seq_detections(score_ema)
 
     if configs is None:
         configs = [
@@ -194,11 +244,15 @@ def evaluate_tracking(model: FpgaCNN, mode: str = "auto", n_seqs: int = 8,
     results = {}
     for name, mk in configs:
         results[name] = score_tracker(seq_dets, truths, mk)
+    for a in ema_ab:
+        results[f"production + EMA {a:g}"] = score_tracker(
+            seq_detections(a), truths, lambda: Tracker())
     if verbose:
         kind = "same-class" if same_class else "distinct-class"
         print(f"  sequences: {n} x {T} frames ({kind}, speed "
               f"{speed[0]:g}-{speed[1]:g} px/frame"
-              f"{', instances=%d' % instances if instances > 1 else ''})")
+              f"{', instances=%d' % instances if instances > 1 else ''}"
+              f"{', score-EMA %g' % score_ema if score_ema < 1 else ''})")
         hdr = (f"  {'config':26s} {'MOTA':>7s} {'recall':>7s} "
                f"{'prec':>7s} {'IDsw':>5s} {'frag':>5s} {'MT':>6s}")
         print(hdr)
@@ -228,6 +282,18 @@ def main(argv=None):
     p.add_argument("--speed", default="1.5,3.5",
                    help="object speed range, px/frame (min,max) — the "
                         "fast regime is where a motion model could pay")
+    p.add_argument("--real", action="store_true",
+                   help="sequences move REAL photograph tiles "
+                        "(train.data.RealMovingScenes over val_bins) "
+                        "instead of synthetic shapes")
+    p.add_argument("--head-prefix", default="",
+                   help="evaluate a prefixed head (e.g. real_)")
+    p.add_argument("--score-ema", type=float, default=1.0,
+                   help="smooth presence scores across frames with this "
+                        "alpha before thresholding (1.0 = off)")
+    p.add_argument("--ema-ab", default="",
+                   help="comma list of EMA alphas to A/B on the "
+                        "production tracker (e.g. 0.5,0.3)")
     from tpu_cnn.apps.common import add_variant_arg, load_model
 
     add_variant_arg(p)
@@ -239,12 +305,20 @@ def main(argv=None):
     print("=" * 60)
     print("  TRACKING QUALITY EVALUATION")
     print("=" * 60)
-    model = load_model(args.artifacts, args.variant)
+    model = load_model(args.artifacts, args.variant, args.head_prefix)
     lo, hi = (float(v) for v in args.speed.split(","))
+    scenes_cls = None
+    if args.real:
+        from tpu_cnn.train.data import RealMovingScenes
+
+        scenes_cls = RealMovingScenes
+        print("  sequences: REAL photograph tiles (val_bins)")
+    ema_ab = tuple(float(a) for a in args.ema_ab.split(",") if a)
     evaluate_tracking(model, mode=args.mode, n_seqs=args.n_seqs,
                       n_frames=args.n_frames, seed=args.seed,
                       same_class=args.same_class, instances=args.instances,
-                      speed=(lo, hi))
+                      speed=(lo, hi), scenes_cls=scenes_cls,
+                      score_ema=args.score_ema, ema_ab=ema_ab)
 
 
 if __name__ == "__main__":

@@ -323,18 +323,22 @@ class RealComposites:
     near-disjoint positions (same joint-redraw protocol as
     :class:`CompositeScenes`). Ground truth box = the pasted rectangle
     (the tile frames its object, so the box is honest if loose — IoU
-    floors, not exact extents, are what the eval scores). The canvas is
-    the synthetic generator's noise background: object STATISTICS are
-    real (texture, contrast, intra-class variation), the paste seam is
-    the price of having ground truth at all. Constructor contract
-    matches ``CompositeScenes`` so ``calibrate_multi.fit_head`` /
-    ``eval_detection`` swap sources via ``scenes_cls``.
+    floors, not exact extents, are what the eval scores). The default
+    canvas is the synthetic generator's noise background; object
+    STATISTICS are real (texture, contrast, intra-class variation), the
+    paste seam is the price of having ground truth at all.
+    ``background="real"`` swaps the canvas for a blurred real photograph
+    (8x8 down/up resample of a random tile): real lighting/texture
+    statistics without planting an unlabeled detectable object.
+    Constructor contract matches ``CompositeScenes`` so
+    ``calibrate_multi.fit_head`` / ``eval_detection`` swap sources via
+    ``scenes_cls``.
     """
 
     def __init__(self, n_scenes: int = 60, seed: int = 0,
                  img_size: int = IMG_SIZE, n_objects: int = 2,
                  max_overlap: float = 0.15, same_class: bool = False,
-                 root: str | None = None):
+                 root: str | None = None, background: str = "noise"):
         from tpu_cnn.apps.eval_detection import iou
 
         if root is None:
@@ -376,6 +380,11 @@ class RealComposites:
                 if len(best) == n_objects:
                     break
             self.scenes.append(best)
+        if background not in ("noise", "real"):
+            raise ValueError(f"background must be noise|real, got "
+                             f"{background!r}")
+        self.background = background
+        self._all_tiles = imgs  # float 0..1, for the real-background canvas
         self._rng_bg = np.random.RandomState(seed + 7)
 
     def __len__(self):
@@ -401,9 +410,21 @@ class RealComposites:
         out = np.empty((len(self.scenes), s, s), np.float32)
         truths = []
         for i, scene in enumerate(self.scenes):
-            img = np.clip(
-                self._rng_bg.normal(30, 8, (s, s)).astype(np.float32),
-                0, 255) / 255.0
+            if self.background == "real":
+                # REAL-photo canvas (round-5 verdict item 2): a random
+                # tile blurred by an 8x8 down/up resample — keeps the
+                # photograph's lighting/texture statistics while
+                # destroying object structure, so the canvas cannot plant
+                # an unlabeled detectable object that would corrupt the
+                # ground truth (the price a literal photo crop would pay).
+                src = self._all_tiles[self._rng_bg.randint(
+                    len(self._all_tiles))]
+                img = self._resize(self._resize(src, 8), s).astype(
+                    np.float32).copy()
+            else:
+                img = np.clip(
+                    self._rng_bg.normal(30, 8, (s, s)).astype(np.float32),
+                    0, 255) / 255.0
             truth = []
             for cls, ti, size, (x1, y1, x2, y2) in scene:
                 tile = self._by_class[cls][ti]
@@ -412,6 +433,128 @@ class RealComposites:
             out[i] = img
             truths.append(truth)
         return out, truths
+
+
+class RealMovingScenes:
+    """Moving multi-object sequences of REAL photograph tiles — the
+    tracking substrate of :class:`MovingScenes` with the appearance model
+    of :class:`RealComposites` (round-5 verdict item 3: tracking was
+    evaluated on synthetic shapes only). Each sequence draws per-object
+    (class, tile, size) once and per frame pastes the SAME down-scaled
+    tile at its constant-velocity, border-reflecting position (stable
+    appearance, like a real tracked object; later objects occlude earlier
+    ones where boxes overlap — honest association stress). Ground truth
+    per frame: ``[(obj_id, class_idx, box), ...]`` with stable ids.
+    Constructor contract matches ``MovingScenes`` so
+    ``eval_tracking.evaluate_tracking`` swaps sources via
+    ``scenes_cls``."""
+
+    def __init__(self, n_seqs: int = 8, n_frames: int = 24, seed: int = 0,
+                 img_size: int = IMG_SIZE, n_objects: int = 2,
+                 max_overlap: float = 0.15, same_class: bool = False,
+                 speed: tuple[float, float] = (1.5, 3.5),
+                 root: str | None = None, background: str = "noise"):
+        from tpu_cnn.apps.eval_detection import iou
+
+        if root is None:
+            from tpu_cnn.utils.paths import _REPO_ROOT
+
+            root = os.path.join(_REPO_ROOT, "artifacts", "realphoto",
+                                "val_bins")
+        self.img_size = img_size
+        self.n_frames = n_frames
+        tiles = BinFolderDataset(root, img_size=128)
+        imgs, labels = tiles.arrays()
+        self.class_names = list(tiles.class_names)
+        self._by_class = {c: imgs[labels == c] for c in np.unique(labels)}
+        self._all_tiles = imgs
+        if background not in ("noise", "real"):
+            raise ValueError(f"background must be noise|real, got "
+                             f"{background!r}")
+        self.background = background
+        rng = np.random.RandomState(seed + 1)
+        s = img_size
+        # per sequence: [(cls, tile_idx, size, box, vel_xy), ...]
+        self.seqs: list[list] = []
+        for _ in range(n_seqs):
+            n_classes = len(self._by_class)
+            if same_class:
+                classes = np.full(n_objects, rng.randint(n_classes))
+            else:
+                classes = rng.choice(n_classes, n_objects, replace=False)
+            best: list = []
+            for _attempt in range(256):
+                placed: list = []
+                for cls in classes:
+                    ti = int(rng.randint(len(self._by_class[int(cls)])))
+                    size = int(rng.uniform(0.38, 0.55) * s)
+                    x1 = int(rng.randint(0, s - size))
+                    y1 = int(rng.randint(0, s - size))
+                    box = (x1, y1, x1 + size - 1, y1 + size - 1)
+                    if all(iou(box, b) < max_overlap
+                           for _, _, _, b, _ in placed):
+                        ang = rng.uniform(0, 2 * np.pi)
+                        spd = rng.uniform(*speed)
+                        placed.append((int(cls), ti, size, box,
+                                       (spd * np.cos(ang),
+                                        spd * np.sin(ang))))
+                if len(placed) > len(best):
+                    best = placed
+                if len(best) == n_objects:
+                    break
+            self.seqs.append(best)
+        self._rng_bg = np.random.RandomState(seed + 7)
+
+    def __len__(self):
+        return len(self.seqs)
+
+    def arrays(self):
+        """Returns (imgs (n_seqs, n_frames, s, s) float32 0..1, truths)
+        with truths[i][t] = [(obj_id, class_idx, (x1, y1, x2, y2)), ...]."""
+        s, T = self.img_size, self.n_frames
+        imgs = np.empty((len(self.seqs), T, s, s), np.float32)
+        truths = []
+        for i, seq in enumerate(self.seqs):
+            if self.background == "real":
+                src = self._all_tiles[self._rng_bg.randint(
+                    len(self._all_tiles))]
+                canvas = RealComposites._resize(
+                    RealComposites._resize(src, 8), s).astype(np.float32)
+            else:
+                canvas = np.clip(
+                    self._rng_bg.normal(30, 8, (s, s)).astype(np.float32),
+                    0, 255) / 255.0
+            objs = []
+            for oid, (cls, ti, size, (x1, y1, x2, y2), (vx, vy)) \
+                    in enumerate(seq):
+                tile = RealComposites._resize(self._by_class[cls][ti], size)
+                objs.append([oid, cls, tile, (x1, y1, x2, y2),
+                             0.0, 0.0, float(vx), float(vy)])
+            seq_truth = []
+            for t in range(T):
+                frame = canvas.copy()
+                frame_truth = []
+                for obj in objs:
+                    oid, cls, tile, (bx1, by1, bx2, by2), ox, oy, vx, vy \
+                        = obj
+                    dxi, dyi = int(round(ox)), int(round(oy))
+                    frame[by1 + dyi:by2 + dyi + 1,
+                          bx1 + dxi:bx2 + dxi + 1] = tile
+                    frame_truth.append((oid, cls,
+                                        (bx1 + dxi, by1 + dyi,
+                                         bx2 + dxi, by2 + dyi)))
+                    ox, oy = ox + vx, oy + vy
+                    if bx1 + ox < 0 or bx2 + ox > s - 1:
+                        vx = -vx
+                        ox = min(max(ox, -float(bx1)), float(s - 1 - bx2))
+                    if by1 + oy < 0 or by2 + oy > s - 1:
+                        vy = -vy
+                        oy = min(max(oy, -float(by1)), float(s - 1 - by2))
+                    obj[4:] = [ox, oy, vx, vy]
+                imgs[i, t] = frame
+                seq_truth.append(frame_truth)
+            truths.append(seq_truth)
+        return imgs, truths
 
 
 class ImageFolderDataset:
