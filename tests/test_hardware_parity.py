@@ -343,3 +343,64 @@ def test_phase_aligned_layer_on_hardware(rng):
             n_sub=n_sub,
         ))
         np.testing.assert_array_equal(got, want)
+
+
+def test_lyr4_chain_fps_floor_on_hardware():
+    """lyr4-wide perf regression trip (round-4 verdict item 6): the fused
+    detect chain at batch 1024 must clear 50k FPS on the chip — ~35%
+    below the measured 82.6k (batch 1536, DESIGN "Roofline — lyr4-wide"),
+    but far ABOVE the 36.5k of the r3 XLA-L0 chain, so a silent routing
+    fallback or a kernel-regression of similar size trips here even
+    through relay-session noise. (Adds one ~1-2 min compile to the lane.)
+
+    The routing itself is asserted shape-level in
+    test_lyr4_routes_through_phase_aligned_l0 (CPU); this is the
+    throughput end of the same guard."""
+    import os
+    import time
+
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.ops import detect_head, pallas_poly
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = load_model(os.path.join(repo, "artifacts", "pretrained-lyr4"),
+                       "lyr4-wide")
+    kernels = [jnp.asarray(k) for k in model.kernels]
+    shifts = jnp.asarray(model.shifts, jnp.int32)
+    fc_w = jnp.asarray(model.fc_weight)
+    fc_b = jnp.asarray(model.fc_bias)
+    s = model.config.img_size
+    batch = 1024
+
+    @jax.jit
+    def e2e(x):
+        rows = pallas_poly.conv_pool_layer_phase(
+            x[:, None, :, :], kernels[0], shifts[0], h=8)
+        _, pooled, twin = pallas_poly.cnn_forward_polyphase_pallas(
+            rows, kernels[1:], shifts[1:], tb=1, pre_split=True,
+            with_bins=True, with_twin=True, with_feats=True)
+        return detect_head.detect_with_pooled(
+            None, pooled, fc_w, fc_b, s, features_twin=twin)
+
+    rs = np.random.RandomState(0)
+    pools = [jnp.asarray(rs.randint(0, 256, (batch, s, s), dtype=np.uint8))
+             for _ in range(2)]
+    jax.block_until_ready(e2e(pools[0]))  # compile outside the timing
+
+    rounds = 10
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probes = []
+        for i in range(rounds):
+            p = e2e(pools[i % 2])[0][:8]
+            p.copy_to_host_async()
+            probes.append(p)
+        _ = [np.asarray(p) for p in probes]
+        fps = rounds * batch / (time.perf_counter() - t0)
+        best = max(best, fps)
+    assert best >= 50_000, (
+        f"lyr4-wide fused detect regressed: {best:,.0f} FPS < 50,000 "
+        f"(production measured 82.6k at batch 1536 — check the "
+        f"phase-aligned L0 routing and the tail megakernel)"
+    )

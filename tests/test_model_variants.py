@@ -263,3 +263,40 @@ def test_lyr4_routes_through_phase_aligned_l0(rng, monkeypatch):
         for im in imgs
     ])
     np.testing.assert_array_equal(np.asarray(feats), want)
+
+
+def test_layer_folds_policy():
+    """M-fold policy (round-5 packing lever): lyr4-wide's tb=1 tail folds
+    L1 x4 / L2 x2 / L3 x1 (f*oc <= 128, f <= g/2); folding is not wired
+    for tb>1 (the tb=4 flagship path must stay byte-identical)."""
+    from tpu_cnn.ops.pallas_poly import _layer_folds
+
+    assert _layer_folds([(16, 32, 8), (32, 64, 4), (64, 128, 2)], 1) == \
+        (4, 2, 1)
+    assert _layer_folds([(1, 16, 8), (16, 32, 4), (32, 64, 2)], 4) == \
+        (1, 1, 1)
+    # a tail whose oc already fills M cannot fold
+    assert _layer_folds([(64, 128, 4), (128, 128, 2)], 1) == (1, 1)
+
+
+def test_megakernel_fold_ab_parity(rng):
+    """fold=auto and fold=1 must produce identical feats/bins/twin for the
+    lyr4-wide chained tail (the A/B the hardware probe times)."""
+    from tpu_cnn.ops import pallas_poly
+
+    cfg = get_config("lyr4-wide")
+    kernels = [jnp.asarray(k) for k in make_kernels(cfg, rng)]
+    shifts = jnp.asarray(default_shifts(cfg), jnp.int32)
+    s = cfg.img_size
+    imgs = jnp.asarray(rng.randint(0, 256, size=(2, s, s)).astype(np.uint8))
+    rows = pallas_poly.conv_pool_layer_phase(
+        imgs[:, None, :, :], kernels[0], shifts[0], h=8, interpret=True)
+    outs = {}
+    for fold in (0, None, (4, 1, 1)):
+        outs[fold] = pallas_poly.cnn_forward_polyphase_pallas(
+            rows, kernels[1:], shifts[1:], tb=1, pre_split=True,
+            with_bins=True, with_twin=True, with_feats=True,
+            interpret=True, fold=fold)
+    for key in (0, (4, 1, 1)):
+        for a, b in zip(outs[key], outs[None]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

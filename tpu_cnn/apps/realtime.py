@@ -535,6 +535,15 @@ def main(argv=None):
                          "gate. Measured no better than static IoU on "
                          "every eval_tracking regime (docs/ROADMAP.md "
                          "1f) — opt in only for small fast objects")
+    ap.add_argument("--score-ema", type=float, default=1.0,
+                    help="with --multi: smooth presence scores across "
+                         "frames (sm = a*new + (1-a)*sm) before the "
+                         "floors; 1.0 = off. Measured (eval_tracking "
+                         "--ema-ab, docs/ROADMAP.md Round 5): a=0.3 "
+                         "lifts recall 0.594->0.633 and cuts track "
+                         "fragmentations 18->6 on synthetic motion at "
+                         "-0.013 precision; neutral on real tiles — "
+                         "opt in for streams where flicker hurts")
     ap.add_argument("--fused", action="store_true",
                     help="run the whole head on device (one fused jit per "
                          "frame; only pred/conf/probs/box cross back — "
@@ -566,6 +575,11 @@ def main(argv=None):
         ap.error("--track rides the multi-object detections; add --multi")
     if args.track_velocity and not args.track:
         ap.error("--track-velocity is a --track option")
+    if not 0.0 < args.score_ema <= 1.0:
+        ap.error("--score-ema must be in (0, 1]")
+    if args.score_ema < 1.0 and not args.multi:
+        ap.error("--score-ema smooths the multi-object presence scores; "
+                 "add --multi")
     tracker = None
     if args.track:
         from tpu_cnn.head.tracker import Tracker
@@ -621,6 +635,17 @@ def main(argv=None):
 
     ema = EmaFps()
     n = 0
+    sc_ema = None  # --score-ema presence-score state (per-class, (K,))
+
+    def smooth_scores(sc):
+        nonlocal sc_ema
+        if args.score_ema >= 1.0:
+            return sc
+        sc = np.asarray(sc, np.float32)
+        sc_ema = (sc if sc_ema is None
+                  else args.score_ema * sc + (1 - args.score_ema) * sc_ema)
+        return sc_ema
+
     try:
         while True:
             frame = cam.read()
@@ -640,7 +665,21 @@ def main(argv=None):
                 name = names[idx]
                 conf = float(res.conf[0])
                 probs = res.probs[0]
-                detections = res.detections(multi_thresh)[0]
+                if args.score_ema < 1.0:
+                    from tpu_cnn.engine.tpu import (detections_above,
+                                                    instance_detections,
+                                                    presence_scores)
+
+                    sc = smooth_scores(presence_scores(res)[0])
+                    if getattr(res, "inst_boxes", None) is not None:
+                        detections = instance_detections(
+                            sc, res.boxes[0], res.inst_boxes[0],
+                            res.inst_counts[0], multi_thresh)
+                    else:
+                        detections = detections_above(sc, res.boxes[0],
+                                                      multi_thresh)
+                else:
+                    detections = res.detections(multi_thresh)[0]
                 bbox = tuple(int(v) for v in res.boxes[0, idx])
             elif use_fused:
                 # fused on-device head: the engine's jitted detect honours
@@ -684,6 +723,7 @@ def main(argv=None):
                         sc = multi_scores_np(
                             pool_for_head(feat, model.fc_weight),
                             *model.multi_head)
+                    sc = smooth_scores(sc)
                     boxes_all = cam_host.cam_bbox_multi(
                         feat, model.fc_weight, img_size=img_size,
                         box_mode="centroid" if args.box == "centroid"

@@ -189,7 +189,8 @@ def _variant_runs(g: int, ay: int, ax: int, sy: int, sx: int):
     return [(s, n) for s, n in runs]
 
 
-def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = ""):
+def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = "",
+                fold: int = 1):
     """Stage the 9 zero-point-shifted taps of x_i32 (rows, lanes; uint8
     values widened — this Mosaic build miscompiles 8-bit rolls AND refuses
     16-bit rotates outright: "not implemented: Rotate with non-32-bit
@@ -197,11 +198,20 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = ""):
     Invalid positions stage a=0, which the XOR-0x80 shift turns into -128.
     Masks come from in-kernel iota (Pallas forbids captured constants).
 
+    ``fold`` > 1 stages the SAME bytes M-FOLDED: the lane range is split
+    into ``fold`` contiguous quarter groups and tap values for quarter q
+    land at row group (tap*fold + q) of a (9*fold*rows, lanes/fold)
+    scratch, so the conv dot can run quarters block-diagonally in the MXU's
+    M dimension (see ``_layer_folds``). Identical staged bytes and VPU
+    work (rolls/masks stay full-width; only the stores split) — the fold
+    exists purely to raise MXU 128x128-tile utilisation.
+
     ``ablate`` is a MEASUREMENT HOOK (scripts/probe_mega_ablate.py), never
     set in production: "noroll" replaces every roll with the unrolled
     source (wrong values, same traffic minus the rotate op), "nocorr"
     skips the corrective boundary-run stores, "notaps" stages only tap 0."""
     m = t * t
+    lq = lanes // fold
     p = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     blk = p // m
     ry, rx = blk // g, blk % g
@@ -231,7 +241,14 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = ""):
         r0 = ay * g * m + ax * m
         rolled = x_i32 if ablate == "noroll" else _roll(x_i32, r0, lanes)
         base = jnp.where(valid, rolled, 0)
-        xs_ref[i * rows : (i + 1) * rows, :] = cvt(base)
+        if fold == 1:
+            xs_ref[i * rows : (i + 1) * rows, :] = cvt(base)
+        else:
+            b8 = cvt(base)
+            for q in range(fold):
+                xs_ref[(i * fold + q) * rows : (i * fold + q + 1) * rows,
+                       :] = jax.lax.slice(b8, (0, q * lq),
+                                          (rows, (q + 1) * lq))
         if ablate == "nocorr":
             continue
 
@@ -244,21 +261,28 @@ def _stage_taps(x_i32, xs_ref, rows, g, t, lanes, ablate: str = ""):
             r = (ay - g * sy) * g * m + (ax - g * sx) * m + sy * t + sx
             for b0, nb in _variant_runs(g, ay, ax, sy, sx):
                 lo, ln = b0 * m, nb * m
-                if 0 <= lo + r and lo + r + ln <= lanes:
-                    src = jax.lax.slice(x_i32, (0, lo + r), (rows, lo + r + ln))
-                elif ablate == "noroll":
-                    src = jax.lax.slice(x_i32, (0, lo), (rows, lo + ln))
-                else:  # source wraps the array: fall back to a full roll
-                    src = jax.lax.slice(
-                        _roll(x_i32, r, lanes), (0, lo), (rows, lo + ln)
+                rolled_r = None
+                # folded: the run splits at quarter boundaries, each piece
+                # stored to its quarter's row group (static Python)
+                for q in range(lo // lq, (lo + ln - 1) // lq + 1):
+                    plo, phi = max(lo, q * lq), min(lo + ln, (q + 1) * lq)
+                    if 0 <= plo + r and phi + r <= lanes:
+                        src = jax.lax.slice(x_i32, (0, plo + r),
+                                            (rows, phi + r))
+                    elif ablate == "noroll":
+                        src = jax.lax.slice(x_i32, (0, plo), (rows, phi))
+                    else:  # source wraps the array: fall back to a full roll
+                        if rolled_r is None:
+                            rolled_r = _roll(x_i32, r, lanes)
+                        src = jax.lax.slice(rolled_r, (0, plo), (rows, phi))
+                    lvalid = jax.lax.slice(valid, (0, plo), (1, phi))
+                    xs_ref[(i * fold + q) * rows : (i * fold + q + 1) * rows,
+                           plo - q * lq : phi - q * lq] = cvt(
+                        jnp.where(lvalid, src, 0)
                     )
-                lvalid = jax.lax.slice(valid, (0, lo), (1, lo + ln))
-                xs_ref[i * rows : (i + 1) * rows, lo : lo + ln] = cvt(
-                    jnp.where(lvalid, src, 0)
-                )
 
 
-def _pool_blocks(act, g, t, rows):
+def _pool_blocks(act, g, t, rows, fold: int = 1):
     """(rows, g*g*m) activation (i32 in production; any max-able dtype —
     the poolbf16 ablation routes bf16 through here) -> pooled blocks
     (list of (rows, m) values to
@@ -267,27 +291,69 @@ def _pool_blocks(act, g, t, rows):
     target block. This replaces the earlier 3 full-width rolls + max +
     compaction-copy formulation: less VMEM traffic (rolls were i32 at full
     lane width; 8-bit rolls miscompile on this Mosaic build, so they could
-    not narrow). Measured 3.44 -> 3.33 us/img forward on v5e."""
+    not narrow). Measured 3.44 -> 3.33 us/img forward on v5e.
+
+    ``fold`` > 1: ``act`` is the M-folded (fold*rows, g*g*m/fold)
+    accumulator (see ``_stage_taps``); a source block lives in quarter
+    q = block // (g*g/fold) at row group q — reached by a 2D static slice.
+    A target's 4 sources always share one quarter (fold <= g/2 keeps
+    whole block-row PAIRS per quarter), so outputs are plain (rows, m)
+    blocks in the standard order either way."""
     m = t * t
     blocks = []
     g2 = g // 2
+    bpg = g * g // fold  # blocks per quarter group
     for ry2 in range(g2):
         for rx2 in range(g2):
-            vals = [
-                jax.lax.slice(act, (0, src * m), (rows, (src + 1) * m))
-                for src in (
-                    (2 * ry2 + by) * g + (2 * rx2 + bx)
-                    for by in (0, 1) for bx in (0, 1)
-                )
-            ]
+            vals = []
+            for src in ((2 * ry2 + by) * g + (2 * rx2 + bx)
+                        for by in (0, 1) for bx in (0, 1)):
+                q, loc = divmod(src, bpg)
+                vals.append(jax.lax.slice(
+                    act, (q * rows, loc * m), ((q + 1) * rows, (loc + 1) * m)))
             blocks.append(jnp.maximum(jnp.maximum(vals[0], vals[1]),
                                       jnp.maximum(vals[2], vals[3])))
     return blocks
 
 
+def _layer_folds(layer_params, tb: int) -> tuple[int, ...]:
+    """Per-layer M-fold factors for the megakernel's conv dots.
+
+    At tb=1 (the lyr4-wide chained tail) the block-diag dot runs M=oc of
+    128 MXU rows — e.g. its L1 is (32, 144)x(144, 16384) = 256 128^3
+    tiles/img with M 25 % full AND K padded 144->256. Folding ``f`` lane
+    quarters block-diagonally into M (same staged bytes, reshaped scratch)
+    fills the array: L1 at f=4 is (128, 576)x(576, 4096) = 160 tiles/img,
+    L2 at f=2 80 (vs 96), L3 40 — 392 -> 280 tiles/img, the packing lever
+    the round-5 tail ablation isolated (docs/DESIGN.md "Tail-internal
+    ablation"). The reference never underfills its 16-core array
+    (``rtl/core/cnn_acc_top.v:221-240``); this is the MXU analogue.
+
+    Constraints: f*tb*oc <= 128 (M at most one tile), f <= g/2 (a quarter
+    group holds whole block-row PAIRS, so pooling stays quarter-local —
+    see ``_pool_blocks``). Folding is only wired for tb=1 (quarter-major
+    block-diag order; the tb=4 flagship measures at its packing floor
+    already, docs/DESIGN.md:242-247).
+
+    MEASURED AND REJECTED for production (`scripts/probe_lyr4_fold.py`,
+    bit-exact on chip first): the lyr4 tail runs 7.68 -> 8.39 us/img
+    with the full (4, 2, 1) fold — the 128^3 tile-count model does NOT
+    govern this Mosaic's dot cost at these shapes; the kernel stays at
+    fold=1 and this policy is the probe's A/B arm (fold=0)."""
+    if tb != 1:
+        return tuple(1 for _ in layer_params)
+    folds = []
+    for ic, oc, g in layer_params:
+        f = 1
+        while 2 * f * tb * oc <= 128 and 2 * f <= g // 2:
+            f *= 2
+        folds.append(f)
+    return tuple(folds)
+
+
 def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
                with_twin=False, with_feats=True, roll_dtype=jnp.int32,
-               ablate=""):
+               ablate="", folds=None):
     n_layers = len(layer_params)
     k_refs = rest[:n_layers]
     corr_refs = rest[n_layers : 2 * n_layers]
@@ -307,6 +373,8 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
 
     m = t * t
     ic0, _, g0 = layer_params[0]
+    if folds is None:
+        folds = tuple(1 for _ in layer_params)
     # (tb, ic0, lanes0) block -> (img, ic)-major rows, the layout every
     # stage expects (ic0 == 1 for raw images; > 1 when a chained head
     # already ran the early layers)
@@ -315,6 +383,7 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
     for li, (ic, oc, g) in enumerate(layer_params):
         lanes = g * g * m
         rows = tb * ic
+        fold = folds[li]
         cur_u8 = x_u8 if li == 0 else act_refs[li - 1][:]
         x_i32 = cur_u8.astype(roll_dtype)
         if ablate == "slicedot":
@@ -350,7 +419,8 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
                           preferred_element_type=jnp.int32)
             acc = acc + corr_refs[li][:]
         else:
-            _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes, ablate=ablate)
+            _stage_taps(x_i32, xs_refs[li], rows, g, t, lanes, ablate=ablate,
+                        fold=fold)
             acc = jnp.dot(k_refs[li][:], xs_refs[li][:],
                           preferred_element_type=jnp.int32)
             acc = acc + corr_refs[li][:]
@@ -378,7 +448,7 @@ def _mega_body(shift_ref, x_ref, *rest, layer_params, tb, t, with_bins,
             # -0.84 us/img — which is why this stays a one-flag re-probe
             # for future toolchains rather than a deleted idea.)
             act = act.astype(jnp.bfloat16)
-        blocks = _pool_blocks(act, g, t, tb * oc)
+        blocks = _pool_blocks(act, g, t, tb * oc, fold=fold)
         # In detect mode (with_feats=False) the u8 feature map is dead —
         # the CAM reads the f32 twin and the classifier the fused bins —
         # so the final layer's u8 store (16 KB/img of HBM writes + a
@@ -450,7 +520,7 @@ def phase_split_nchw(x: jax.Array, g: int) -> jax.Array:
 
 @partial(jax.jit,
          static_argnames=("interpret", "with_bins", "with_twin", "with_feats",
-                          "roll_dtype", "ablate", "tb", "pre_split"))
+                          "roll_dtype", "ablate", "tb", "pre_split", "fold"))
 def cnn_forward_polyphase_pallas(
     images: jax.Array,  # (B, S, S) / (B, S, S, 1) u8; (B, ic0, S, S) if ic0>1
     kernels: Sequence[jax.Array],
@@ -464,6 +534,11 @@ def cnn_forward_polyphase_pallas(
     ablate: str = "",
     tb: int | None = None,
     pre_split: bool = False,
+    # None/1 = off (PRODUCTION — the fold was built, proven bit-exact on
+    # chip, and measured SLOWER: tail 7.68 -> 8.39 us/img, see
+    # _layer_folds); 0 = the auto fold policy; tuple = explicit per-layer
+    # factors (the probe's localisation arms)
+    fold: int | tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Full forward in ONE kernel. Returns (B, oc_last, (S/2^L)^2) uint8 —
     same layout contract as ``ops.quant.cnn_forward`` (the final single
@@ -552,17 +627,27 @@ def cnn_forward_polyphase_pallas(
               else phase_split_batch(images, g0) if ic0 == 1
               else phase_split_nchw(images, g0))
 
+    # M-fold factors (lane-quarter block-diag packing of the conv dots —
+    # see _layer_folds; fold=0 -> the auto policy, an int -> uniform
+    # cap, a tuple -> explicit per-layer factors).
+    if isinstance(fold, tuple):
+        folds = fold
+    elif fold == 0 and ablate != "slicedot":
+        folds = _layer_folds(layer_params, tb)
+    else:
+        folds = tuple(1 for _ in layer_params)
+
     kmats, corrs = [], []
-    for k, (ic, oc, g) in zip(kernels, layer_params):
-        km, co = _pack_blockdiag_poly(k, tb)
+    for k, f, (ic, oc, g) in zip(kernels, folds, layer_params):
+        km, co = _pack_blockdiag_poly(k, tb * f)
         kmats.append(km)
         corrs.append(co)
 
     scratch = [
         (pltpu.VMEM((tb * ic, g * g * m + 2 * (g + 1) * m), jnp.int8)
          if ablate == "slicedot"
-         else pltpu.VMEM((9 * tb * ic, g * g * m), jnp.int8))
-        for ic, oc, g in layer_params
+         else pltpu.VMEM((9 * f * tb * ic, g * g * m // f), jnp.int8))
+        for f, (ic, oc, g) in zip(folds, layer_params)
     ] + [
         # inter-layer activation rows (u8), sized at the layer's OUTPUT
         pltpu.VMEM((tb * oc, (g // 2) * (g // 2) * m), jnp.uint8)
@@ -603,7 +688,8 @@ def cnn_forward_polyphase_pallas(
         partial(_mega_body, layer_params=layer_params, tb=tb, t=t,
                 with_bins=with_bins, with_twin=with_twin,
                 with_feats=with_feats,
-                roll_dtype=jnp.dtype(roll_dtype).type, ablate=ablate),
+                roll_dtype=jnp.dtype(roll_dtype).type, ablate=ablate,
+                folds=folds),
         out_shape=tuple(out_shapes) if multi else out_shapes[0],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shifts vector in SMEM
