@@ -698,10 +698,14 @@ def test_infer_cli_multi_rejects_gap_head(artifact_dir, tmp_path, capsys):
 
 
 def test_realtime_multi_smoke(artifact_dir, capsys):
-    """--multi runs in both protocols (host twin and fused device head)."""
+    """--multi runs in both protocols (host twin and fused device head),
+    with and without --score-ema (the round-5 temporal smoothing lever —
+    both emission branches must run)."""
     from tpu_cnn.apps import realtime
 
-    for extra in ([], ["--fused", "--mode", "xla"]):
+    for extra in ([], ["--score-ema", "0.3"],
+                  ["--fused", "--mode", "xla"],
+                  ["--fused", "--mode", "xla", "--score-ema", "0.3"]):
         realtime.main([
             "--artifacts", artifact_dir, "--mode", "cpu",
             "--source", "synthetic", "--frames", "3", "--no-serve",

@@ -76,4 +76,8 @@ def multi_scores_np(
     the sigmoid exp is transcendental, so tests compare with a tight
     allclose rather than bit equality)."""
     z = (pooled @ multi_w.T + multi_b).astype(np.float32)
-    return (1.0 / (1.0 + np.exp(-z))).astype(np.float32)
+    # exp overflow at very negative z saturates to inf -> sigmoid 0.0,
+    # exactly the right value; silence the (benign) RuntimeWarning so
+    # eval sweeps don't spam it
+    with np.errstate(over="ignore"):
+        return (1.0 / (1.0 + np.exp(-z))).astype(np.float32)
