@@ -25,17 +25,19 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def train_binmax(x, y, k_count, wd, steps=800, lr=0.05, seed=0):
-    """x (N, C*16) bin-pooled, y (N, K) multi-hot -> (w (K, C), b (K,)).
-    BCE on the max-over-bins logit, full-batch adam on host CPU."""
+def train_binmax(x, y, k_count, wd, steps=800, lr=0.05, seed=0, bins=16):
+    """x (N, C*bins) bin-pooled, y (N, K) multi-hot -> (w (K, C), b (K,)).
+    BCE on the max-over-bins logit, full-batch adam on host CPU.
+    bins=256 runs the MIL head at CAM resolution (the per-pixel feature
+    map itself) instead of the 4x4 pooled bins."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    c = x.shape[1] // 16
+    c = x.shape[1] // bins
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        xb = jnp.asarray(x.reshape(-1, c, 16), jnp.float32)
+        xb = jnp.asarray(x.reshape(-1, c, bins), jnp.float32)
         yj = jnp.asarray(y, jnp.float32)
         rs = np.random.RandomState(seed)
         params = {"w": jnp.asarray(rs.randn(k_count, c).astype(np.float32)
@@ -63,11 +65,12 @@ def train_binmax(x, y, k_count, wd, steps=800, lr=0.05, seed=0):
         return np.asarray(params["w"]), np.asarray(params["b"])
 
 
-def binmax_scores(pooled, w, b):
+def binmax_scores(pooled, w, b, bins=16):
     c = w.shape[1]
-    z = np.einsum("ncj,kc->nkj", pooled.reshape(-1, c, 16), w) \
+    z = np.einsum("ncj,kc->nkj", pooled.reshape(-1, c, bins), w) \
         + b[None, :, None]
-    return 1.0 / (1.0 + np.exp(-z.max(axis=-1)))
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-z.max(axis=-1)))
 
 
 def train_combo(x, y, k_count, wd, fc_init, steps=800, lr=0.05):
@@ -141,8 +144,11 @@ def main():
                                root=os.path.join(rp, "val_bins"))
 
     def pooled_of(imgs):
+        """(pooled (N, C*16), flat feature pixels (N, C*256) /255 — the
+        CAM-resolution MIL substrate)."""
         feats = engine.run_batch(np.round(imgs * 255).astype(np.uint8))
-        return pool_for_head(feats, model.fc_weight)
+        return (pool_for_head(feats, model.fc_weight),
+                feats.reshape(len(feats), -1).astype(np.float32) / 255.0)
 
     def multihot(truths):
         m = np.zeros((len(truths), k_count), np.float32)
@@ -162,9 +168,10 @@ def main():
     sgv_i, sgv_l = BinFolderDataset(os.path.join(rp, "val_bins"),
                                     img_size=128).arrays()
 
-    p_tr = np.concatenate([pooled_of(i1), pooled_of(i2)])
-    p_val, p_ev = pooled_of(iv), pooled_of(ie)
-    p_sgt, p_sgv = pooled_of(sgt_i), pooled_of(sgv_i)
+    (p1, f1_), (p2, f2_) = pooled_of(i1), pooled_of(i2)
+    p_tr, f_tr = np.concatenate([p1, p2]), np.concatenate([f1_, f2_])
+    (p_val, f_val), (p_ev, f_ev) = pooled_of(iv), pooled_of(ie)
+    (p_sgt, f_sgt), (p_sgv, f_sgv) = pooled_of(sgt_i), pooled_of(sgv_i)
     print("  features pooled", flush=True)
 
     def singles_truth(labels):
@@ -178,35 +185,46 @@ def main():
     val_truth = tv + singles_truth(sgv_l)
     sgrid = np.arange(0.05, 0.95 + 1e-9, 0.01)
 
-    kinds = (("dense", "binmax", "combo")
-             if "--combo-only" not in sys.argv else ("combo",))
+    if "--combo-only" in sys.argv:
+        kinds = ("combo",)
+    elif "--milcam-only" in sys.argv:
+        kinds = ("milcam",)
+    else:
+        kinds = ("dense", "binmax", "combo", "milcam")
+    pooled_sub = dict(tr=p_tr, sgt=p_sgt, val=p_val, sgv=p_sgv, ev=p_ev)
+    flat_sub = dict(tr=f_tr, sgt=f_sgt, val=f_val, sgv=f_sgv, ev=f_ev)
     heads = {}
     for kind in kinds:
+        S = flat_sub if kind == "milcam" else pooled_sub
+        X_tr = np.concatenate([S["tr"], S["sgt"]])
         best = None
         for wd in (3e-3, 1e-3, 3e-4, 1e-4, 3e-5, 0.0):
             if kind == "dense":
                 w, b = _train_sigmoid_head(
-                    x_tr, y_tr, (model.fc_weight, model.fc_bias), wd)
+                    X_tr, y_tr, (model.fc_weight, model.fc_bias), wd)
 
                 def sc(pool, w=w, b=b):
-                    return 1.0 / (1.0 + np.exp(-(pool @ w.T + b)))
+                    with np.errstate(over="ignore"):
+                        return 1.0 / (1.0 + np.exp(-(pool @ w.T + b)))
             elif kind == "combo":
                 wg, wl, b = train_combo(
-                    x_tr, y_tr, k_count, wd,
+                    X_tr, y_tr, k_count, wd,
                     (model.fc_weight, model.fc_bias))
                 w = (wg, wl)
 
                 def sc(pool, wg=wg, wl=wl, b=b):
                     return combo_scores(pool, wg, wl, b)
-            else:
-                w, b = train_binmax(x_tr, y_tr, k_count, wd)
+            else:  # binmax (4x4) or milcam (16x16 CAM resolution)
+                bins = 256 if kind == "milcam" else 16
+                w, b = train_binmax(X_tr, y_tr, k_count, wd, bins=bins)
 
-                def sc(pool, w=w, b=b):
-                    return binmax_scores(pool, w, b)
+                def sc(pool, w=w, b=b, bins=bins):
+                    return binmax_scores(pool, w, b, bins=bins)
 
             thr = coord_descent(
-                np.concatenate([sc(p_tr), sc(p_sgt)]), tr_truth, sgrid)
-            vf1 = prf(np.concatenate([sc(p_val), sc(p_sgv)]),
+                np.concatenate([sc(S["tr"]), sc(S["sgt"])]), tr_truth,
+                sgrid)
+            vf1 = prf(np.concatenate([sc(S["val"]), sc(S["sgv"])]),
                       val_truth, thr)[2]
             if best is None or vf1 > best[0]:
                 best = (vf1, wd, w, b, thr, sc)
@@ -215,12 +233,13 @@ def main():
 
     print()
     for kind, (vf1, wd, w, b, thr, sc) in heads.items():
-        ev = prf(sc(p_ev), te, thr)
-        sg = prf(sc(p_sgv), singles_truth(sgv_l), thr)
+        S = flat_sub if kind == "milcam" else pooled_sub
+        ev = prf(sc(S["ev"]), te, thr)
+        sg = prf(sc(S["sgv"]), singles_truth(sgv_l), thr)
         print(f"  {kind:7s} (wd={wd:g}, val {vf1:.3f}) — HELD-OUT "
               f"scenes P {ev[0]:.3f} R {ev[1]:.3f} F1 {ev[2]:.3f}  |  "
               f"singles F1 {sg[2]:.3f}")
-        pc = per_class_prf(sc(p_ev), te, thr)
+        pc = per_class_prf(sc(S["ev"]), te, thr)
         print("    per-class scenes F1: " + "  ".join(
             f"{model.class_names[k]}={pc[k]['f1']:.2f}"
             for k in range(k_count)))
