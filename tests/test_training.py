@@ -735,3 +735,24 @@ def test_train_per_layer_scale_export(tmp_path):
     model = load_model(out, "lyr2-small")
     for k in model.kernels:
         assert np.abs(k).max() == 127, "per-layer scale must fill the grid"
+
+
+def test_soft_composites_and_aux_training(tmp_path):
+    """soft_composites: 2-object frames with 0.5/0.5 targets; train() with
+    aux_data mixes them into phase 1 only (the round-5 co-presence lever)
+    and still exports a working single-label bundle."""
+    ds = D.SyntheticShapes(n_per_class=24)
+    imgs, labels = ds.arrays()
+    aux_i, aux_s = D.soft_composites(imgs, labels, 20, seed=3)
+    assert aux_i.shape == (20, 128, 128) and aux_s.shape == (20, 6)
+    np.testing.assert_allclose(aux_s.sum(axis=1), 1.0)
+    assert ((aux_s > 0).sum(axis=1) == 2).all()
+    assert 0.0 <= aux_i.min() and aux_i.max() <= 1.0
+
+    cfg = TrainConfig(epochs=2, batch_size=32, head_epochs=200, lr=3e-3)
+    out = str(tmp_path / "bundle")
+    train(cfg, (imgs[24:], labels[24:]), (imgs[:24], labels[:24]), out,
+          class_names=ds.class_names, verbose=False,
+          aux_data=(aux_i, aux_s))
+    model = FpgaCNN.from_artifacts(out)
+    assert model.head_mode == "gap"  # phase 2 stayed single-label

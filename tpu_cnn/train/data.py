@@ -725,6 +725,51 @@ class CocoClassification:
         return np.stack(imgs), np.asarray(labels, np.int32)
 
 
+def soft_composites(images: np.ndarray, labels: np.ndarray, n: int,
+                    seed: int = 0, img_size: int | None = None,
+                    max_overlap: float = 0.15):
+    """2-object soft-label composites built from the TRAINING ARRAYS
+    themselves — the round-5 co-presence phase-1 lever: a backbone
+    trained only on single-label frames never learns to keep two
+    classes' evidence alive in one image (measured: every presence-head
+    family caps at scenes F1 0.63-0.68 on such features,
+    docs/ROADMAP.md Round 5). Each composite pastes two down-scaled
+    tiles of DISTINCT classes onto the noise canvas (the
+    RealComposites protocol) and carries the soft target
+    (0.5, 0.5) — ``train_cnn`` phase 1 consumes these beside the
+    one-hot singles (``--composite-frac``); phase 2 / eval never see
+    them. Returns (imgs (n, s, s) f32 0..1, soft (n, K) f32)."""
+    from tpu_cnn.apps.eval_detection import iou
+
+    s = img_size or images.shape[1]
+    classes = np.unique(labels)
+    by_class = {c: images[labels == c] for c in classes}
+    k_count = int(labels.max()) + 1
+    rng = np.random.RandomState(seed + 11)
+    out = np.empty((n, s, s), np.float32)
+    soft = np.zeros((n, k_count), np.float32)
+    for i in range(n):
+        pair = rng.choice(classes, 2, replace=False)
+        img = np.clip(rng.normal(30, 8, (s, s)).astype(np.float32),
+                      0, 255) / 255.0
+        placed: list = []
+        for cls in pair:
+            tile = by_class[int(cls)][rng.randint(len(by_class[int(cls)]))]
+            size = int(rng.uniform(0.38, 0.55) * s)
+            for _attempt in range(64):
+                x1 = int(rng.randint(0, s - size))
+                y1 = int(rng.randint(0, s - size))
+                box = (x1, y1, x1 + size - 1, y1 + size - 1)
+                if all(iou(box, b) < max_overlap for b in placed):
+                    break
+            placed.append(box)
+            img[y1:y1 + size, x1:x1 + size] = \
+                RealComposites._resize(tile, size)
+            soft[i, int(cls)] = 0.5
+        out[i] = img
+    return out, soft
+
+
 def batches(
     images: np.ndarray,
     labels: np.ndarray,

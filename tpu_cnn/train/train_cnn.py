@@ -166,8 +166,15 @@ def loss_fn(params: Params, images, labels, n_layers: int,
     if qat:
         params = fake_quant_convs(params, n_layers, qat_per_layer)
     logits = float_forward(params, images, n_layers, compute_dtype)
-    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    acc = (logits.argmax(-1) == labels).mean()
+    if labels.ndim == 2:
+        # soft targets (one-hot singles + 0.5/0.5 composites — the
+        # --composite-frac co-presence lever); acc vs the dominant class
+        loss = optax.softmax_cross_entropy(logits, labels).mean()
+        acc = (logits.argmax(-1) == labels.argmax(-1)).mean()
+    else:
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        acc = (logits.argmax(-1) == labels).mean()
     return loss, acc
 
 
@@ -445,15 +452,29 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           checkpoint_path: str | None = None, resume: bool = False,
           microbatch: int = 4, remat: bool = False, zero1: bool = False,
           compute_dtype: str = "float32", grad_accum: int = 1,
-          augment: bool = False, qat: bool = False):
+          augment: bool = False, qat: bool = False, aux_data=None):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
-    ArtifactBundle."""
+    ArtifactBundle.
+
+    ``aux_data`` = (images (M, S, S) f32, soft_targets (M, K) f32): extra
+    PHASE-1-ONLY frames with dense soft targets (``data.soft_composites``
+    — the co-presence lever). Phase-1 batches mix them with the one-hot
+    singles under ``optax.softmax_cross_entropy``; phase 2, best-val
+    selection, and export see only the clean single-label data."""
     from tpu_cnn.train.data import batches
 
     class_names = list(class_names or CLASS_NAMES[: cfg.num_classes])
     imgs_t, labels_t = train_data
     imgs_v, labels_v = val_data
+    imgs_p1, labels_p1 = imgs_t, labels_t
+    if aux_data is not None:
+        aux_imgs, aux_soft = aux_data
+        onehot = np.eye(cfg.num_classes, dtype=np.float32)[
+            np.asarray(labels_t, int)]
+        imgs_p1 = np.concatenate([imgs_t, np.asarray(aux_imgs, np.float32)])
+        labels_p1 = np.concatenate([onehot,
+                                    np.asarray(aux_soft, np.float32)])
 
     # multi-host: >1 OS process joined via parallel.multihost.init_multihost.
     # The step function and mesh are unchanged — only the feeding differs
@@ -502,7 +523,7 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     # The schedule is stepped once per optimizer update (per BATCH), so the
     # cosine must span epochs * steps_per_epoch — not epochs — or LR hits 0
     # after ~2 epochs and the rest of the run makes zero-magnitude updates.
-    steps_per_epoch = max(1, len(imgs_t) // cfg.batch_size)
+    steps_per_epoch = max(1, len(imgs_p1) // cfg.batch_size)
     # with gradient accumulation the inner optimizer (and so the schedule)
     # steps once per EFFECTIVE batch, not per microstep
     updates_per_epoch = max(1, steps_per_epoch // max(1, grad_accum))
@@ -602,15 +623,18 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
                     "to each) before --resume"
                 )
         if verbose:
+            aux_n = len(imgs_p1) - len(imgs_t)
             print(f"Phase 1: float training ({cfg.epochs} epochs, "
-                  f"{len(imgs_t)} train / {len(imgs_v)} val)")
+                  f"{len(imgs_t)} train"
+                  + (f" + {aux_n} soft composites" if aux_n else "")
+                  + f" / {len(imgs_v)} val)")
         # the val set is fixed — upload it once, not once per epoch
         imgs_v_d = jnp.asarray(imgs_v)
         labels_v_d = jnp.asarray(labels_v.astype(np.int32))
         epoch = start_epoch - 1  # stays if SIGTERM lands before the first epoch
         for epoch in range(start_epoch, cfg.epochs + 1):
             losses, accs = [], []
-            host_stream = batches(imgs_t, labels_t, cfg.batch_size, rng)
+            host_stream = batches(imgs_p1, labels_p1, cfg.batch_size, rng)
             if augment:
                 from tpu_cnn.train.data import augment_batch
 
@@ -805,6 +829,15 @@ def main(argv=None):
                         "+ ±4 px edge-padded translation per image; "
                         "phase-2 QAT features stay clean). The reference "
                         "trainer has no augmentation — opt-in.")
+    p.add_argument("--composite-frac", type=float, default=0.0,
+                   help="phase-1 co-presence lever: add this fraction of "
+                        "the training set as 2-object soft-label "
+                        "composites (data.soft_composites — 0.5/0.5 "
+                        "targets; phase 2 and eval stay single-label). "
+                        "Teaches the backbone to keep two classes' "
+                        "evidence alive in one frame — the measured "
+                        "ceiling of every presence head on single-label "
+                        "features (docs/ROADMAP.md Round 5).")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host training: process 0's coordination "
                         "address (jax.distributed). Run the SAME command "
@@ -933,12 +966,20 @@ def main(argv=None):
                     f"the data axis ({d})")
         print(f"Spatial: {d} data x {s} row shards over {d * s} devices")
 
+    aux = None
+    if args.composite_frac > 0:
+        n_aux = int(round(args.composite_frac * len(train_split[0])))
+        aux = D.soft_composites(train_split[0], train_split[1], n_aux,
+                                seed=cfg.seed, img_size=img_size)
+        print(f"Composites: {n_aux} 2-object soft-label frames "
+              f"(--composite-frac {args.composite_frac:g})")
     train(cfg, train_split, val_split,
           args.output_dir, class_names=names,
           checkpoint_path=args.checkpoint, resume=args.resume, mesh=mesh,
           microbatch=args.microbatch, remat=args.remat, zero1=args.zero1,
           compute_dtype="bfloat16" if args.bf16 else "float32",
-          grad_accum=args.grad_accum, augment=args.augment, qat=args.qat)
+          grad_accum=args.grad_accum, augment=args.augment, qat=args.qat,
+          aux_data=aux)
 
 
 if __name__ == "__main__":
