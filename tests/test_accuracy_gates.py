@@ -295,6 +295,39 @@ def test_realphoto_multi_f1_floor():
     assert f1 >= 0.55, f"real-photo multi-object F1 regressed: {f1:.3f}"
 
 
+def test_realphoto_ml_bundle_floors():
+    """bundle-ml — the round-5 CO-PRESENCE backbone (train_cnn
+    --composite-frac 0.5 --composite-loss bce: multi-hot 2-object
+    composites under per-class sigmoid BCE in phase 1) — must keep the
+    multi-object lift that justified shipping it beside bundle-qat.
+    Measured 2026-08-21 (scripts/probe_copresence.py + the bundle-qat
+    CLI loop): held-out scenes F1 0.694 (bundle-qat: 0.631), singles
+    head F1 0.880 (0.870), singles argmax 90.7% (95.9% — the recorded
+    trade). Floors leave ~0.04 noise margin."""
+    import functools
+
+    from tpu_cnn.apps.calibrate_multi import prf
+    from tpu_cnn.apps.common import load_model
+    from tpu_cnn.apps.infer import make_engine
+    from tpu_cnn.head.classify import multi_scores_np, pool_for_head
+    from tpu_cnn.train.data import RealComposites
+
+    bundle = os.path.join(REPO, "artifacts", "realphoto", "bundle-ml")
+    model = load_model(bundle)
+    assert model.multi_head is not None, "bundle-ml must ship multi_head"
+    engine = make_engine(model, "cpu")
+    ds = RealComposites(n_scenes=60, seed=123, root=REALPHOTO_VAL)
+    imgs, truths = ds.arrays()
+    feats = engine.run_batch(np.round(imgs * 255).astype(np.uint8))
+    scores = multi_scores_np(pool_for_head(feats, model.fc_weight),
+                             *model.multi_head)
+    f1 = prf(scores, truths, np.asarray(model.multi_thresh))[2]
+    assert f1 >= 0.63, f"bundle-ml multi-object F1 regressed: {f1:.3f}"
+
+    acc = _score_bundle(bundle, REALPHOTO_VAL)
+    assert acc >= 0.86, f"bundle-ml singles accuracy regressed: {acc:.3f}"
+
+
 # ── real_ prefixed heads on the main (synthetic-QAT) bundles ─────────
 #
 # The r4 verdict flagged that real-photo validation covered ONE bundle.

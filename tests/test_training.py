@@ -756,3 +756,30 @@ def test_soft_composites_and_aux_training(tmp_path):
           aux_data=(aux_i, aux_s))
     model = FpgaCNN.from_artifacts(out)
     assert model.head_mode == "gap"  # phase 2 stayed single-label
+
+
+def test_aux_bce_multilabel_phase1(tmp_path):
+    """aux_bce=True: composites train under per-class sigmoid BCE with
+    multi-hot 1/1 targets (--composite-loss bce) — the loss must differ
+    from the softmax path on the same dense targets, and the pipeline
+    still exports a single-label bundle."""
+    from tpu_cnn.train.train_cnn import init_params, loss_fn
+
+    ds = D.SyntheticShapes(n_per_class=24)
+    imgs, labels = ds.arrays()
+    aux_i, aux_s = D.soft_composites(imgs, labels, 20, seed=3)
+
+    params = init_params(TrainConfig(), jax.random.PRNGKey(0))
+    dense = jnp.asarray((aux_s > 0).astype(np.float32))
+    bi = jnp.asarray(aux_i)
+    l_ce, _ = loss_fn(params, bi, dense, 3)
+    l_bce, _ = loss_fn(params, bi, dense, 3, soft_bce=True)
+    assert float(l_ce) != pytest.approx(float(l_bce), rel=1e-3)
+
+    cfg = TrainConfig(epochs=2, batch_size=32, head_epochs=200, lr=3e-3)
+    out = str(tmp_path / "bundle")
+    train(cfg, (imgs[24:], labels[24:]), (imgs[:24], labels[:24]), out,
+          class_names=ds.class_names, verbose=False,
+          aux_data=(aux_i, aux_s), aux_bce=True)
+    model = FpgaCNN.from_artifacts(out)
+    assert model.head_mode == "gap"

@@ -162,14 +162,20 @@ def fake_quant_convs(params: Params, n_layers: int,
 
 def loss_fn(params: Params, images, labels, n_layers: int,
             compute_dtype=jnp.float32, qat: bool = False,
-            qat_per_layer: bool = False):
+            qat_per_layer: bool = False, soft_bce: bool = False):
     if qat:
         params = fake_quant_convs(params, n_layers, qat_per_layer)
     logits = float_forward(params, images, n_layers, compute_dtype)
     if labels.ndim == 2:
-        # soft targets (one-hot singles + 0.5/0.5 composites — the
-        # --composite-frac co-presence lever); acc vs the dominant class
-        loss = optax.softmax_cross_entropy(logits, labels).mean()
+        # dense targets (one-hot singles + composites — the
+        # --composite-frac co-presence lever); acc vs the dominant class.
+        # soft_bce treats every class as an independent sigmoid presence
+        # (multi-hot 1/1 composites) instead of splitting softmax mass
+        # 0.5/0.5 — the canonical multi-label formulation.
+        if soft_bce:
+            loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        else:
+            loss = optax.softmax_cross_entropy(logits, labels).mean()
         acc = (logits.argmax(-1) == labels.argmax(-1)).mean()
     else:
         loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -202,7 +208,8 @@ def _zero1_constrain(opt_state, mesh: Mesh):
 def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
                     *, microbatch: int = 4, remat: bool = False,
                     zero1: bool = False, compute_dtype: str = "float32",
-                    qat: bool = False, qat_per_layer: bool | None = None):
+                    qat: bool = False, qat_per_layer: bool | None = None,
+                    soft_bce: bool = False):
     """Returns a jitted ``step(params, opt_state, images, labels) ->
     (params, opt_state, loss, acc)``. With a ``data``/``model`` mesh,
     inputs/params carry data/model shardings and XLA inserts the gradient
@@ -257,6 +264,7 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None,
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, images, labels, n_layers, cdt, qat,
             cfg.per_layer_scale if qat_per_layer is None else qat_per_layer,
+            soft_bce,
         )
         if zero1:
             opt_state = _zero1_constrain(opt_state, mesh)
@@ -452,7 +460,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
           checkpoint_path: str | None = None, resume: bool = False,
           microbatch: int = 4, remat: bool = False, zero1: bool = False,
           compute_dtype: str = "float32", grad_accum: int = 1,
-          augment: bool = False, qat: bool = False, aux_data=None):
+          augment: bool = False, qat: bool = False, aux_data=None,
+          aux_bce: bool = False):
     """Full two-phase pipeline. ``train_data``/``val_data`` are
     (images (N, S, S) f32 [0,1], labels (N,)) tuples. Returns the exported
     ArtifactBundle.
@@ -461,7 +470,11 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     PHASE-1-ONLY frames with dense soft targets (``data.soft_composites``
     — the co-presence lever). Phase-1 batches mix them with the one-hot
     singles under ``optax.softmax_cross_entropy``; phase 2, best-val
-    selection, and export see only the clean single-label data."""
+    selection, and export see only the clean single-label data.
+    ``aux_bce=True`` switches the dense-target phase-1 loss to per-class
+    sigmoid BCE and binarizes the composite targets to multi-hot 1/1 —
+    presence of one class no longer competes for softmax mass with the
+    other (the multi-label formulation the deployed presence head uses)."""
     from tpu_cnn.train.data import batches
 
     class_names = list(class_names or CLASS_NAMES[: cfg.num_classes])
@@ -470,11 +483,13 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     imgs_p1, labels_p1 = imgs_t, labels_t
     if aux_data is not None:
         aux_imgs, aux_soft = aux_data
+        aux_soft = np.asarray(aux_soft, np.float32)
+        if aux_bce:
+            aux_soft = (aux_soft > 0).astype(np.float32)
         onehot = np.eye(cfg.num_classes, dtype=np.float32)[
             np.asarray(labels_t, int)]
         imgs_p1 = np.concatenate([imgs_t, np.asarray(aux_imgs, np.float32)])
-        labels_p1 = np.concatenate([onehot,
-                                    np.asarray(aux_soft, np.float32)])
+        labels_p1 = np.concatenate([onehot, aux_soft])
 
     # multi-host: >1 OS process joined via parallel.multihost.init_multihost.
     # The step function and mesh are unchanged — only the feeding differs
@@ -541,7 +556,8 @@ def train(cfg: TrainConfig, train_data, val_data, out_dir: str,
     opt_state = optimizer.init(params)
     step = make_train_step(cfg, optimizer, mesh, microbatch=microbatch,
                            remat=remat, zero1=zero1,
-                           compute_dtype=compute_dtype, qat=qat)
+                           compute_dtype=compute_dtype, qat=qat,
+                           soft_bce=aux_bce)
     n_layers = len(cfg.layer_configs)
 
     @jax.jit
@@ -760,6 +776,11 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0,
+                   help="init/permutation/augment/composite RNG seed — "
+                        "vary it for run-to-run variance studies (the "
+                        "reference trainer is single-seed, "
+                        "training/train_cnn.py:259)")
     p.add_argument("--output-dir", default="artifacts/generated")
     p.add_argument("--checkpoint", default=None,
                    help="per-epoch checkpoints: a *.npz path for a "
@@ -838,6 +859,13 @@ def main(argv=None):
                         "evidence alive in one frame — the measured "
                         "ceiling of every presence head on single-label "
                         "features (docs/ROADMAP.md Round 5).")
+    p.add_argument("--composite-loss", default="ce", choices=("ce", "bce"),
+                   help="phase-1 loss for the dense targets when "
+                        "--composite-frac > 0: 'ce' splits softmax mass "
+                        "0.5/0.5 across the two classes; 'bce' scores "
+                        "every class as an independent sigmoid presence "
+                        "(multi-hot 1/1 composites — the deployed "
+                        "presence head's formulation).")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host training: process 0's coordination "
                         "address (jax.distributed). Run the SAME command "
@@ -879,7 +907,7 @@ def main(argv=None):
         layer_configs=vcfg.layer_configs,
         shifts=train_shifts,
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
-        per_layer_scale=args.per_layer_scale,
+        seed=args.seed, per_layer_scale=args.per_layer_scale,
     )
     from tpu_cnn.train import data as D
 
@@ -979,7 +1007,7 @@ def main(argv=None):
           microbatch=args.microbatch, remat=args.remat, zero1=args.zero1,
           compute_dtype="bfloat16" if args.bf16 else "float32",
           grad_accum=args.grad_accum, augment=args.augment, qat=args.qat,
-          aux_data=aux)
+          aux_data=aux, aux_bce=args.composite_loss == "bce")
 
 
 if __name__ == "__main__":
